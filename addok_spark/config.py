@@ -1,0 +1,81 @@
+"""Engine configuration.
+
+Mirrors the *capabilities* of the reference config
+(``/root/reference/addok/config/default.py``) re-expressed for a
+distributed PySpark engine over transcript tables:
+
+- ``fields``: indexed text columns with per-field boost
+  (reference ``FIELDS``, default.py:128-138 — ``name`` boost=4).
+- ``default_boost`` / ``importance_weight``: the reference weight
+  formula ``DEFAULT_BOOST / len(tokens) * field_boost +
+  importance * IMPORTANCE_WEIGHT`` (``addok/helpers/index.py:30-37,
+  121-141``).
+- ``common_threshold`` / ``intersect_limit``: the cost-model
+  thresholds steering collection strategy (default.py:30-33). At
+  Spark scale ``common_threshold`` doubles as the *skew boundary*:
+  tokens above it get salted / block-split aggregation.
+- ``bucket_min`` / ``bucket_max``: candidate-bucket bounds
+  (default.py:17-18).
+- BM25 parameters (k1, b): the north-rule scoring model that
+  generalizes the reference's static zset score.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    boost: float = 1.0
+    # reference allows per-field null constraints (default.py:128-138)
+    allow_null: bool = True
+
+
+@dataclass
+class EngineConfig:
+    # --- fields / weights (reference addok/helpers/index.py:30-37) ---
+    fields: tuple[FieldSpec, ...] = (
+        FieldSpec("text", boost=1.0),
+        FieldSpec("tool", boost=4.0),  # analog of addok `name` boost=4
+    )
+    default_boost: float = 1.0
+    importance_weight: float = 0.1  # addok/helpers/results.py:51-57
+
+    # --- tokenizer / analyzer ---
+    min_edge_ngram: int = 3   # default.py:45
+    max_edge_ngram: int = 20  # default.py:46
+    query_max_length: int = 200  # default.py:41
+    synonyms: dict[str, str] = field(default_factory=dict)
+
+    # --- collection strategy thresholds (default.py:17-33) ---
+    bucket_min: int = 10
+    bucket_max: int = 100
+    common_threshold: int = 10_000
+    intersect_limit: int = 100_000
+    max_meaningful: int = 10  # addok/core.py:274
+    match_threshold: float = 0.9  # MATCH_THRESHOLD, default.py:36
+    min_score: float = 0.1  # default.py:38
+
+    # --- BM25 (north_rule scoring model) ---
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
+
+    # --- distributed build knobs ---
+    # postings are blocked by coarse doc ranges so no single reducer
+    # ever owns a full hot-token posting list (SURVEY.md §7.4).
+    doc_bucket_bits: int = 16      # docs per range-bucket = 2^bits
+    posting_block_size: int = 4096  # max postings per stored block row
+    build_partitions: int = 32
+
+    @property
+    def field_names(self) -> tuple[str, ...]:
+        return tuple(f.name for f in self.fields)
+
+    @property
+    def boosts(self) -> dict[str, float]:
+        return {f.name: f.boost for f in self.fields}
+
+
+DEFAULT = EngineConfig()

@@ -1,0 +1,274 @@
+"""Text analysis chain — vectorized (Arrow/pandas) implementations.
+
+Re-expresses the reference string-processing pipeline
+(``/root/reference/addok/helpers/text.py``, PROCESSORS in
+``addok/config/default.py:51-56``) as pandas-batch functions wrapped
+in ``pandas_udf``s, per the input-hint mandate of *no per-row Python
+in the hot path*:
+
+- fold      ≙ normalize+ascii (text.py:105-109,136-154: lower +
+              diacritic folding); implemented with NFKD + a small
+              compatibility map (unidecode is not available — the
+              semantics covered by the reference tests are).
+- tokenize  ≙ _tokenize (text.py:15,94-102: ``[\\w]+`` word split,
+              position = index in token list).
+- synonymize≙ text.py:112-133 (token → 1..n replacement tokens).
+- edge_ngrams ≙ compute_edge_ngrams (text.py:213-218).
+- trigrams  ≙ ngrams(text, n=3) padded (text.py:157-162).
+- make_fuzzy ≙ fuzzy.py:13-56 edit-distance-1 neighborhood.
+- compare_ngrams / compare_str ≙ text.py:165-188 scoring helpers.
+
+Every function exists in two forms: a plain pandas/python form
+(reused verbatim by the pure-Python oracle so index-time, query-time
+and oracle normalization are ONE implementation — the lesson of
+``addok/helpers/index.py:209-223``), plus a Spark ``pandas_udf``.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# folding (normalize + ascii)
+# ---------------------------------------------------------------------------
+
+# NFKD decomposition drops most diacritics; these ligatures/letters
+# don't decompose and need an explicit compatibility map (the subset
+# of unidecode the reference tests exercise: "Erispœ" → "erispoe").
+_CHAR_MAP = str.maketrans(
+    {
+        "œ": "oe", "æ": "ae", "ø": "o", "ß": "ss", "đ": "d", "ð": "d",
+        "þ": "th", "ł": "l", "ı": "i", "ĸ": "k", "ŋ": "ng", "ſ": "s",
+        "Œ": "oe", "Æ": "ae", "Ø": "o", "Đ": "d", "Þ": "th", "Ł": "l",
+    }
+)
+_COMBINING_RE = re.compile("[\\u0300-\\u036f\\u0483-\\u0489\\u0591-\\u05bd]")
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_NON_WORD_RE = re.compile(r"[^\w]+")
+
+
+def fold_str(s: str) -> str:
+    """lower + diacritic fold of one string (oracle / test path)."""
+    if s is None:
+        return ""
+    s = s.lower().translate(_CHAR_MAP)
+    s = unicodedata.normalize("NFKD", s)
+    return _COMBINING_RE.sub("", s)
+
+
+def fold_series(s: pd.Series) -> pd.Series:
+    """Vectorized fold over a pandas string Series."""
+    out = s.fillna("").str.lower().str.translate(_CHAR_MAP)
+    out = out.str.normalize("NFKD")
+    return out.str.replace(_COMBINING_RE, "", regex=True)
+
+
+def tokenize_str(s: str) -> list[str]:
+    """fold + ``[a-z0-9]+`` split (oracle / test path)."""
+    return _TOKEN_RE.findall(fold_str(s))
+
+
+def tokenize_series(s: pd.Series) -> pd.Series:
+    return fold_series(s).str.findall(_TOKEN_RE)
+
+
+# ---------------------------------------------------------------------------
+# synonyms (reference text.py:112-133; file format `a, b => c`)
+# ---------------------------------------------------------------------------
+
+def load_synonyms(lines: Iterable[str]) -> dict[str, str]:
+    """Parse the reference synonym file format (``a, b => c``, ``#``
+    comments; `/root/reference/tests/synonyms.txt`). Keys/values are
+    folded so the mapping composes with the analyzer."""
+    out: dict[str, str] = {}
+    for line in lines:
+        line = line.split("#", 1)[0].strip()
+        if not line or "=>" not in line:
+            continue
+        left, right = line.split("=>", 1)
+        target = " ".join(tokenize_str(right))
+        for src in left.split(","):
+            key = " ".join(tokenize_str(src))
+            if key:
+                out[key] = target
+    return out
+
+
+def synonymize_tokens(tokens: list[str], synonyms: dict[str, str]) -> list[str]:
+    """Replace each token by its (possibly multi-word) synonym."""
+    if not synonyms:
+        return tokens
+    out: list[str] = []
+    for tok in tokens:
+        repl = synonyms.get(tok)
+        out.extend(repl.split(" ") if repl else [tok])
+    return out
+
+
+def analyze_str(s: str, synonyms: dict[str, str] | None = None) -> list[str]:
+    """The full analyzer: fold → tokenize → synonymize. The SAME
+    function runs at index time, query time and inside the oracle."""
+    return synonymize_tokens(tokenize_str(s), synonyms or {})
+
+
+def analyze_series(s: pd.Series, synonyms: dict[str, str] | None = None) -> pd.Series:
+    toks = tokenize_series(s)
+    if synonyms:
+        toks = toks.map(lambda ts: synonymize_tokens(ts, synonyms))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# n-grams
+# ---------------------------------------------------------------------------
+
+def edge_ngrams_str(token: str, lo: int = 3, hi: int = 20) -> list[str]:
+    """Prefixes of length lo..min(len-1, hi), excluding the token
+    itself (reference text.py:213-218, MIN=3/MAX=20)."""
+    return [token[:i] for i in range(lo, min(len(token), hi + 1))]
+
+
+def char_ngrams_str(token: str, n: int = 3) -> list[str]:
+    """Space-padded char n-grams; ``ngrams('lille',3)`` →
+    ``[' li','lil','ill','lle','le ']`` (text.py:157-162)."""
+    padded = f" {token} "
+    return [padded[i : i + n] for i in range(len(padded) - n + 1)]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy neighborhood (reference fuzzy.py:13-56)
+# ---------------------------------------------------------------------------
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def make_fuzzy_str(word: str, keyboard: dict[str, str] | None = None) -> list[str]:
+    """Edit-distance-1 neighborhood with order-preserving dedup:
+    adjacent transpositions, substitutions (optionally limited to a
+    keyboard-adjacency map like default.py:173-200), insertions, and
+    deletions only for words longer than 3 chars."""
+    seen: set[str] = {word}
+    out: list[str] = []
+
+    def emit(w: str) -> None:
+        if w and w not in seen:
+            seen.add(w)
+            out.append(w)
+
+    for i in range(len(word) - 1):  # adjacent transpositions
+        emit(word[:i] + word[i + 1] + word[i] + word[i + 2 :])
+    for i, ch in enumerate(word):  # substitutions
+        pool = keyboard.get(ch, "") if keyboard is not None else _ALPHABET
+        for c in pool:
+            emit(word[:i] + c + word[i + 1 :])
+    for i in range(len(word) + 1):  # insertions
+        for c in _ALPHABET:
+            emit(word[:i] + c + word[i:])
+    if len(word) > 3:  # deletions
+        for i in range(len(word)):
+            emit(word[:i] + word[i + 1 :])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# string similarity (reference text.py:165-188)
+# ---------------------------------------------------------------------------
+
+def levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def compare_ngrams(a: str, b: str, n: int = 2) -> float:
+    """Padded-bigram overlap similarity; 1-char operands degrade to
+    exact-match (reference text.py:165-172 semantics)."""
+    if len(a) == 1 or len(b) == 1:
+        return 1.0 if a == b else 0.0
+    sa, sb = set(char_ngrams_str(a, n)), set(char_ngrams_str(b, n))
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def compare_str(query: str, label: str) -> float:
+    """Weighted trigram recall/precision + normalized edit distance
+    (reference text.py:175-188: 0.85 recall + 0.05 precision +
+    0.1 edit-similarity)."""
+    qa, la = set(char_ngrams_str(query, 3)), set(char_ngrams_str(label, 3))
+    inter = len(qa & la)
+    recall = inter / len(qa) if qa else 0.0
+    precision = inter / len(la) if la else 0.0
+    m = max(len(query), len(label))
+    edit_sim = 1.0 - (levenshtein(query, label) / m if m else 0.0)
+    return 0.85 * recall + 0.05 * precision + 0.1 * edit_sim
+
+
+# ---------------------------------------------------------------------------
+# Spark pandas_udf wrappers (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+fold_udf = F.pandas_udf(fold_series, T.StringType())
+tokenize_udf = F.pandas_udf(tokenize_series, T.ArrayType(T.StringType()))
+
+
+def make_analyze_udf(synonyms: dict[str, str] | None = None):
+    """Analyzer UDF factory; the synonym dict rides in the closure
+    (broadcast by Spark with the serialized UDF)."""
+    syn = dict(synonyms or {})
+
+    def _an(s: pd.Series) -> pd.Series:
+        return analyze_series(s, syn)
+
+    return F.pandas_udf(_an, T.ArrayType(T.StringType()))
+
+
+def make_fuzzy_udf():
+    def _fz(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: make_fuzzy_str(w) if isinstance(w, str) else [])
+
+    return F.pandas_udf(_fz, T.ArrayType(T.StringType()))
+
+
+def make_compare_str_udf():
+    def _cmp(q: pd.Series, lbl: pd.Series) -> pd.Series:
+        return pd.Series([compare_str(a or "", b or "") for a, b in zip(q, lbl)])
+
+    return F.pandas_udf(_cmp, T.DoubleType())
+
+
+# Pure-column (JVM/codegen) variants — preferred in hot paths where the
+# simpler semantics suffice (no Python at all):
+
+def edge_ngrams_col(token_col, lo: int = 3, hi: int = 20):
+    """Column expr: prefixes lo..min(len-1,hi) — whole-stage codegen."""
+    return F.expr(
+        f"transform(sequence({lo}, least(length({token_col}) - 1, {hi})),"
+        f" i -> substring({token_col}, 1, i))"
+    )
+
+
+def char_ngrams_col(token_col, n: int = 3):
+    """Column expr: space-padded char n-grams — codegen, no UDF."""
+    padded = f"concat(' ', {token_col}, ' ')"
+    return F.expr(
+        f"transform(sequence(1, length({padded}) - {n - 1}),"
+        f" i -> substring({padded}, i, {n}))"
+    )

@@ -1,0 +1,223 @@
+"""Single-process pure-Python/numpy oracle for the Spark engine.
+
+Implements the EXACT same specification as
+``addok_spark.query.engine.SearchEngine`` + ``index.build`` — same
+analyzer functions (imported, not re-implemented), same weight
+formula (``addok/helpers/index.py:30-37``), same collection rounds,
+same BM25 expression tree evaluated in the same operand order, same
+deterministic tie-breaks — so rank identity (north_rule) is checkable
+with ``python -m pytest -x -q`` without trusting the system under
+test. Candidate-set accumulation mirrors the engine line-for-line
+(bucket semantics ≙ ``addok/core.py:354-365``).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..config import EngineConfig
+from ..functions.text import analyze_str, edge_ngrams_str, make_fuzzy_str
+
+
+@dataclass
+class OracleResult:
+    qid: str
+    rows: pd.DataFrame  # rank, conv_id, turn_idx, score, boost, importance, doc_index
+
+
+class OracleIndex:
+    def __init__(self, corpus: pd.DataFrame, cfg: EngineConfig):
+        self.cfg = cfg
+        corpus = corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        corpus["doc_index"] = np.arange(len(corpus), dtype=np.int64)
+        self.docs = corpus
+        # posting maps: token -> {doc: tf}, token -> {doc: boost}
+        self.tf: dict[str, dict[int, int]] = defaultdict(dict)
+        self.boost: dict[str, dict[int, float]] = defaultdict(dict)
+        self.dl = np.zeros(len(corpus), dtype=np.int64)
+        fields = [(f.name, f.boost) for f in cfg.fields if f.name in corpus.columns]
+        for row in corpus.itertuples(index=False):
+            d = int(row.doc_index)
+            imp = float(getattr(row, "importance", 0.0) or 0.0)
+            fb: dict[str, float] = {}
+            tfs: dict[str, int] = {}
+            pos = 0
+            for fname, fboost in fields:
+                raw = getattr(row, fname)
+                toks = analyze_str(raw if isinstance(raw, str) else "", cfg.synonyms)
+                if not toks:
+                    continue
+                w = cfg.default_boost / len(toks) * fboost
+                for t in toks:
+                    tfs[t] = tfs.get(t, 0) + 1
+                    fb[t] = max(fb.get(t, 0.0), w)
+                    pos += 1
+            self.dl[d] = pos
+            for t, c in tfs.items():
+                self.tf[t][d] = c
+                # engine stores boost as float32 in parquet
+                self.boost[t][d] = float(
+                    np.float32(fb[t] + imp * cfg.importance_weight)
+                )
+        self.df = {t: len(m) for t, m in self.tf.items()}
+        self.n_docs = len(corpus)
+        self.avgdl = float(self.dl.sum()) / max(self.n_docs, 1)
+        # prefix table (non-digit tokens, autocomplete.py:111-131)
+        self.prefixes: dict[str, list[tuple[str, int]]] = defaultdict(list)
+        for t, df in self.df.items():
+            if t.isdigit():
+                continue
+            for p in edge_ngrams_str(t, cfg.min_edge_ngram, cfg.max_edge_ngram):
+                self.prefixes[p].append((t, df))
+
+    # -- expansion helpers (mirror SearchEngine) ---------------------------
+    def prefix_expansions(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
+        cands = sorted(self.prefixes.get(prefix, []), key=lambda x: (-x[1], x[0]))
+        return cands[:limit]
+
+    def fuzzy_expansions(self, token: str) -> list[tuple[str, int]]:
+        out = []
+        for n in make_fuzzy_str(token):
+            if n in self.df:
+                out.append((n, self.df[n]))
+        return out[:8]
+
+
+def oracle_search(
+    index: OracleIndex,
+    queries: list,  # objects with qid, q, k, autocomplete, filters
+    cfg: EngineConfig,
+) -> pd.DataFrame:
+    rows_out = []
+    for q in queries:
+        toks = analyze_str(q.q, cfg.synonyms)
+        seen: set[str] = set()
+        toks = [t for t in toks if not (t in seen or seen.add(t))]
+        groups: dict[int, list[str]] = {}
+        meaningful: list[tuple[int, int, str]] = []
+        for gid, tok in enumerate(toks):
+            df = index.df.get(tok, 0)
+            last = gid == len(toks) - 1
+            if df == 0 or (getattr(q, "autocomplete", False) and last):
+                exp: list[tuple[str, int]] = [(tok, df)] if df > 0 else []
+                have = {t for t, _ in exp}
+                if getattr(q, "autocomplete", False) and last:
+                    exp += [
+                        td for td in index.prefix_expansions(tok) if td[0] not in have
+                    ]
+                if not exp:
+                    exp = index.fuzzy_expansions(tok)
+                if exp:
+                    groups[gid] = [t for t, _ in exp]
+                    meaningful.append((min(d for _, d in exp), gid, tok))
+            elif df > cfg.common_threshold:
+                groups[gid] = [tok]
+            else:
+                groups[gid] = [tok]
+                meaningful.append((df, gid, tok))
+        meaningful.sort(key=lambda x: (x[0], x[2]))
+        order = [gid for _, gid, _ in meaningful[: cfg.max_meaningful]]
+
+        candidates: set[int] = set()
+        done = False
+        for round_no in (1, 2, 3, 4):
+            if done:
+                break
+            if round_no == 1:
+                gids = order
+            elif round_no == 2:
+                gids = order if order else sorted(groups)
+            elif round_no == 3 and len(order) > 1:
+                gids = order[:-1]
+            elif round_no == 4 and len(order) > 2:
+                gids = order[:-2]
+            else:
+                continue
+            if not gids:
+                continue
+            # conjunctive group match + Σboost prescore
+            match: dict[int, dict[int, float]] = {}  # doc -> gid -> gboost
+            for gid in gids:
+                for tok in groups[gid]:
+                    for d, b in index.boost.get(tok, {}).items():
+                        slot = match.setdefault(d, {})
+                        slot[gid] = max(slot.get(gid, -math.inf), b)
+            hits = []
+            for d, per_gid in match.items():
+                if len(per_gid) >= len(gids):
+                    pre = 0.0
+                    for gid in sorted(per_gid):
+                        pre += float(per_gid[gid])
+                    hits.append((-pre, d))
+            hits.sort()
+            ordered = [d for _, d in hits[: cfg.bucket_max]]
+            room = cfg.bucket_max - len(candidates)
+            candidates.update(ordered[:room])
+            if len(candidates) >= cfg.bucket_min:
+                done = True
+
+        # --- scoring over FULL group set (same expression tree) ----------
+        k1, b = cfg.bm25_k1, cfg.bm25_b
+        n_docs, avgdl = index.n_docs, index.avgdl
+        recs = []
+        filters = getattr(q, "filters", None) or {}
+        for d in sorted(candidates):
+            doc = index.docs.iloc[d]
+            ok = all(
+                (doc[col] in vals) for col, vals in filters.items()
+            )
+            if not ok:
+                continue
+            score = 0.0
+            boost_sum = 0.0
+            matched_any = False
+            for gid in sorted(groups):
+                tf = 0
+                dfm = None
+                gboost = None
+                for tok in groups[gid]:
+                    if d in index.tf.get(tok, {}):
+                        tf += index.tf[tok][d]
+                        tdf = index.df[tok]
+                        dfm = tdf if dfm is None else min(dfm, tdf)
+                        tb = index.boost[tok][d]
+                        gboost = tb if gboost is None else max(gboost, tb)
+                if tf == 0:
+                    continue
+                matched_any = True
+                idf = math.log(1.0 + (float(n_docs) - dfm + 0.5) / (dfm + 0.5))
+                tfn = tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * float(index.dl[d]) / avgdl))
+                score += idf * tfn
+                boost_sum += float(gboost)
+            if not matched_any:
+                continue
+            recs.append(
+                {
+                    "qid": q.qid,
+                    "doc_index": d,
+                    "score": score,
+                    "boost": boost_sum,
+                    "importance": float(doc.get("importance", 0.0) or 0.0),
+                    "conv_id": doc["conv_id"],
+                    "turn_idx": int(doc["turn_idx"]),
+                }
+            )
+        rdf = pd.DataFrame(recs)
+        if len(rdf):
+            rdf = rdf.sort_values(
+                ["score", "boost", "importance", "doc_index"],
+                ascending=[False, False, False, True],
+            ).head(q.k)
+            rdf["rank"] = np.arange(1, len(rdf) + 1)
+            rows_out.append(rdf)
+    if not rows_out:
+        return pd.DataFrame(
+            columns=["qid", "doc_index", "score", "boost", "importance",
+                     "conv_id", "turn_idx", "rank"]
+        )
+    return pd.concat(rows_out, ignore_index=True)

@@ -1,0 +1,431 @@
+"""BM25 top-k query engine over the block posting index.
+
+Re-expresses the reference's adaptive collection + scoring pipeline
+(``/root/reference/addok/core.py:283-335``, collectors
+``addok/helpers/collectors.py``, fuzzy ``addok/fuzzy.py:59-114``,
+autocomplete ``addok/autocomplete.py:79-108``) as a *batched* Spark
+job: the whole query set runs per round as one DataFrame plan, with
+the driver holding only per-query candidate buckets (≤ BUCKET_MAX
+ids, exactly like the reference's bucket, ``addok/core.py:354-365``).
+
+Collection/scoring split mirrors the reference architecture:
+
+- **Collect** (rounds): conjunctive match over the round's token
+  *groups* (a group = one query token + its fuzzy/prefix expansions —
+  generalizing ``addok/fuzzy.py:92-104`` substitution and
+  ``addok/autocomplete.py:79-87`` prefix OR). Round order ≙ the
+  RESULTS_COLLECTORS chain (``addok/config/default.py:78-92``):
+  1. all meaningful tokens (``bucket_with_meaningful``)
+  2. + expansions for not-found tokens (fuzzy / autocomplete)
+  3. drop the highest-df meaningful token
+     (``extend_results_reducing_tokens``)
+  4. drop the two highest-df.
+  Collection pre-score = Σ boost (≙ ZINTERSTORE sum + ZREVRANGE
+  top-k, ``addok/helpers/lua/zinter.lua:1-11``).
+- **Score**: every collected candidate is scored against the FULL
+  query (≙ SEARCH_RESULT_PROCESSORS, ``addok/core.py:367-381``) with
+  BM25 (north_rule) + deterministic secondary keys
+  ``(score desc, boost desc, importance desc, doc_index asc)`` —
+  the reference's implicit tie behavior made explicit
+  (SURVEY.md §4.2).
+
+Scale notes:
+- posting blocks are pruned *before unpacking* by bucket
+  intersection: a block participates only if every required group
+  has ≥1 block in the same doc-range bucket — the distributed analog
+  of the zinter cost model / block-max skipping.
+- float determinism: per-doc term scores are collected into an array
+  sorted by group id and folded left-to-right (``F.aggregate``), so
+  executor count / partitioning cannot perturb sums (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..config import EngineConfig
+from ..functions.text import analyze_str, edge_ngrams_str, make_fuzzy_str
+from ..index.build import IndexPaths
+from ..index.compress import unpack_deltas, unpack_f32, varint_decode
+
+UNPACK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("doc_index", T.LongType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("boost", T.FloatType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(UNPACK_SCHEMA)
+def _unpack_block(docs_bin: pd.Series, tfs_bin: pd.Series, boosts_bin: pd.Series) -> pd.Series:
+    out = []
+    for db, tb, bb in zip(docs_bin, tfs_bin, boosts_bin):
+        docs = unpack_deltas(db).astype(np.int64)
+        tfs = varint_decode(tb).astype(np.int32)
+        boosts = unpack_f32(bb)
+        out.append(
+            [
+                {"doc_index": int(d), "tf": int(t), "boost": float(b)}
+                for d, t, b in zip(docs, tfs, boosts)
+            ]
+        )
+    return pd.Series(out)
+
+
+@dataclass
+class Query:
+    qid: str
+    q: str
+    k: int = 10
+    autocomplete: bool = False
+    filters: dict[str, list[str]] = field(default_factory=dict)
+
+
+@dataclass
+class _QState:
+    query: Query
+    groups: dict[int, list[str]]          # group_id -> expansion tokens
+    meaningful_order: list[int]           # group ids sorted by (df asc, token asc)
+    candidates: set[int] = field(default_factory=set)
+    done: bool = False
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, paths: IndexPaths | str, cfg: EngineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.paths = paths if isinstance(paths, IndexPaths) else IndexPaths(Path(paths))
+        self.meta = json.loads(self.paths.meta.read_text())
+        self.blocks = spark.read.parquet(self.paths.blocks)
+        self.docs = spark.read.parquet(self.paths.docs)
+        self.dictionary = spark.read.parquet(self.paths.dictionary)
+        self.prefixes = spark.read.parquet(self.paths.prefixes)
+
+    # ------------------------------------------------------------------
+    def _token_stats(self, tokens: set[str]) -> dict[str, int]:
+        """df per token for the query batch's tokens (an IN-list
+        filter pushed into the token-sorted dictionary parquet ≙ the
+        reference's existence probe, addok/helpers/text.py:61-63)."""
+        if not tokens:
+            return {}
+        rows = (
+            self.dictionary.filter(F.col("token").isin(list(tokens)))
+            .select("token", "df")
+            .collect()
+        )
+        return {r["token"]: r["df"] for r in rows}
+
+    def _prefix_expansions(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete expansion: full tokens under this edge n-gram,
+        highest-df first (≙ order_by_frequency.lua); (token, df)."""
+        rows = (
+            self.prefixes.filter(F.col("prefix") == prefix)
+            .orderBy(F.desc("df"), F.asc("token"))
+            .limit(limit)
+            .collect()
+        )
+        return [(r["token"], r["df"]) for r in rows]
+
+    def _fuzzy_expansions(self, token: str) -> list[tuple[str, int]]:
+        """Edit-1 neighbors present in the dictionary, in generation
+        order (≙ addok/fuzzy.py:100 `neighbors.index` ordering);
+        returns (token, df) pairs."""
+        neighbors = make_fuzzy_str(token)
+        present = self._token_stats(set(neighbors))
+        return [(n, present[n]) for n in neighbors if present.get(n, 0) > 0][:8]
+
+    # ------------------------------------------------------------------
+    def _plan_queries(self, queries: list[Query]) -> dict[str, _QState]:
+        cfg = self.cfg
+        states: dict[str, _QState] = {}
+        all_tokens: set[str] = set()
+        analyzed: dict[str, list[str]] = {}
+        for q in queries:
+            if len(q.q) > cfg.query_max_length:
+                raise ValueError(f"query too long ({len(q.q)} > {cfg.query_max_length})")
+            toks = analyze_str(q.q, cfg.synonyms)
+            # order-preserving dedup (zinterstore collapses dup keys)
+            seen: set[str] = set()
+            toks = [t for t in toks if not (t in seen or seen.add(t))]
+            analyzed[q.qid] = toks
+            all_tokens.update(toks)
+        stats = self._token_stats(all_tokens)
+
+        for q in queries:
+            toks = analyzed[q.qid]
+            groups: dict[int, list[str]] = {}
+            meaningful: list[tuple[int, int, str]] = []  # (df, gid, token)
+            for gid, tok in enumerate(toks):
+                df = stats.get(tok, 0)
+                last = gid == len(toks) - 1
+                if df == 0 or (q.autocomplete and last):
+                    exp: list[tuple[str, int]] = [(tok, df)] if df > 0 else []
+                    have = {t for t, _ in exp}
+                    if q.autocomplete and last:
+                        exp += [
+                            td for td in self._prefix_expansions(tok)
+                            if td[0] not in have
+                        ]
+                    if not exp:
+                        exp = self._fuzzy_expansions(tok)
+                    if exp:
+                        groups[gid] = [t for t, _ in exp]
+                        dfm = min(d for _, d in exp)
+                        meaningful.append((dfm, gid, tok))
+                    # else: token unmatched anywhere → dropped
+                    # (≙ not_found, addok/helpers/search.py:28-46)
+                elif df > cfg.common_threshold:
+                    groups[gid] = [tok]  # common: excluded from round 1
+                else:
+                    groups[gid] = [tok]
+                    meaningful.append((df, gid, tok))
+            meaningful.sort(key=lambda x: (x[0], x[2]))
+            states[q.qid] = _QState(
+                query=q,
+                groups=groups,
+                meaningful_order=[gid for _, gid, _ in meaningful[: cfg.max_meaningful]],
+            )
+        # refresh stats for expansion tokens introduced above
+        return states
+
+    # ------------------------------------------------------------------
+    def _run_round(self, plan: pd.DataFrame, topn: int) -> pd.DataFrame:
+        """One collection round: conjunctive group match + Σboost
+        top-n per qid. plan columns: qid, gid, token, n_required."""
+        spark = self.spark
+        plan_df = F.broadcast(spark.createDataFrame(plan))
+        hits = self.blocks.join(plan_df, "token")
+        # bucket pruning before unpack: every group must appear in the
+        # bucket (block-max-style skipping without decoding)
+        buck = (
+            hits.groupBy("qid", "bucket")
+            .agg(F.countDistinct("gid").alias("ng"), F.first("n_required").alias("nr"))
+            .filter(F.col("ng") >= F.col("nr"))
+            .select("qid", "bucket")
+        )
+        pruned = hits.join(buck, ["qid", "bucket"], "left_semi")
+        postings = pruned.select(
+            "qid",
+            "gid",
+            "n_required",
+            F.explode(_unpack_block("docs_bin", "tfs_bin", "boosts_bin")).alias("p"),
+        ).select("qid", "gid", "n_required", "p.doc_index", "p.boost")
+        # group-level: a doc matches a group if it matches ANY expansion
+        per_group = postings.groupBy("qid", "gid", "doc_index").agg(
+            F.max("boost").alias("gboost"), F.first("n_required").alias("nr")
+        )
+        per_doc = (
+            per_group.groupBy("qid", "doc_index")
+            .agg(
+                F.count(F.lit(1)).alias("nmatch"),
+                F.first("nr").alias("nr"),
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("gid", "gboost"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["gboost"].cast("double"),
+                ).alias("prescore"),
+            )
+            .filter(F.col("nmatch") >= F.col("nr"))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("prescore"), F.asc("doc_index")
+        )
+        top = (
+            per_doc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= topn)
+            .select("qid", "doc_index", "rn")
+        )
+        return top.toPandas()
+
+    # ------------------------------------------------------------------
+    def search(self, queries: list[Query]) -> DataFrame:
+        """Batched search: returns DataFrame (qid, rank, conv_id,
+        turn_idx, role, tool, text, score, importance)."""
+        cfg = self.cfg
+        states = self._plan_queries(queries)
+
+        def round_plan(round_no: int) -> pd.DataFrame:
+            rows = []
+            for qid, st in states.items():
+                if st.done:
+                    continue
+                order = st.meaningful_order
+                if round_no == 1:
+                    gids = order
+                elif round_no == 2:
+                    # commons fallback / expansions are already in
+                    # groups; retry including common tokens if there
+                    # were no meaningful ones (≙ only_commons,
+                    # collectors.py:20-65)
+                    gids = order if order else sorted(st.groups)
+                elif round_no == 3 and len(order) > 1:
+                    gids = order[:-1]  # drop highest-df
+                elif round_no == 4 and len(order) > 2:
+                    gids = order[:-2]
+                else:
+                    continue
+                if not gids:
+                    continue
+                for gid in gids:
+                    for tok in st.groups[gid]:
+                        rows.append((qid, gid, tok, len(gids)))
+            return pd.DataFrame(rows, columns=["qid", "gid", "token", "n_required"])
+
+        for round_no in (1, 2, 3, 4):
+            plan = round_plan(round_no)
+            if plan.empty:
+                continue
+            got = self._run_round(plan, cfg.bucket_max)
+            for qid, grp in got.groupby("qid"):
+                st = states[qid]
+                room = cfg.bucket_max - len(st.candidates)
+                ordered = grp.sort_values("rn")["doc_index"]
+                st.candidates.update(ordered.head(room).tolist())
+                if len(st.candidates) >= cfg.bucket_min:
+                    st.done = True
+            if all(st.done for st in states.values()):
+                break
+
+        return self._score(states)
+
+    # ------------------------------------------------------------------
+    def _score(self, states: dict[str, _QState]) -> DataFrame:
+        """Score every candidate against the FULL query token groups
+        with BM25 + deterministic tie-break, take top-k per query."""
+        spark = self.spark
+        meta = self.meta
+        n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+        k1, b = meta["bm25_k1"], meta["bm25_b"]
+
+        cand_rows = [
+            (st.query.qid, int(d), st.query.k)
+            for st in states.values()
+            for d in sorted(st.candidates)
+        ]
+        tok_rows = [
+            (st.query.qid, gid, tok)
+            for st in states.values()
+            for gid, toks in sorted(st.groups.items())
+            for tok in toks
+        ]
+        if not cand_rows:
+            return spark.createDataFrame(
+                [], "qid string, rank int, conv_id string, turn_idx int, role string,"
+                " tool string, text string, score double, importance double"
+            )
+        cand = F.broadcast(
+            spark.createDataFrame(cand_rows, "qid string, doc_index long, k int")
+        )
+        qtoks = F.broadcast(
+            spark.createDataFrame(tok_rows, "qid string, gid int, token string")
+        )
+
+        # restrict posting blocks to query tokens AND candidate doc-range
+        # buckets before unpacking (candidates ≤ BUCKET_MAX per query, so
+        # this skips nearly all blocks of common tokens)
+        bits = meta["doc_bucket_bits"]
+        cbuckets = F.broadcast(
+            spark.createDataFrame(
+                sorted({(qid, d >> bits) for qid, d, _ in cand_rows}),
+                "qid string, bucket long",
+            )
+        )
+        hits = self.blocks.join(qtoks, "token").join(
+            cbuckets, ["qid", "bucket"], "left_semi"
+        )
+        postings = hits.select(
+            "qid",
+            "gid",
+            "token",
+            F.explode(_unpack_block("docs_bin", "tfs_bin", "boosts_bin")).alias("p"),
+        ).select("qid", "gid", "token", "p.doc_index", "p.tf", "p.boost")
+        postings = postings.join(cand, ["qid", "doc_index"], "inner")
+
+        # group-level tf: expansions of one query token sum their tf
+        # (BM25F-style synonym handling); df for idf = df of the
+        # matched token (min over matched expansions for determinism)
+        dstats = self.dictionary.select("token", "df")
+        postings = postings.join(F.broadcast(
+            dstats.join(qtoks.select("token").distinct(), "token", "left_semi")
+        ), "token")
+        per_group = postings.groupBy("qid", "doc_index", "gid").agg(
+            F.sum("tf").alias("tf"),
+            F.min("df").alias("df"),
+            F.max("boost").alias("gboost"),
+            F.first("k").alias("k"),
+        )
+        dl = self.docs.select("doc_index", "dl", "conv_id", "turn_idx", "role",
+                              "tool", "text", "importance")
+        scored = per_group.join(dl, "doc_index")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        tfn = (
+            F.col("tf").cast("double")
+            * (k1 + 1.0)
+            / (
+                F.col("tf").cast("double")
+                + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
+            )
+        )
+        scored = scored.withColumn("term_score", idf * tfn)
+        per_doc = scored.groupBy("qid", "doc_index").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("gid", "term_score"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term_score"],
+            ).alias("score"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("gid", "gboost"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["gboost"].cast("double"),
+            ).alias("boost"),
+            F.first("k").alias("k"),
+            F.first("conv_id").alias("conv_id"),
+            F.first("turn_idx").alias("turn_idx"),
+            F.first("role").alias("role"),
+            F.first("tool").alias("tool"),
+            F.first("text").alias("text"),
+            F.first("importance").alias("importance"),
+        )
+        # optional filters (≙ f| sets → predicate, addok/core.py:208-248)
+        fexprs = []
+        for st in states.values():
+            for col, vals in (st.query.filters or {}).items():
+                fexprs.append(
+                    (F.col("qid") != st.query.qid) | F.col(col).isin(vals)
+                )
+        for e in fexprs:
+            per_doc = per_doc.filter(e)
+
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"),
+            F.desc("boost"),
+            F.desc("importance"),
+            F.asc("doc_index"),
+        )
+        return (
+            per_doc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select(
+                "qid", "rank", "conv_id", "turn_idx", "role", "tool",
+                "text", "score", "importance", "doc_index",
+            )
+            .orderBy("qid", "rank")
+        )

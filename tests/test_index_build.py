@@ -1,0 +1,157 @@
+"""Golden posting-table state tests (analog of the reference's exact
+Redis-keyspace assertions, ``tests/test_index_utils.py:49-116``) plus
+codec round-trips and resume behavior."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from addok_spark.config import EngineConfig, FieldSpec
+from addok_spark.index.build import build_index
+from addok_spark.index.compress import (
+    pack_deltas,
+    unpack_deltas,
+    varint_decode,
+    varint_encode,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return EngineConfig(
+        fields=(FieldSpec("text", 1.0), FieldSpec("tool", 4.0)),
+        build_partitions=4,
+        doc_bucket_bits=2,      # tiny buckets to exercise blocking
+        posting_block_size=2,   # force multi-block posting lists
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [
+        ("conv-a", 0, "user", "rue des Lilas", None, 0.5),
+        ("conv-a", 1, "assistant", "rue des Lilas lilas", "grep", 0.5),
+        ("conv-b", 0, "user", "avenue des Champs", None, 0.25),
+        ("conv-b", 1, "tool", "rue du Général", "bash", 0.25),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double"
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_corpus, tiny_cfg, tmp_index_root):
+    out = str(Path(tmp_index_root) / "tiny")
+    return build_index(spark, tiny_corpus, tiny_cfg, out)
+
+
+def test_codec_roundtrip():
+    rng = np.random.Generator(np.random.PCG64(3))
+    v = np.sort(rng.integers(0, 2**50, size=5000).astype(np.uint64))
+    assert np.array_equal(unpack_deltas(pack_deltas(v)), v)
+    raw = rng.integers(0, 2**63, size=777).astype(np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(raw)), raw)
+
+
+def test_doc_ids_dense_and_ordered(spark, built):
+    docs = spark.read.parquet(built.docs).orderBy("doc_index").collect()
+    ids = [r["doc_index"] for r in docs]
+    assert ids == list(range(4))
+    keys = [(r["conv_id"], r["turn_idx"]) for r in docs]
+    assert keys == sorted(keys)  # stable (conv_id, turn_idx) ordering
+
+
+def test_text_roundtrip_equality(spark, built, tiny_corpus):
+    """Per-turn text equality under stable ordering (input_hint)."""
+    orig = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in tiny_corpus.collect()
+    }
+    stored = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in spark.read.parquet(built.docs).collect()
+    }
+    assert orig == stored
+
+
+def test_golden_posting_state(spark, built, tiny_cfg):
+    """Exact posting rows ≙ exact Redis keyspace (boost formula
+    DEFAULT_BOOST/len(tokens)*field_boost + importance*0.1,
+    index_utils tests' `zscore == 4/5` analog)."""
+    dictionary = {
+        r["token"]: r
+        for r in spark.read.parquet(built.dictionary).collect()
+    }
+    # 'rue' appears in docs 0,1,3 → df=3
+    assert dictionary["rue"]["df"] == 3
+    assert dictionary["lilas"]["df"] == 2
+    assert dictionary["lilas"]["cf"] == 3  # tf 1 + tf 2
+    assert dictionary["lilas"]["max_tf"] == 2
+    # 'lilas' boosts: doc0 "rue des Lilas" (3 toks) → 1/3 + 0.5*0.1;
+    # doc1 (4 toks) → 1/4 + 0.05; max = doc0's (shorter field boosts
+    # more, addok/helpers/index.py:30-37)
+    expected = np.float32(1.0 / 3 + 0.05)
+    assert dictionary["lilas"]["max_boost"] == pytest.approx(float(expected))
+    # tool field boost: 'grep' = 1/1*4 + 0.05
+    assert dictionary["grep"]["max_boost"] == pytest.approx(
+        float(np.float32(4.0 + 0.05))
+    )
+
+
+def test_blocks_pack_and_split(spark, built, tiny_cfg):
+    from addok_spark.index.compress import unpack_deltas as und, varint_decode as vd
+
+    blocks = spark.read.parquet(built.blocks).filter(F.col("token") == "rue")
+    rows = blocks.orderBy("bucket", "block_id").collect()
+    all_docs = []
+    for r in rows:
+        docs = und(bytes(r["docs_bin"])).astype(int).tolist()
+        assert r["n"] == len(docs)
+        assert r["min_doc"] == docs[0] and r["max_doc"] == docs[-1]
+        assert len(docs) <= tiny_cfg.posting_block_size
+        all_docs += docs
+    assert all_docs == sorted(all_docs) == [0, 1, 3]
+
+
+def test_dl_and_meta(spark, built):
+    meta = json.loads(built.meta.read_text())
+    assert meta["n_docs"] == 4
+    docs = {r["doc_index"]: r["dl"] for r in spark.read.parquet(built.docs).collect()}
+    # doc 1: 4 text tokens + 1 tool token
+    assert docs[1] == 5
+    assert meta["avgdl"] == pytest.approx(sum(docs.values()) / 4)
+
+
+def test_prefix_table(spark, built):
+    pfx = spark.read.parquet(built.prefixes)
+    got = {
+        (r["prefix"], r["token"])
+        for r in pfx.filter(F.col("token") == "lilas").collect()
+    }
+    assert got == {("lil", "lilas"), ("lila", "lilas")}
+    # digit tokens excluded
+    assert pfx.filter(F.col("token").rlike("^[0-9]+$")).count() == 0
+
+
+def test_pairs_table(spark, built):
+    pairs = {
+        (r["token_a"], r["token_b"])
+        for r in spark.read.parquet(built.pairs).collect()
+    }
+    assert ("des", "rue") in pairs or ("rue", "des") in pairs
+    for a, b in pairs:
+        assert a < b  # canonical ordering, no dup orientation
+
+
+def test_resume_skips_completed_stages(spark, tiny_corpus, tiny_cfg, built):
+    manifest = json.loads(built.manifest.read_text())
+    before = manifest["stages"]["blocks"]
+    # rebuild with resume=True → stage untouched
+    build_index(spark, tiny_corpus, tiny_cfg, str(built.root), resume=True)
+    after = json.loads(built.manifest.read_text())["stages"]["blocks"]
+    assert before == after

@@ -1,0 +1,110 @@
+"""End-to-end rank-identity tests: the Spark engine's top-k docIDs and
+BM25 scores must match the pure-Python oracle rank-identically over
+the synthetic transcripts corpus and the reference query set
+(north_rule; mirrors the reference's behavioral search suite,
+``/root/reference/tests/test_search.py``)."""
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from addok_spark.config import EngineConfig, FieldSpec
+from addok_spark.data.transcripts import (
+    reference_queries,
+    transcripts_df,
+    transcripts_pdf,
+)
+from addok_spark.index.build import build_index
+from addok_spark.oracle.bm25_oracle import OracleIndex, oracle_search
+from addok_spark.query.engine import Query, SearchEngine
+
+N_CONVS = 40
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return EngineConfig(
+        build_partitions=8,
+        doc_bucket_bits=8,
+        posting_block_size=64,
+        common_threshold=400,  # scaled-down COMMON_THRESHOLD for ~1.6k docs
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return transcripts_pdf(N_CONVS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def index_paths(spark, cfg, tmp_index_root, corpus_pdf):
+    sdf = transcripts_df(spark, N_CONVS, seed=42)
+    # determinism: distributed generation must equal local generation
+    got = sdf.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = corpus_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(got["text"], want["text"])
+    out = str(Path(tmp_index_root) / "engine_test")
+    return build_index(spark, sdf, cfg, out)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, cfg, index_paths):
+    return SearchEngine(spark, index_paths, cfg)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf, cfg):
+    return OracleIndex(corpus_pdf, cfg)
+
+
+def _queries(corpus_pdf):
+    qdf = reference_queries(corpus_pdf, n=36, seed=7)
+    out = []
+    for r in qdf.itertuples(index=False):
+        out.append(Query(qid=r.qid, q=r.q, k=int(r.k),
+                         autocomplete=(r.kind == "prefix")))
+    return out
+
+
+def test_rank_identity_reference_query_set(engine, oracle, corpus_pdf, cfg):
+    queries = _queries(corpus_pdf)
+    got = engine.search(queries).toPandas()
+    want = oracle_search(oracle, queries, cfg)
+
+    got_g = {qid: g.sort_values("rank") for qid, g in got.groupby("qid")}
+    want_g = {qid: g.sort_values("rank") for qid, g in want.groupby("qid")}
+    assert set(got_g) == set(want_g), "queries answered differ"
+    n_nonempty = 0
+    for qid in sorted(want_g):
+        g, w = got_g[qid], want_g[qid]
+        assert list(g["doc_index"]) == list(w["doc_index"]), (
+            f"{qid}: rank mismatch\nspark=\n{g}\noracle=\n{w}"
+        )
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), w["score"].to_numpy(), rtol=1e-9,
+            err_msg=f"{qid}: BM25 scores differ",
+        )
+        n_nonempty += 1
+    assert n_nonempty >= 25  # the query set must actually exercise the engine
+
+
+def test_filters(engine, oracle, corpus_pdf, cfg):
+    """Role filter ≙ addok f| filter sets (core.py:208-248)."""
+    words = corpus_pdf["text"].iloc[0].split()[:2]
+    q = Query(qid="qf-1", q=" ".join(words), k=10, filters={"role": ["user"]})
+    got = engine.search([q]).toPandas()
+    want = oracle_search(oracle, [q], cfg)
+    assert list(got["doc_index"]) == list(want["doc_index"])
+    assert set(got["role"]) <= {"user"}
+
+
+def test_empty_and_notfound(engine, cfg):
+    out = engine.search([Query(qid="qx", q="zzzz qqqq xxxx", k=5)]).toPandas()
+    assert len(out) == 0 or set(out["qid"]) == {"qx"}
+
+
+def test_query_too_long(engine, cfg):
+    with pytest.raises(ValueError):
+        engine.search([Query(qid="qlong", q="x " * 200, k=5)])
