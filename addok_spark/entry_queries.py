@@ -1,0 +1,661 @@
+"""Registry wiring SURVEY.md §2 operators to the driver contract.
+
+Each entry pairs a Spark implementation (over the driver's testdata
+parquet tables) with an equivalent ANSI-SQL oracle string runnable by
+DuckDB on the same tables. Column names and value rounding are kept
+IDENTICAL on both sides (the driver hash-compares values after
+sorting columns by name).
+
+Tokenizer used for oracle-checkable queries: ``lower`` +
+``[a-z0-9]+`` split — exactly expressible in both engines. (The full
+unicode-folding analyzer is exercised by the pytest golden tests and
+the transcripts rank-identity oracle instead; DuckDB's
+``strip_accents`` diverges from the reference's folding on ligatures,
+so it cannot serve as that oracle.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .pipelines import ann, dedup, textstats
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+SQL_TOKENS = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),"
+    " '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(dedup.tokens_col(F.col("text"))).alias("token")
+    )
+
+
+BM25_QUERY_TOKENS = ["data", "table", "query"]
+K1, B = 1.2, 0.75
+
+# ---------------------------------------------------------------------------
+# fulltext core (SURVEY.md §2.2-2.5)
+# ---------------------------------------------------------------------------
+
+def q_tokenize_tf(spark, sf_dir):
+    """T1/B2: tokenize + per-(doc,token) term frequency."""
+    return (
+        _tok(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+SQL_TOKENIZE_TF = f"""
+WITH tok AS ({SQL_TOKENS})
+SELECT doc_id, token, count(*)::bigint AS tf FROM tok GROUP BY doc_id, token
+"""
+
+
+def q_token_dictionary(spark, sf_dir):
+    """B10/§2.6: token dictionary (df = ZCARD analog, cf)."""
+    return (
+        q_tokenize_tf(spark, sf_dir)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.max("tf").cast("long").alias("max_tf"),
+        )
+    )
+
+
+SQL_TOKEN_DICTIONARY = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok GROUP BY doc_id, token)
+SELECT token, count(*)::bigint AS df, sum(tf)::bigint AS cf, max(tf)::bigint AS max_tf
+FROM tf GROUP BY token
+"""
+
+
+def q_postings_topk(spark, sf_dir):
+    """R12: top-3 postings per token by (tf desc, doc_id asc) — the
+    score-ordered posting read (ZREVRANGE analog)."""
+    tf = q_tokenize_tf(spark, sf_dir)
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("token", "doc_id", "tf", "rn")
+    )
+
+
+SQL_POSTINGS_TOPK = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok GROUP BY doc_id, token),
+r AS (SELECT token, doc_id, tf,
+       row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id)::bigint AS rn
+      FROM tf)
+SELECT token, doc_id, tf, rn FROM r WHERE rn <= 3
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Flagship: BM25 top-10 for a fixed query (Q1+R9/R10 as one
+    declarative plan: posting join → idf/tf-norm → top-k)."""
+    tok = _tok(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(BM25_QUERY_TOKENS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    terms = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "ts",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (
+                F.col("tf") * F.lit(K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+                )
+            ),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("ts"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH tok AS ({SQL_TOKENS}),
+dl AS (SELECT doc_id, count(*)::bigint AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::double AS n_docs, avg(dl)::double AS avgdl FROM dl),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok
+       WHERE token IN ('data','table','query') GROUP BY doc_id, token),
+df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token),
+terms AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)) AS ts
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(sum(ts), 6) AS score, count(*)::bigint AS n_terms
+FROM terms GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_conjunctive_intersect(spark, sf_dir):
+    """Q1/Q2: k-way posting intersection as equi-join + count==k."""
+    toks = ["table", "join"]
+    tok = _tok(spark, sf_dir).filter(F.col("token").isin(toks))
+    return (
+        tok.dropDuplicates(["doc_id", "token"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+        .filter(F.col("n_match") == len(toks))
+    )
+
+
+SQL_CONJUNCTIVE = f"""
+WITH tok AS ({SQL_TOKENS}),
+d AS (SELECT DISTINCT doc_id, token FROM tok WHERE token IN ('table','join'))
+SELECT doc_id, count(*)::bigint AS n_match FROM d GROUP BY doc_id
+HAVING count(*) = 2
+"""
+
+
+def q_edge_ngrams(spark, sf_dir):
+    toks = _tok(spark, sf_dir).select("token").distinct().filter(
+        F.length("token") >= 4
+    )
+    return toks.select(
+        "token",
+        F.explode(
+            F.expr(
+                "transform(sequence(3, least(length(token) - 1, 8)),"
+                " i -> substring(token, 1, i))"
+            )
+        ).alias("prefix"),
+    ).select("prefix", "token")
+
+
+SQL_EDGE_NGRAMS = f"""
+WITH tok AS ({SQL_TOKENS}),
+d AS (SELECT DISTINCT token FROM tok WHERE length(token) >= 4)
+SELECT substr(token, 1, i) AS prefix, token
+FROM (SELECT token, unnest(range(3, least(length(token) - 1, 8) + 1)) AS i FROM d)
+"""
+
+
+def q_autocomplete_candidates(spark, sf_dir):
+    """Q15: prefix → candidate tokens ordered by df (the
+    order_by_frequency.lua analog), prefix 'qu'... use 'sc'."""
+    d = q_token_dictionary(spark, sf_dir)
+    return (
+        d.filter(F.col("token").startswith("s"))
+        .select("token", "df")
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_AUTOCOMPLETE = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+d AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token)
+SELECT token, df FROM d WHERE token LIKE 's%'
+ORDER BY df DESC, token LIMIT 20
+"""
+
+
+def q_fuzzy_levenshtein(spark, sf_dir):
+    """T13/Q14: fuzzy candidate pruning — dictionary tokens within
+    edit distance 1 of a typo'd query token."""
+    d = q_token_dictionary(spark, sf_dir).select("token", "df")
+    return (
+        d.withColumn("dist", F.levenshtein(F.col("token"), F.lit("tabel")).cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("token", "df", "dist")
+    )
+
+
+SQL_FUZZY = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+d AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token)
+SELECT token, df, levenshtein(token, 'tabel')::bigint AS dist
+FROM d WHERE levenshtein(token, 'tabel') <= 1
+"""
+
+
+def q_cooccurrence_pairs(spark, sf_dir):
+    """B5/Q13: token co-occurrence pairs (pair index), rare tokens
+    only (df bounds ≙ PairsIndexer skipping commons)."""
+    tf = q_tokenize_tf(spark, sf_dir)
+    d = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rare = d.filter((F.col("df") >= 3) & (F.col("df") <= 50)).select("token")
+    t = tf.join(rare, "token", "left_semi").select("doc_id", "token").distinct()
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("token_a"), F.col("b.token").alias("token_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+    )
+
+
+SQL_COOCCURRENCE = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+d AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+rare AS (SELECT token FROM d WHERE df BETWEEN 3 AND 50),
+t AS (SELECT DISTINCT doc_id, token FROM tf WHERE token IN (SELECT token FROM rare))
+SELECT a.token AS token_a, b.token AS token_b, count(*)::bigint AS n_docs
+FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+def q_char_trigrams(spark, sf_dir):
+    toks = _tok(spark, sf_dir).select("token").distinct().filter(
+        F.length("token") >= 4
+    )
+    return toks.select(
+        "token",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token)),"
+                " i -> substring(concat(' ', token, ' '), i, 3))"
+            )
+        ).alias("trigram"),
+    ).select("trigram", "token")
+
+
+SQL_CHAR_TRIGRAMS = f"""
+WITH tok AS ({SQL_TOKENS}),
+d AS (SELECT DISTINCT token FROM tok WHERE length(token) >= 4)
+SELECT substr(' ' || token || ' ', i, 3) AS trigram, token
+FROM (SELECT token, unnest(range(1, length(token) + 1)) AS i FROM d)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text-analysis (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash
+  FROM documents)
+SELECT text_hash, count(*)::bigint AS n_dups, min(doc_id) AS canonical_id
+FROM h GROUP BY text_hash HAVING count(*) > 1
+"""
+
+SQL_SHINGLES = """
+t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> '') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id AS id,
+        array_to_string(list_slice(ts, i + 1, i + 3), ' ') AS shingle
+       FROM (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 3, 0) + 1)) AS i FROM t)
+       WHERE array_to_string(list_slice(ts, i + 1, i + 3), ' ') <> '')
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.1
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT id, count(*)::bigint AS set_size FROM sh GROUP BY id),
+rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle)
+         WHERE sdf <= 1000),
+shr AS (SELECT * FROM sh WHERE shingle IN (SELECT shingle FROM rare)),
+common AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::bigint AS n_common
+           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+       round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = common.id_a
+JOIN sizes sb ON sb.id = common.id_b
+WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.1
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(
+        _docs(spark, sf_dir), "doc_id", "text", n_hashes=8, k=3
+    )
+
+
+SQL_MINHASH = f"""
+WITH {SQL_SHINGLES},
+h AS (SELECT id, hid,
+        ('0x' || substr(md5(hid::varchar || '|' || shingle), 1, 12))::bigint AS hv
+      FROM sh, (SELECT unnest(range(0, 8)) AS hid))
+SELECT id, hid::int AS hash_id, min(hv) AS minhash FROM h GROUP BY id, hid
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=16)
+
+
+SQL_SIMHASH = """
+WITH t AS (SELECT doc_id AS id,
+  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT id, token, count(*)::bigint AS tf FROM t GROUP BY id, token),
+h AS (SELECT id, tf, ('0x' || substr(md5(token), 1, 12))::bigint AS hv FROM tf),
+bits AS (SELECT id, tf, hv, unnest(range(0, 16)) AS bit FROM h),
+votes AS (SELECT id, bit, sum((((hv >> bit::int) & 1) * 2 - 1) * tf)::bigint AS v
+          FROM bits GROUP BY id, bit)
+SELECT id, sum(CASE WHEN v > 0 THEN (1::bigint << bit::int) ELSE 0 END)::bigint AS simhash
+FROM votes GROUP BY id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.language_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _sql_raw_ratio(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(ts, x -> list_contains([{lst}], x)))"
+        f" / greatest(len(ts), 1)"
+    )
+
+
+def _sql_ratio(words: list[str]) -> str:
+    return f"round({_sql_raw_ratio(words)}, 6)"
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id AS id,
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents),
+r AS (SELECT id,
+  {_sql_ratio(textstats.STOPWORDS['de'])} AS ratio_de,
+  {_sql_ratio(textstats.STOPWORDS['en'])} AS ratio_en,
+  {_sql_ratio(textstats.STOPWORDS['fr'])} AS ratio_fr
+  FROM t)
+SELECT id, ratio_de, ratio_en, ratio_fr,
+  CASE WHEN ratio_de = greatest(ratio_de, ratio_en, ratio_fr) AND greatest(ratio_de, ratio_en, ratio_fr) > 0.05 THEN 'de'
+       WHEN ratio_en = greatest(ratio_de, ratio_en, ratio_fr) AND greatest(ratio_de, ratio_en, ratio_fr) > 0.05 THEN 'en'
+       WHEN ratio_fr = greatest(ratio_de, ratio_en, ratio_fr) AND greatest(ratio_de, ratio_en, ratio_fr) > 0.05 THEN 'fr'
+       ELSE 'unknown' END AS pred_lang
+FROM r
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_QUALITY = f"""
+WITH t AS (SELECT doc_id AS id, text,
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents),
+m AS (SELECT id,
+  length(text)::int AS n_chars,
+  len(ts)::int AS n_tokens,
+  list_sum(list_transform(ts, x -> length(x)::double))
+        / greatest(len(ts), 1) AS avg_token_len,
+  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+        / greatest(length(text), 1) AS punct_ratio,
+  len(list_filter(ts, x -> regexp_full_match(x, '[0-9]+')))
+        / greatest(len(ts), 1) AS digit_ratio,
+  {_sql_raw_ratio(textstats.STOPWORDS['en'])} AS stopword_ratio
+  FROM t)
+SELECT id, n_chars, n_tokens, round(avg_token_len, 6) AS avg_token_len,
+  round(punct_ratio, 6) AS punct_ratio, round(digit_ratio, 6) AS digit_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+    (1.0 - punct_ratio) * 0.4 + (1.0 - digit_ratio) * 0.3 + stopword_ratio * 0.3
+  END, 6) AS quality
+FROM m
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id AS id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::int AS n_ws_tokens,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::int AS n_word_tokens,
+  ceil(length(text) / 4.0)::bigint AS n_bpe_est
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+SQL_FINGERPRINT = f"""
+WITH {SQL_SHINGLES}
+SELECT id, min(('0x' || substr(md5(shingle), 1, 12))::bigint) AS fingerprint,
+       count(*)::bigint AS n_shingles
+FROM sh GROUP BY id
+"""
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann.cosine_topk(emb, [float(x) for x in qv], "vec_id", "embedding", k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (SELECT e.vec_id, unnest(e.embedding)::double AS x, unnest(q.qv)::double AS y
+      FROM embeddings e, q),
+s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM z GROUP BY vec_id)
+SELECT vec_id AS id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM s ORDER BY cosine DESC, id LIMIT 10
+"""
+
+N_PLANES, EMB_DIM = 6, 64
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucket assignment (the IVF-style partition key for
+    ANN at scale)."""
+    planes = ann.make_planes(N_PLANES, EMB_DIM)
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        ann.sign_bucket_col(F.col("embedding"), planes).cast("long").alias("bucket"),
+    )
+
+
+def _sql_lsh_buckets() -> str:
+    planes = ann.make_planes(N_PLANES, EMB_DIM)
+    rows = ",\n".join(
+        f"({j}, {i}, {w!r})"
+        for j, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""
+WITH planes(j, i, w) AS (VALUES {rows}),
+z AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             unnest(embedding)::double AS x
+      FROM embeddings),
+dots AS (SELECT z.vec_id, p.j, sum(z.x * p.w) AS dot
+         FROM z JOIN planes p ON z.i = p.i GROUP BY z.vec_id, p.j),
+bits AS (SELECT vec_id, CASE WHEN dot > 0 THEN (1::bigint << j::int) ELSE 0 END AS b
+         FROM dots)
+SELECT vec_id AS id, sum(b)::bigint AS bucket FROM bits GROUP BY vec_id
+"""
+
+# ---------------------------------------------------------------------------
+# events (streaming-shaped analytics, batch-checkable)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (the batch equivalent of the
+    streaming readStream→window→agg path in streaming/ingest.py)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT epoch(date_trunc('hour', ts))::bigint AS hour_epoch, event_type,
+       count(*)::bigint AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag window —
+    the batch shape of applyInPandasWithState sessionization."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_s").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH o AS (SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+f AS (SELECT user_id,
+        CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM o)
+SELECT user_id, sum(new_s)::bigint AS n_sessions, count(*)::bigint AS n_events
+FROM f GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tokenize_tf": q_tokenize_tf,
+    "token_dictionary": q_token_dictionary,
+    "postings_topk": q_postings_topk,
+    "bm25_topk": q_bm25_topk,
+    "conjunctive_intersect": q_conjunctive_intersect,
+    "edge_ngrams": q_edge_ngrams,
+    "autocomplete_candidates": q_autocomplete_candidates,
+    "fuzzy_levenshtein": q_fuzzy_levenshtein,
+    "cooccurrence_pairs": q_cooccurrence_pairs,
+    "char_trigrams": q_char_trigrams,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "lsh_buckets": q_lsh_buckets,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLES: dict[str, str] = {
+    "tokenize_tf": SQL_TOKENIZE_TF,
+    "token_dictionary": SQL_TOKEN_DICTIONARY,
+    "postings_topk": SQL_POSTINGS_TOPK,
+    "bm25_topk": SQL_BM25_TOPK,
+    "conjunctive_intersect": SQL_CONJUNCTIVE,
+    "edge_ngrams": SQL_EDGE_NGRAMS,
+    "autocomplete_candidates": SQL_AUTOCOMPLETE,
+    "fuzzy_levenshtein": SQL_FUZZY,
+    "cooccurrence_pairs": SQL_COOCCURRENCE,
+    "char_trigrams": SQL_CHAR_TRIGRAMS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "minhash_signatures": SQL_MINHASH,
+    "simhash": SQL_SIMHASH,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprint": SQL_FINGERPRINT,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "lsh_buckets": _sql_lsh_buckets(),
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+}

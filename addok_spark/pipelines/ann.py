@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; sign-LSH bucketing as
+the scale path (bucket-join instead of cross-join). All column math
+is built-in ``aggregate``/``zip_with`` (JVM, codegen) — no UDF for
+the dot products.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a, b):
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def make_planes(n_planes: int, dim: int, seed: int = 97) -> list[list[float]]:
+    """Deterministic hyperplanes for sign-LSH, shareable with any
+    oracle (values are exact double literals)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # small exact-decimal grid so literals survive SQL round-trips
+    w = rng.integers(-1000, 1001, size=(n_planes, dim)) / 1000.0
+    return [[float(x) for x in row] for row in w]
+
+
+def sign_bucket_col(vec, planes: list[list[float]]):
+    """Bucket id = bitmap of sign(vec · plane_j)."""
+    bits = []
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bits.append(
+            F.when(dot_col(vec, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine to one query vector. One
+    scan, no shuffle except the final TakeOrderedAndProject — the
+    right baseline even at scale (embarrassingly parallel)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign
+    bucket. At scale the bucket column is a partition key, so the
+    probe prunes to one partition (IVF-style)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qbits = 0
+    for j, plane in enumerate(planes):
+        if float(np.dot(np.array(query_vec), np.array(plane))) > 0:
+            qbits |= 1 << j
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        )
+        .filter(F.col("bucket") == qbits)
+        .select("id", F.round(cosine_col(F.col("vec"), q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (JVM/codegen; no Python
+in the hot path) over a generic ``(id_col, text_col)`` table, so they
+apply equally to the ``documents`` test table and to transcripts.
+
+Determinism note: every hash is derived from ``md5`` (bit-identical
+across engines and platforms), never ``xxhash64``/``hash`` whose
+seeds differ between systems — this keeps the operators
+oracle-checkable in DuckDB and rerun-stable across cluster sizes.
+
+Scale notes per operator are in the docstrings; the common theme is
+candidate generation by equi-join on a *bounded* key (hash, band,
+shingle) so no O(n²) comparison ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 48-bit md5 prefix → bigint; enough key space for banding/minhash
+# while staying exactly representable in both Spark and DuckDB.
+def _md5_long(col, nchars: int = 12):
+    return F.conv(F.substring(F.md5(col), 1, nchars), 16, 10).cast("long")
+
+
+def normalize_text(col):
+    """Cheap fold for dedup purposes: lower + squeeze non-alnum to
+    single spaces + trim (≙ alphanumerize, reference text.py:209-210)."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def tokens_col(col):
+    return F.filter(F.split(normalize_text(col), " "), lambda x: x != "")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text. One shuffle on
+    a uniformly distributed key; scales linearly. Returns groups with
+    >1 member and the canonical (min id) representative."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("id").alias("canonical_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) distinct word k-grams. Built with codegen array
+    ops (transform over sequence) — no UDF."""
+    toks = tokens_col(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by word-k-gram Jaccard.
+
+    Candidate generation = equi-join on shingle (only pairs sharing
+    ≥1 shingle are compared — the standard inverted-index trick, no
+    cross join). At 100 TB the shingle join is the skew risk: hot
+    shingles are dropped above a df cap (like common-token pruning,
+    reference default.py:30)."""
+    sh = word_shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    # hot-shingle cap: shingles shared by >1000 docs carry ~0 signal
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf")).filter(
+        F.col("sdf") <= 1000
+    )
+    shr = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    a, b = shr.alias("a"), shr.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signatures: h_i(doc) = min over shingles of
+    md5(i || shingle) (48-bit numeric). One explode + groupBy;
+    map-side combinable (min is algebraic) → scales like a word
+    count. Returns (id, hash_id, minhash)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    hashed = sh.select(
+        "id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_hashes)])
+        ).alias("hash_id"),
+        "shingle",
+    ).select(
+        "id",
+        "hash_id",
+        _md5_long(F.concat_ws("|", F.col("hash_id"), F.col("shingle"))).alias("hv"),
+    )
+    return hashed.groupBy("id", "hash_id").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: signature → bands of n/bands rows; docs
+    colliding in ANY band become candidate pairs. The band-bucket
+    join replaces the O(n²) comparison; band keys are md5-derived so
+    bucket population is uniform (no salt needed)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    banded = (
+        sig.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("minhash")))
+            ).alias("band_key")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per token, take `bits` bits of md5; each
+    bit votes ±1 weighted by tf; fingerprint bit = majority (ties →
+    0, deterministic). Pure explode + groupBy + bit math — codegen."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("hv", _md5_long(F.col("token")))
+    bit_votes = h.select(
+        "id",
+        "tf",
+        F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit"),
+        "hv",
+    ).withColumn(
+        "vote",
+        F.expr("((shiftright(hv, cast(bit as int)) & 1) * 2 - 1) * tf"),
+    )
+    votes = bit_votes.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint),"
+                " cast(bit as int)) ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    plane_weights: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding cosine near-dup with sign-LSH bucketing: docs whose
+    sign patterns over `n_planes` fixed hyperplanes agree land in one
+    bucket; exact cosine is computed only within buckets. Recall is
+    per-bucket (standard LSH trade-off); raise n_planes at scale.
+
+    plane_weights must be provided (deterministic, e.g. seeded numpy)
+    so the same planes are usable by an external oracle."""
+    from .ann import cosine_col, sign_bucket_col
+
+    assert plane_weights is not None, "pass deterministic plane weights"
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket_col(F.col(vec_col), plane_weights).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_col(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, fingerprinting — pure column math (codegen), applicable to
+any (id, text) table at 100 TB scale (single scan, no shuffle except
+where noted)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long, tokens_col, word_shingles
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with", "it", "as"],
+    "fr": ["le", "la", "les", "de", "des", "du", "et", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"],
+}
+
+
+def _raw_ratio_in(toks, words: list[str]):
+    arr = F.array(*[F.lit(w) for w in words])
+    n = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return n / F.greatest(F.size(toks), F.lit(1))
+
+
+def _ratio_in(toks, words: list[str]):
+    return F.round(_raw_ratio_in(toks, words), 6)
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-ratio language heuristic with deterministic tie-break
+    (highest ratio; ties → language code ascending). The n-gram-free
+    analog of fastText-style LID, good enough for corpus routing."""
+    toks = tokens_col(F.col(text_col))
+    out = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"ratio_{lang}", _ratio_in(F.col("toks"), words))
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"ratio_{l}") for l in langs])
+    pred = F.lit("unknown")
+    for l in reversed(langs):  # ascending priority on ties
+        pred = F.when(
+            (F.col(f"ratio_{l}") == best) & (best > 0.05), F.lit(l)
+        ).otherwise(pred)
+    return out.select(
+        "id", *[f"ratio_{l}" for l in langs], pred.alias("pred_lang")
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality heuristics: length, token stats, punctuation
+    / digit / stopword ratios — the standard pre-training filters."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    avg_tok = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    ) / F.greatest(n_chars, F.lit(1)).cast("double")
+    digit_ratio = F.size(
+        F.filter(toks, lambda t: t.rlike("^[0-9]+$"))
+    ) / F.greatest(n_tokens, F.lit(1)).cast("double")
+    stop_ratio = _raw_ratio_in(toks, STOPWORDS["en"])
+    # composite computed from RAW ratios (not the rounded output
+    # columns): rounding decimal-grid intermediates makes the two
+    # engines disagree on values ~1e-17 from a rounding boundary
+    score = F.when(n_tokens < 5, 0.0).otherwise(
+        (1.0 - punct_ratio) * 0.4 + (1.0 - digit_ratio) * 0.3 + stop_ratio * 0.3
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting three ways: whitespace, word-regex, and a
+    BPE-ish subword estimate (chars/4 heuristic — the common
+    budget-estimation shortcut when no tokenizer model is shipped)."""
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(text, "\\s+"), lambda x: x != ""))
+    words = F.size(tokens_col(text))
+    bpe_est = F.ceil(F.length(text) / F.lit(4.0)).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        ws.alias("n_ws_tokens"),
+        words.alias("n_word_tokens"),
+        bpe_est.alias("n_bpe_est"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Document fingerprint: min numeric md5 over word-k-gram
+    shingles (rolling-hash analog, deterministic across engines)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    return sh.groupBy("id").agg(
+        F.min(_md5_long(F.col("shingle"))).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
