@@ -67,6 +67,7 @@ class EngineConfig:
     # ever owns a full hot-token posting list (SURVEY.md §7.4).
     doc_bucket_bits: int = 16      # docs per range-bucket = 2^bits
     posting_block_size: int = 4096  # max postings per stored block row
+    pbucket_shift: int = 6         # buckets per partition dir = 2^shift
     build_partitions: int = 32
 
     @property

@@ -58,6 +58,7 @@ BLOCK_SCHEMA = T.ArrayType(
         [
             T.StructField("block_id", T.IntegerType()),
             T.StructField("n", T.IntegerType()),
+            T.StructField("sum_tf", T.LongType()),
             T.StructField("max_tf", T.IntegerType()),
             T.StructField("max_boost", T.FloatType()),
             T.StructField("min_doc", T.LongType()),
@@ -172,6 +173,7 @@ def _pack_blocks_udf(block_size: int):
                     {
                         "block_id": b,
                         "n": hi - lo,
+                        "sum_tf": int(tfs[lo:hi].sum()),
                         "max_tf": int(tfs[lo:hi].max()),
                         "max_boost": float(boosts[lo:hi].max()),
                         "min_doc": int(docs[lo]),
@@ -186,6 +188,87 @@ def _pack_blocks_udf(block_size: int):
         return pd.Series(out)
 
     return F.pandas_udf(pack, BLOCK_SCHEMA)
+
+
+def tokenize_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """docs (with doc_index, importance, field columns) →
+    (doc_index, token, tf, positions, boost) rows — the reference's
+    extract_tokens + FieldsIndexer weight fold
+    (addok/helpers/index.py:30-37,121-141) as one declarative plan."""
+    analyze = make_analyze_udf(cfg.synonyms)
+    arrays = [
+        analyze(F.col(f.name)).alias(f"__toks_{f.name}")
+        for f in cfg.fields
+        if f.name in docs.columns
+    ]
+    with_toks = docs.select("doc_index", "importance", *arrays)
+    structs = []
+    for f in cfg.fields:
+        c = f"__toks_{f.name}"
+        if c not in with_toks.columns:
+            continue
+        bf = (
+            F.lit(cfg.default_boost)
+            / F.greatest(F.size(F.col(c)), F.lit(1))
+            * F.lit(f.boost)
+        )
+
+        def _mk(bf_col):
+            # single-arg lambda: F.transform treats 2-arg lambdas
+            # as (element, index)
+            return lambda x: F.struct(x.alias("token"), bf_col.alias("fboost"))
+
+        structs.append(F.transform(F.col(c), _mk(bf)))
+    combined = with_toks.select(
+        "doc_index", "importance", F.concat(*structs).alias("toks")
+    )
+    exploded = combined.select(
+        "doc_index", "importance", F.posexplode("toks").alias("pos", "tk")
+    ).select(
+        "doc_index",
+        "importance",
+        F.col("tk.token").alias("token"),
+        F.col("tk.fboost").alias("fboost"),
+        "pos",
+    )
+    return exploded.groupBy("doc_index", "token").agg(
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        (F.max("fboost") + F.first("importance") * cfg.importance_weight)
+        .cast("float")
+        .alias("boost"),
+    )
+
+
+def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(doc_index, token, tf, positions, boost) → packed block rows
+    with pbucket dir-partition column."""
+    bucketed = token_doc.withColumn(
+        "bucket", F.shiftright("doc_index", cfg.doc_bucket_bits)
+    )
+    grouped = bucketed.groupBy("token", "bucket").agg(
+        F.collect_list(
+            F.struct("doc_index", "tf", "boost", "positions")
+        ).alias("plist")
+    )
+    return (
+        grouped.withColumn(
+            "blk", _pack_blocks_udf(cfg.posting_block_size)(F.col("plist"))
+        )
+        .select("token", "bucket", F.explode("blk").alias("b"))
+        .select("token", "bucket", "b.*")
+        .withColumn("pbucket", F.shiftright("bucket", cfg.pbucket_shift))
+    )
+
+
+def dictionary_from_blocks(blocks: DataFrame) -> DataFrame:
+    """Token dictionary as a pure derivation of block metadata."""
+    return blocks.groupBy("token").agg(
+        F.sum("n").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.max("max_boost").alias("max_boost"),
+    )
 
 
 class IndexBuilder:
@@ -213,13 +296,19 @@ class IndexBuilder:
         self.paths.manifest.write_text(json.dumps(m, indent=2))
 
     def _write(self, df: DataFrame, path: str, name: str, sort_by=None,
-               partition_keys: int | None = None) -> None:
+               partition_keys: int | None = None, partition_by: str | None = None) -> None:
         t0 = time.time()
         if sort_by:
             df = df.repartitionByRange(
                 partition_keys or self.cfg.build_partitions, *sort_by
             ).sortWithinPartitions(*sort_by)
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # directory-partitioned layout → incremental maintenance
+            # rewrites only affected pbucket dirs (≙ Iceberg partition
+            # overwrite; see index/incremental.py)
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
         rows = self.spark.read.parquet(path).count()
         dur = time.time() - t0
         # per-snapshot metrics sidecar (north_rule: lineage + counts)
@@ -240,92 +329,38 @@ class IndexBuilder:
             if "importance" not in docs.columns:
                 docs = docs.withColumn("importance", F.lit(0.0))
             docs.persist(StorageLevel.MEMORY_AND_DISK)
-            # token streams per field, positions global across fields
-            # (field order = cfg.fields order)
-            arrays = [
-                analyze(F.col(f.name)).alias(f"__toks_{f.name}")
-                for f in cfg.fields
-                if f.name in docs.columns
-            ]
-            with_toks = docs.select("doc_index", "importance", *arrays)
-            structs = []
-            for f in cfg.fields:
-                c = f"__toks_{f.name}"
-                if c not in with_toks.columns:
-                    continue
-                bf = (
-                    F.lit(cfg.default_boost)
-                    / F.greatest(F.size(F.col(c)), F.lit(1))
-                    * F.lit(f.boost)
-                )
-                def _mk(bf_col):
-                    # single-arg lambda: F.transform treats 2-arg
-                    # lambdas as (element, index)
-                    return lambda x: F.struct(
-                        x.alias("token"), bf_col.alias("fboost")
-                    )
-
-                structs.append(F.transform(F.col(c), _mk(bf)))
-            combined = with_toks.select(
-                "doc_index",
-                "importance",
-                F.concat(*structs).alias("toks"),
-            )
-            exploded = combined.select(
-                "doc_index",
-                "importance",
-                F.posexplode("toks").alias("pos", "tk"),
-            ).select(
-                "doc_index",
-                "importance",
-                F.col("tk.token").alias("token"),
-                F.col("tk.fboost").alias("fboost"),
-                "pos",
-            )
-            token_doc = exploded.groupBy("doc_index", "token").agg(
-                F.count(F.lit(1)).cast("int").alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-                (F.max("fboost") + F.first("importance") * cfg.importance_weight)
-                .cast("float")
-                .alias("boost"),
-            )
+            token_doc = tokenize_docs(docs, cfg)
             token_doc.persist(StorageLevel.MEMORY_AND_DISK)
 
             dl = token_doc.groupBy("doc_index").agg(
                 F.sum("tf").cast("int").alias("dl")
             )
-            docs_out = docs.join(dl, "doc_index", "left").fillna({"dl": 0})
+            docs_out = (
+                docs.join(dl, "doc_index", "left")
+                .fillna({"dl": 0})
+                .withColumn(
+                    "pbucket",
+                    F.shiftright("doc_index", cfg.doc_bucket_bits + cfg.pbucket_shift),
+                )
+            )
             self._write(
-                docs_out, self.paths.docs, "docs", sort_by=["doc_index"]
+                docs_out, self.paths.docs, "docs", sort_by=["doc_index"],
+                partition_by="pbucket",
             )
 
             # --- posting blocks (doc-range bucketing = order-preserving salt)
-            bucketed = token_doc.withColumn(
-                "bucket", F.shiftright("doc_index", cfg.doc_bucket_bits)
-            )
-            grouped = bucketed.groupBy("token", "bucket").agg(
-                F.collect_list(
-                    F.struct("doc_index", "tf", "boost", "positions")
-                ).alias("plist")
-            )
-            blocks = (
-                grouped.withColumn(
-                    "blk", _pack_blocks_udf(cfg.posting_block_size)(F.col("plist"))
-                )
-                .select("token", "bucket", F.explode("blk").alias("b"))
-                .select("token", "bucket", "b.*")
-            )
+            blocks = build_blocks(token_doc, cfg)
             self._write(
-                blocks, self.paths.blocks, "blocks", sort_by=["token", "bucket"]
+                blocks, self.paths.blocks, "blocks", sort_by=["token", "bucket"],
+                partition_by="pbucket",
             )
 
-            # --- dictionary (df/cf/max_tf — BM25 stats ≙ ZCARD + zset max,
-            # addok/helpers/index.py:22-27, lua/order_by_max_score.lua)
-            dictionary = token_doc.groupBy("token").agg(
-                F.count(F.lit(1)).alias("df"),
-                F.sum("tf").alias("cf"),
-                F.max("tf").alias("max_tf"),
-                F.max("boost").alias("max_boost"),
+            # --- dictionary derived purely from block stats (df = Σn,
+            # cf = Σsum_tf; ≙ ZCARD + zset max, addok/helpers/index.py:22-27,
+            # lua/order_by_max_score.lua) — derivable after any
+            # incremental bucket rewrite without re-reading text
+            dictionary = dictionary_from_blocks(
+                self.spark.read.parquet(self.paths.blocks)
             )
             self._write(
                 dictionary, self.paths.dictionary, "dictionary", sort_by=["token"]
@@ -340,6 +375,7 @@ class IndexBuilder:
                 "bm25_k1": cfg.bm25_k1,
                 "bm25_b": cfg.bm25_b,
                 "doc_bucket_bits": cfg.doc_bucket_bits,
+                "pbucket_shift": cfg.pbucket_shift,
                 "posting_block_size": cfg.posting_block_size,
                 "fields": [[f.name, f.boost] for f in cfg.fields],
             }
