@@ -1,0 +1,175 @@
+"""CLI — the spark-submit entry point (≙ the reference's `addok`
+command surface: batch import / ngrams post-pass / search shell /
+bench, ``/root/reference/addok/bin/__init__.py``).
+
+Deploy:
+    zip -r addok_spark.zip addok_spark
+    spark-submit --py-files addok_spark.zip -m addok_spark build ...
+
+Local:
+    python -m addok_spark build  --input corpus.parquet --index /idx
+    python -m addok_spark ngrams --index /idx           # post-pass
+    python -m addok_spark search --index /idx -q "rue des lilas" -k 10
+    python -m addok_spark actions --index /idx --input changes.parquet
+    python -m addok_spark info   --index /idx           # ≙ shell DBINFO
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import build_session
+
+    return build_session(
+        cores=args.cores, shuffle_partitions=None, driver_memory=args.driver_memory
+    )
+
+
+def _cfg(args):
+    from .config import EngineConfig
+
+    kw = {}
+    if getattr(args, "no_side_tables", False):
+        kw.update(build_prefixes=False, build_pairs=False)
+    if getattr(args, "synonyms", None):
+        from .functions.text import load_synonyms
+
+        with open(args.synonyms) as fh:
+            kw["synonyms"] = load_synonyms(fh)
+    return EngineConfig(build_partitions=int(args.cores) * 2 if str(args.cores).isdigit() else 32, **kw)
+
+
+def cmd_build(args) -> None:
+    from .index.build import build_index
+
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.input)
+    paths = build_index(spark, corpus, _cfg(args), args.index, resume=not args.no_resume)
+    print(json.dumps(json.loads(paths.meta.read_text()), indent=2))
+
+
+def cmd_ngrams(args) -> None:
+    """Prefix-table post-pass (≙ `addok ngrams`)."""
+    from .config import EngineConfig
+    from .index.build import IndexBuilder
+
+    spark = _spark(args)
+    cfg = EngineConfig()
+    b = IndexBuilder(spark, cfg, args.index)
+    # force prefix rebuild from current dictionary
+    m = b._manifest()
+    m["stages"].pop("prefixes", None)
+    b.paths.manifest.write_text(json.dumps(m))
+    from pyspark.sql import functions as F
+
+    from .functions.text import edge_ngrams_col
+
+    dictionary = spark.read.parquet(b.paths.dictionary)
+    prefixes = (
+        dictionary.filter(~F.col("token").rlike("^[0-9]+$"))
+        .select(
+            "token",
+            "df",
+            F.explode(
+                edge_ngrams_col("token", cfg.min_edge_ngram, cfg.max_edge_ngram)
+            ).alias("prefix"),
+        )
+        .select("prefix", "token", "df")
+    )
+    b._write(prefixes, b.paths.prefixes, "prefixes", sort_by=["prefix"])
+    print(json.dumps({"prefixes": b.metrics["stages"]["prefixes"]}))
+
+
+def cmd_search(args) -> None:
+    from .query.engine import Query, SearchEngine
+
+    spark = _spark(args)
+    eng = SearchEngine(spark, args.index, _cfg(args))
+    filters = json.loads(args.filters) if args.filters else {}
+    res = eng.search(
+        [Query(qid="cli", q=args.query, k=args.k,
+               autocomplete=args.autocomplete, filters=filters)]
+    ).collect()
+    for r in res:  # GeoJSON-render analog: one JSON object per hit
+        print(json.dumps(
+            {
+                "rank": r["rank"], "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"], "role": r["role"],
+                "tool": r["tool"], "score": r["score"], "text": r["text"],
+            }
+        ))
+
+
+def cmd_actions(args) -> None:
+    from .index.incremental import apply_actions
+
+    spark = _spark(args)
+    changes = spark.read.parquet(args.input)
+    print(json.dumps(apply_actions(spark, args.index, changes, _cfg(args))))
+
+
+def cmd_info(args) -> None:
+    """Index stats (≙ shell DBINFO, addok/shell.py:309-327)."""
+    from pathlib import Path
+
+    spark = _spark(args)
+    meta = json.loads((Path(args.index) / "meta.json").read_text())
+    blocks = spark.read.parquet(str(Path(args.index) / "blocks"))
+    from pyspark.sql import functions as F
+
+    agg = blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("n").alias("n_postings"),
+        F.countDistinct("token").alias("n_tokens"),
+        F.sum(F.length("docs_bin") + F.length("tfs_bin")
+              + F.length("boosts_bin") + F.length("pos_bin")).alias("packed_bytes"),
+    ).collect()[0]
+    print(json.dumps({**meta, **{k: int(agg[k]) for k in agg.asDict()}}, indent=2))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="addok_spark")
+    p.add_argument("--cores", default="*")
+    p.add_argument("--driver-memory", default="16g")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--synonyms")
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--no-side-tables", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    g = sub.add_parser("ngrams")
+    g.add_argument("--index", required=True)
+    g.set_defaults(fn=cmd_ngrams)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("-q", "--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--autocomplete", action="store_true")
+    s.add_argument("--filters", help='JSON, e.g. {"role": ["user"]}')
+    s.add_argument("--synonyms")
+    s.set_defaults(fn=cmd_search)
+
+    a = sub.add_parser("actions")
+    a.add_argument("--input", required=True)
+    a.add_argument("--index", required=True)
+    a.set_defaults(fn=cmd_actions)
+
+    i = sub.add_parser("info")
+    i.add_argument("--index", required=True)
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,7 @@ class EngineConfig:
     bucket_max: int = 100
     common_threshold: int = 10_000
     intersect_limit: int = 100_000
+    scan_limit: int = 500  # manual_scan probe size, lua/manual_scan.lua
     max_meaningful: int = 10  # addok/core.py:274
     match_threshold: float = 0.9  # MATCH_THRESHOLD, default.py:36
     min_score: float = 0.1  # default.py:38
@@ -69,6 +70,11 @@ class EngineConfig:
     posting_block_size: int = 4096  # max postings per stored block row
     pbucket_shift: int = 6         # buckets per partition dir = 2^shift
     build_partitions: int = 32
+    # side-tables deferrable during mass import (≙ the reference
+    # disabling edge-ngram indexing during batch import, batch.py:44;
+    # `addok ngrams` builds it as a post-pass)
+    build_prefixes: bool = True
+    build_pairs: bool = True
 
     @property
     def field_names(self) -> tuple[str, ...]:

@@ -385,6 +385,66 @@ SELECT id, hid::int AS hash_id, min(hv) AS minhash FROM h GROUP BY id, hid
 """
 
 
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {SQL_SHINGLES},
+h AS (SELECT id, hid,
+        ('0x' || substr(md5(hid::varchar || '|' || shingle), 1, 12))::bigint AS hv
+      FROM sh, (SELECT unnest(range(0, 8)) AS hid)),
+sig AS (SELECT id, hid, min(hv) AS minhash FROM h GROUP BY id, hid),
+banded AS (SELECT id, (hid // 2)::int AS band,
+             md5(string_agg(minhash::varchar, ',' ORDER BY minhash)) AS band_key
+           FROM sig GROUP BY id, band)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.id < b.id
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    planes = ann.make_planes(N_PLANES, EMB_DIM)
+    return dedup.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), "vec_id", "embedding",
+        threshold=0.2, n_planes=N_PLANES, plane_weights=planes,
+    )
+
+
+def _sql_embedding_near_dup() -> str:
+    planes = ann.make_planes(N_PLANES, EMB_DIM)
+    rows = ",\n".join(
+        f"({j}, {i}, {w!r})"
+        for j, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""
+WITH planes(j, i, w) AS (VALUES {rows}),
+z AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             unnest(embedding)::double AS x
+      FROM embeddings),
+dots AS (SELECT z.vec_id, p.j, sum(z.x * p.w) AS dot
+         FROM z JOIN planes p ON z.i = p.i GROUP BY z.vec_id, p.j),
+buckets AS (SELECT vec_id AS id,
+              sum(CASE WHEN dot > 0 THEN (1::bigint << j::int) ELSE 0 END)::bigint AS bucket
+            FROM dots GROUP BY vec_id),
+cand AS (SELECT a.id AS id_a, b.id AS id_b
+         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id < b.id),
+zz AS (SELECT c.id_a, c.id_b, unnest(ea.embedding)::double AS x,
+              unnest(eb.embedding)::double AS y
+       FROM cand c
+       JOIN embeddings ea ON ea.vec_id = c.id_a
+       JOIN embeddings eb ON eb.vec_id = c.id_b),
+s AS (SELECT id_a, id_b, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM zz GROUP BY id_a, id_b)
+SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM s WHERE round(dot / (sqrt(nx) * sqrt(ny)), 6) >= 0.2
+"""
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=16)
 
@@ -624,6 +684,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -649,6 +711,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "minhash_signatures": SQL_MINHASH,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "embedding_near_dup": _sql_embedding_near_dup(),
     "simhash": SQL_SIMHASH,
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,

@@ -35,22 +35,20 @@ Weight formula parity: per-field token boost =
 from __future__ import annotations
 
 import json
-import math
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
 
-from pyspark import StorageLevel, TaskContext
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import EngineConfig
-from ..functions.text import edge_ngrams_col, make_analyze_udf
+from ..functions.text import edge_ngrams_col
 from .compress import pack_deltas, pack_f32, varint_encode
 
 BLOCK_SCHEMA = T.ArrayType(
@@ -105,6 +103,20 @@ class IndexPaths:
         return self.root / "manifest.json"
 
 
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (driver-side, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in Path(path).rglob("*.parquet"):
+        try:
+            total += pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            pass
+    return total
+
+
 def assign_doc_ids(df: DataFrame, partitions: int) -> DataFrame:
     """Dense, ordered int64 doc_index by (conv_id, turn_idx).
 
@@ -125,139 +137,330 @@ def assign_doc_ids(df: DataFrame, partitions: int) -> DataFrame:
         .collect()
     )
     sizes = {r["pid"]: r["count"] for r in counts}
-    offsets: dict[int, int] = {}
+    offsets: list[tuple[int, int]] = []
     acc = 0
     for pid in range(max(sizes) + 1 if sizes else 0):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += sizes.get(pid, 0)
     spark = df.sparkSession
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = T.StructType(
-        sdf.schema.fields + [T.StructField("doc_index", T.LongType(), False)]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, __offset long")
+    # doc_index computed entirely JVM-side: monotonically_increasing_id
+    # encodes (partition_id << 33) | row-seq-within-partition, so
+    # seq = mid - (pid << 33); no Python crossing in the hot path.
+    with_ids = (
+        sdf.withColumn("pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "doc_index",
+            (F.col("__mid") - F.expr("shiftleft(cast(pid as bigint), 33)"))
+            + F.col("__offset"),
+        )
+        .drop("pid", "__mid", "__offset")
+    )
+    return with_ids, sdf
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _unpack_docs_udf(docs_bin: pd.Series) -> pd.Series:
+    from .compress import unpack_deltas
+
+    return pd.Series(
+        [unpack_deltas(bytes(b)).astype(np.int64).tolist() for b in docs_bin]
     )
 
-    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        seen = b_offsets.value.get(pid, 0)
-        for pdf in batches:
-            pdf = pdf.assign(doc_index=np.arange(seen, seen + len(pdf), dtype=np.int64))
-            seen += len(pdf)
-            yield pdf
 
-    return sdf.mapInPandas(attach, schema=out_schema), sdf
-
-
-def _pack_blocks_udf(block_size: int):
-    """(token,bucket) posting group → packed block rows.
-
-    Input: array<struct<doc_index,tf,boost,positions>>; output: blocks
-    of ≤block_size postings, doc-ordered, with block-max metadata
-    (the block-max WAND layout; max_tf yields a valid BM25 upper
-    bound since the tf-saturation term is monotone in tf)."""
-
-    def pack(plists: pd.Series) -> pd.Series:
-        out = []
-        for plist in plists:
-            rows = sorted(plist, key=lambda r: r["doc_index"])
-            docs = np.array([r["doc_index"] for r in rows], dtype=np.uint64)
-            tfs = np.array([r["tf"] for r in rows], dtype=np.uint64)
-            boosts = np.array([r["boost"] for r in rows], dtype=np.float32)
-            blocks = []
-            for b, lo in enumerate(range(0, len(rows), block_size)):
-                hi = min(lo + block_size, len(rows))
-                pos_bufs = []
-                for r in rows[lo:hi]:
-                    p = np.asarray(r["positions"], dtype=np.uint64)
-                    pos_bufs.append(pack_deltas(p))
-                blocks.append(
-                    {
-                        "block_id": b,
-                        "n": hi - lo,
-                        "sum_tf": int(tfs[lo:hi].sum()),
-                        "max_tf": int(tfs[lo:hi].max()),
-                        "max_boost": float(boosts[lo:hi].max()),
-                        "min_doc": int(docs[lo]),
-                        "max_doc": int(docs[hi - 1]),
-                        "docs_bin": pack_deltas(docs[lo:hi]),
-                        "tfs_bin": varint_encode(tfs[lo:hi]),
-                        "boosts_bin": pack_f32(boosts[lo:hi]),
-                        "pos_bin": b"".join(pos_bufs),
-                    }
+DOC_TOKENS_TYPE = T.StructType(
+    [
+        T.StructField(
+            "toks",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("token", T.StringType()),
+                        T.StructField("tf", T.IntegerType()),
+                        T.StructField("pos_bin", T.BinaryType()),
+                        T.StructField("boost", T.FloatType()),
+                    ]
                 )
-            out.append(blocks)
-        return pd.Series(out)
+            ),
+        ),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
 
-    return F.pandas_udf(pack, BLOCK_SCHEMA)
+
+def _varint_len(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding (vectorized)."""
+    v = values.astype(np.uint64)
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp != 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return nb
+
+
+def make_doc_tokens_udf(cfg: EngineConfig, field_names: list[str]):
+    """Per-DOCUMENT analysis + aggregation in ONE Arrow batch pass.
+
+    Since every (doc, token) pair lives in exactly one input row, the
+    tf/positions/boost aggregation is a per-row computation — doing
+    it inside the UDF removes the 60M-row explode + hash-aggregate
+    that dominated the build (and anti-scaled at high thread counts
+    from per-task agg memory pressure). Weight formula unchanged:
+    ``DEFAULT_BOOST / n_field_tokens * field_boost`` per field,
+    per-(doc,token) ``max + importance*0.1``
+    (addok/helpers/index.py:30-37,121-141). Positions are global
+    across fields in config field order; dl = total token count.
+    """
+    from ..functions.text import analyze_series
+
+    fields = [(f.name, f.boost) for f in cfg.fields if f.name in field_names]
+    syn = dict(cfg.synonyms)
+    default_boost, iw = cfg.default_boost, cfg.importance_weight
+
+    def run(*cols: pd.Series) -> pd.DataFrame:
+        imp = cols[-1].fillna(0.0).to_numpy(dtype=np.float64)
+        per_field = [analyze_series(c, syn) for c in cols[:-1]]
+        n_rows = len(imp)
+        # per-doc token aggregation (python dicts over ~40 tokens/doc)
+        doc_pairs: list = []   # per doc: [(token, tf, boost, pos_list), ...]
+        dl_out = np.zeros(n_rows, dtype=np.int32)
+        all_pos: list = []     # flat positions in emit order
+        pair_counts: list = [] # tf per emitted pair (for byte slicing)
+        for i in range(n_rows):
+            pos = 0
+            tfs: dict = {}
+            boosts: dict = {}
+            positions: dict = {}
+            for (fname, fboost), toks_s in zip(fields, per_field):
+                toks = toks_s.iat[i]
+                if toks is None or len(toks) == 0:
+                    continue
+                w = default_boost / len(toks) * fboost
+                for t in toks:
+                    tfs[t] = tfs.get(t, 0) + 1
+                    positions.setdefault(t, []).append(pos)
+                    b = boosts.get(t)
+                    if b is None or w > b:
+                        boosts[t] = w
+                    pos += 1
+            ib = imp[i] * iw
+            pairs = []
+            for t, tf in tfs.items():
+                pairs.append((t, tf, boosts[t] + ib))
+                all_pos.extend(positions[t])
+                pair_counts.append(tf)
+            doc_pairs.append(pairs)
+            dl_out[i] = pos
+        # ONE vectorized delta+varint encode for the whole batch's
+        # positions, then slice per pair by byte offsets — position
+        # payloads travel the shuffle as opaque binary, never as
+        # per-row int arrays (Arrow/python object cost at 34M rows
+        # dominated the block build before this).
+        flat = np.asarray(all_pos, dtype=np.uint64)
+        counts = np.asarray(pair_counts, dtype=np.int64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        deltas = flat.copy()
+        if len(flat) > 1:
+            deltas[1:] = flat[1:] - flat[:-1]
+        if len(starts):
+            deltas[starts] = flat[starts]
+        buf = varint_encode(deltas)
+        blens = _varint_len(deltas) if len(deltas) else np.empty(0, dtype=np.int64)
+        bends = np.cumsum(blens)
+        # byte range of pair j = [bstart[starts[j]], bend[ends[j]-1]]
+        toks_out = []
+        j = 0
+        for pairs in doc_pairs:
+            row = []
+            for (t, tf, boost) in pairs:
+                blo = int(bends[starts[j]] - blens[starts[j]]) if tf else 0
+                bhi = int(bends[ends[j] - 1]) if tf else 0
+                row.append(
+                    {"token": t, "tf": tf, "pos_bin": buf[blo:bhi], "boost": boost}
+                )
+                j += 1
+            toks_out.append(row)
+        return pd.DataFrame({"toks": toks_out, "dl": dl_out})
+
+    return F.pandas_udf(run, DOC_TOKENS_TYPE)
+
+
+def analyze_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """docs → docs + ``__an`` struct (toks array + dl). One UDF pass,
+    no shuffle."""
+    field_cols = [f.name for f in cfg.fields if f.name in docs.columns]
+    udf = make_doc_tokens_udf(cfg, field_cols)
+    imp = (
+        F.col("importance")
+        if "importance" in docs.columns
+        else F.lit(0.0)
+    )
+    return docs.withColumn(
+        "__an", udf(*[F.col(c) for c in field_cols], imp)
+    )
 
 
 def tokenize_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """docs (with doc_index, importance, field columns) →
     (doc_index, token, tf, positions, boost) rows — the reference's
     extract_tokens + FieldsIndexer weight fold
-    (addok/helpers/index.py:30-37,121-141) as one declarative plan."""
-    analyze = make_analyze_udf(cfg.synonyms)
-    arrays = [
-        analyze(F.col(f.name)).alias(f"__toks_{f.name}")
-        for f in cfg.fields
-        if f.name in docs.columns
-    ]
-    with_toks = docs.select("doc_index", "importance", *arrays)
-    structs = []
-    for f in cfg.fields:
-        c = f"__toks_{f.name}"
-        if c not in with_toks.columns:
-            continue
-        bf = (
-            F.lit(cfg.default_boost)
-            / F.greatest(F.size(F.col(c)), F.lit(1))
-            * F.lit(f.boost)
+    (addok/helpers/index.py:30-37,121-141); per-row aggregation, no
+    shuffle."""
+    return (
+        analyze_docs(docs, cfg)
+        .select("doc_index", F.explode("__an.toks").alias("tk"))
+        .select(
+            "doc_index",
+            F.col("tk.token").alias("token"),
+            F.col("tk.tf").alias("tf"),
+            F.col("tk.pos_bin").alias("pos_bin"),
+            F.col("tk.boost").alias("boost"),
         )
+    )
 
-        def _mk(bf_col):
-            # single-arg lambda: F.transform treats 2-arg lambdas
-            # as (element, index)
-            return lambda x: F.struct(x.alias("token"), bf_col.alias("fboost"))
 
-        structs.append(F.transform(F.col(c), _mk(bf)))
-    combined = with_toks.select(
-        "doc_index", "importance", F.concat(*structs).alias("toks")
-    )
-    exploded = combined.select(
-        "doc_index", "importance", F.posexplode("toks").alias("pos", "tk")
-    ).select(
-        "doc_index",
-        "importance",
-        F.col("tk.token").alias("token"),
-        F.col("tk.fboost").alias("fboost"),
-        "pos",
-    )
-    return exploded.groupBy("doc_index", "token").agg(
-        F.count(F.lit(1)).cast("int").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-        (F.max("fboost") + F.first("importance") * cfg.importance_weight)
-        .cast("float")
-        .alias("boost"),
-    )
+BLOCK_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+    + list(BLOCK_SCHEMA.elementType.fields)
+)
+
+
+def _pack_group(
+    token: str,
+    bucket: int,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    boosts: np.ndarray,
+    pos_lists,
+    block_size: int,
+) -> list[dict]:
+    """Pack one doc-sorted (token,bucket) posting run into block rows.
+
+    ``pos_lists`` = per-posting pos_bin buffers (already delta+varint
+    encoded at analysis time, reset per posting) — block pos_bin is
+    their concatenation; decode splits by tf counts."""
+    docs = docs.astype(np.uint64)
+    tfs = tfs.astype(np.uint64)
+    boosts = boosts.astype(np.float32)
+    out = []
+    for b, lo in enumerate(range(0, len(docs), block_size)):
+        hi = min(lo + block_size, len(docs))
+        out.append(
+            {
+                "token": token,
+                "bucket": int(bucket),
+                "block_id": b,
+                "n": hi - lo,
+                "sum_tf": int(tfs[lo:hi].sum()),
+                "max_tf": int(tfs[lo:hi].max()),
+                "max_boost": float(boosts[lo:hi].max()),
+                "min_doc": int(docs[lo]),
+                "max_doc": int(docs[hi - 1]),
+                "docs_bin": pack_deltas(docs[lo:hi]),
+                "tfs_bin": varint_encode(tfs[lo:hi]),
+                "boosts_bin": pack_f32(boosts[lo:hi]),
+                "pos_bin": b"".join(
+                    bytes(p) if p is not None else b"" for p in pos_lists[lo:hi]
+                ),
+            }
+        )
+    return out
 
 
 def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """(doc_index, token, tf, positions, boost) → packed block rows
-    with pbucket dir-partition column."""
-    bucketed = token_doc.withColumn(
-        "bucket", F.shiftright("doc_index", cfg.doc_bucket_bits)
-    )
-    grouped = bucketed.groupBy("token", "bucket").agg(
-        F.collect_list(
-            F.struct("doc_index", "tf", "boost", "positions")
-        ).alias("plist")
-    )
-    return (
-        grouped.withColumn(
-            "blk", _pack_blocks_udf(cfg.posting_block_size)(F.col("plist"))
+    """(doc_index, token, tf, pos_bin, boost) -> packed block rows.
+
+    External **sort-merge** posting assembly (north_star): one shuffle
+    keyed (token, bucket) + Spark's spill-safe external sort -- no
+    collect_list hash-agg (which anti-scales under per-task agg
+    memory pressure at high thread counts). A streaming mapInPandas
+    packer walks each sorted run; complete groups are packed straight
+    from numpy slices (zero per-element boxing), only the single
+    group spanning a batch boundary is carried. Task memory is
+    bounded by one (token,bucket) group <= 2^bits postings no matter
+    how hot the token -- the doc-range bucket IS the salt.
+    """
+    block_size = cfg.posting_block_size
+    pshift = cfg.pbucket_shift
+    arranged = (
+        token_doc.withColumn(
+            "bucket", F.shiftright("doc_index", cfg.doc_bucket_bits)
         )
-        .select("token", "bucket", F.explode("blk").alias("b"))
-        .select("token", "bucket", "b.*")
-        .withColumn("pbucket", F.shiftright("bucket", cfg.pbucket_shift))
+        .repartition(cfg.build_partitions, "token", "bucket")
+        .sortWithinPartitions("token", "bucket", "doc_index")
+    )
+
+    def stream_pack(batches):
+        carry = None  # (token, bucket, [docs...], [tfs...], [boosts...], [pos...])
+
+        def flush_carry(c):
+            return _pack_group(
+                c[0], c[1],
+                np.concatenate(c[2]), np.concatenate(c[3]),
+                np.concatenate(c[4]).astype(np.float32),
+                np.concatenate(c[5]), block_size,
+            )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf["token"].to_numpy()
+            bucks = pdf["bucket"].to_numpy()
+            docs_v = pdf["doc_index"].to_numpy()
+            tfs_v = pdf["tf"].to_numpy()
+            boosts_v = pdf["boost"].to_numpy()
+            pos_v = pdf["pos_bin"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            if len(pdf) > 1:
+                change[1:] = (toks[1:] != toks[:-1]) | (bucks[1:] != bucks[:-1])
+            bounds = np.flatnonzero(change).tolist() + [len(pdf)]
+            rows_out = []
+            n_groups = len(bounds) - 1
+            for gi in range(n_groups):
+                lo, hi = bounds[gi], bounds[gi + 1]
+                last = gi == n_groups - 1
+                if gi == 0 and carry is not None:
+                    if (carry[0], carry[1]) == (toks[lo], bucks[lo]):
+                        carry[2].append(docs_v[lo:hi])
+                        carry[3].append(tfs_v[lo:hi])
+                        carry[4].append(boosts_v[lo:hi])
+                        carry[5].append(pos_v[lo:hi])
+                        if last:
+                            break  # group may continue into next batch
+                        rows_out.extend(flush_carry(carry))
+                        carry = None
+                        continue
+                    rows_out.extend(flush_carry(carry))
+                    carry = None
+                if last:
+                    # may continue into the next Arrow batch -> carry
+                    carry = [toks[lo], bucks[lo], [docs_v[lo:hi]],
+                             [tfs_v[lo:hi]], [boosts_v[lo:hi]], [pos_v[lo:hi]]]
+                    break
+                rows_out.extend(
+                    _pack_group(
+                        toks[lo], bucks[lo], docs_v[lo:hi], tfs_v[lo:hi],
+                        boosts_v[lo:hi].astype(np.float32), pos_v[lo:hi],
+                        block_size,
+                    )
+                )
+            if rows_out:
+                yield pd.DataFrame(rows_out)
+        if carry is not None:
+            out = flush_carry(carry)
+            if out:
+                yield pd.DataFrame(out)
+
+    return arranged.mapInPandas(stream_pack, schema=BLOCK_ROW_SCHEMA).withColumn(
+        "pbucket", F.shiftright("bucket", pshift)
     )
 
 
@@ -296,7 +499,8 @@ class IndexBuilder:
         self.paths.manifest.write_text(json.dumps(m, indent=2))
 
     def _write(self, df: DataFrame, path: str, name: str, sort_by=None,
-               partition_keys: int | None = None, partition_by: str | None = None) -> None:
+               partition_keys: int | None = None, partition_by: str | None = None,
+               count_rows: bool = True) -> None:
         t0 = time.time()
         if sort_by:
             df = df.repartitionByRange(
@@ -309,7 +513,9 @@ class IndexBuilder:
             # overwrite; see index/incremental.py)
             writer = writer.partitionBy(partition_by)
         writer.parquet(path)
-        rows = self.spark.read.parquet(path).count()
+        # metrics row count from parquet footers, driver-side (no
+        # Spark job — keeps the serial floor between stages low)
+        rows = _parquet_rows(path) if count_rows else -1
         dur = time.time() - t0
         # per-snapshot metrics sidecar (north_rule: lineage + counts)
         Path(path, "_metrics.json").write_text(
@@ -322,53 +528,80 @@ class IndexBuilder:
     def build(self, transcripts: DataFrame, resume: bool = True) -> IndexPaths:
         cfg = self.cfg
         spark = self.spark
-        analyze = make_analyze_udf(cfg.synonyms)
 
-        if not (resume and self._stage_done("docs")):
+        scratch = str(self.paths.root / "_analyzed")
+
+        # stage 1: dense ids + per-doc analysis → ONE scratch parquet
+        # (doc columns + nested token aggregates + dl). Intermediates
+        # go to parquet, NOT .persist(): disk-backed stage checkpoints
+        # are what makes the build resumable AND avoid the in-memory
+        # cache contention that anti-scaled at high thread counts
+        # (measured: cached pipeline 2× slower on local[32] than
+        # local[8]; checkpointed stages scale).
+        if not (resume and self._stage_done("analyzed")):
             docs, cached = assign_doc_ids(transcripts, cfg.build_partitions)
             if "importance" not in docs.columns:
                 docs = docs.withColumn("importance", F.lit(0.0))
-            docs.persist(StorageLevel.MEMORY_AND_DISK)
-            token_doc = tokenize_docs(docs, cfg)
-            token_doc.persist(StorageLevel.MEMORY_AND_DISK)
+            analyzed = analyze_docs(docs, cfg)
+            self._write(analyzed, scratch, "analyzed", count_rows=False)
+            cached.unpersist()
 
-            dl = token_doc.groupBy("doc_index").agg(
-                F.sum("tf").cast("int").alias("dl")
-            )
+        analyzed = spark.read.parquet(scratch)
+
+        # stage 2: final docs table (dl + pbucket partition layout)
+        if not (resume and self._stage_done("docs")):
             docs_out = (
-                docs.join(dl, "doc_index", "left")
-                .fillna({"dl": 0})
+                analyzed.withColumn("dl", F.col("__an.dl"))
+                .drop("__an")
                 .withColumn(
                     "pbucket",
                     F.shiftright("doc_index", cfg.doc_bucket_bits + cfg.pbucket_shift),
                 )
             )
+            # analyzed is already globally doc_index-ordered (range
+            # layout from assign_doc_ids) — no re-shuffle needed
             self._write(
-                docs_out, self.paths.docs, "docs", sort_by=["doc_index"],
-                partition_by="pbucket",
+                docs_out.sortWithinPartitions("doc_index"),
+                self.paths.docs, "docs", partition_by="pbucket",
             )
 
-            # --- posting blocks (doc-range bucketing = order-preserving salt)
+        # stage 3: posting blocks (doc-range bucketing = order-preserving salt)
+        if not (resume and self._stage_done("blocks")):
+            token_doc = analyzed.select(
+                "doc_index", F.explode("__an.toks").alias("tk")
+            ).select(
+                "doc_index",
+                F.col("tk.token").alias("token"),
+                F.col("tk.tf").alias("tf"),
+                F.col("tk.pos_bin").alias("pos_bin"),
+                F.col("tk.boost").alias("boost"),
+            )
             blocks = build_blocks(token_doc, cfg)
+            # pack output is (token,bucket)-sorted within partitions
+            # already — write as-is; parquet row-group stats still give
+            # token min/max pruning per file
             self._write(
-                blocks, self.paths.blocks, "blocks", sort_by=["token", "bucket"],
-                partition_by="pbucket",
+                blocks, self.paths.blocks, "blocks", partition_by="pbucket",
             )
 
-            # --- dictionary derived purely from block stats (df = Σn,
-            # cf = Σsum_tf; ≙ ZCARD + zset max, addok/helpers/index.py:22-27,
-            # lua/order_by_max_score.lua) — derivable after any
-            # incremental bucket rewrite without re-reading text
+        # stage 4: dictionary derived purely from block stats (df = Σn,
+        # cf = Σsum_tf; ≙ ZCARD + zset max, addok/helpers/index.py:22-27,
+        # lua/order_by_max_score.lua) — re-derivable after any
+        # incremental bucket rewrite without re-reading text
+        if not (resume and self._stage_done("dictionary")):
             dictionary = dictionary_from_blocks(
-                self.spark.read.parquet(self.paths.blocks)
+                spark.read.parquet(self.paths.blocks)
             )
             self._write(
                 dictionary, self.paths.dictionary, "dictionary", sort_by=["token"]
             )
 
-            # --- global stats
-            n_docs = docs_out.count()
-            sum_dl = docs_out.agg(F.sum("dl")).collect()[0][0] or 0
+        if not (resume and self._stage_done("docs_meta")):
+            docs_now = spark.read.parquet(self.paths.docs)
+            n_docs = self._manifest()["stages"].get("docs", {}).get("rows", -1)
+            if n_docs < 0:
+                n_docs = docs_now.count()
+            sum_dl = docs_now.agg(F.sum("dl")).collect()[0][0] or 0
             meta = {
                 "n_docs": int(n_docs),
                 "avgdl": float(sum_dl) / max(n_docs, 1),
@@ -382,15 +615,11 @@ class IndexBuilder:
             self.paths.meta.write_text(json.dumps(meta, indent=2))
             self._mark_stage("docs_meta")
 
-            token_doc.unpersist()
-            docs.unpersist()
-            cached.unpersist()
-
         dictionary = spark.read.parquet(self.paths.dictionary)
 
         # --- prefix table (edge n-grams over non-digit dictionary tokens;
         # a separate follow-on job like `addok ngrams`, autocomplete.py:111-131)
-        if not (resume and self._stage_done("prefixes")):
+        if cfg.build_prefixes and not (resume and self._stage_done("prefixes")):
             prefixes = (
                 dictionary.filter(~F.col("token").rlike("^[0-9]+$"))
                 .select(
@@ -410,26 +639,47 @@ class IndexBuilder:
 
         # --- pair (co-occurrence) table, meaningful tokens only
         # (reference PairsIndexer skips commons, addok/pairs.py:6-16)
-        if not (resume and self._stage_done("pairs")):
-            docs_df = spark.read.parquet(self.paths.docs)
-            meaningful = dictionary.filter(
-                F.col("df") <= cfg.common_threshold
+        if cfg.build_pairs and not (resume and self._stage_done("pairs")):
+            # derived from posting BLOCKS (no text re-analysis): unpack
+            # doc ids per token, drop COMMON tokens (the Zipf head is
+            # small by construction → broadcast anti-join), regroup per
+            # doc, expand pairs with a codegen nested transform — no
+            # self-join shuffle at all
+            blocks_df = spark.read.parquet(self.paths.blocks)
+            commons = dictionary.filter(
+                F.col("df") > cfg.common_threshold
             ).select("token")
-            toks = (
-                docs_df.select(
-                    "doc_index", F.explode(analyze(F.col("text"))).alias("token")
-                )
-                .dropDuplicates(["doc_index", "token"])
-                .join(F.broadcast(meaningful), "token", "left_semi")
+            tok_doc = (
+                blocks_df.join(F.broadcast(commons), "token", "left_anti")
+                .select("token", _unpack_docs_udf(F.col("docs_bin")).alias("ds"))
+                .select("token", F.explode("ds").alias("doc_index"))
             )
-            a, b = toks.alias("a"), toks.alias("b")
+            per_doc = tok_doc.groupBy("doc_index").agg(
+                F.array_sort(F.collect_set("token")).alias("toks")
+            )
             pairs = (
-                a.join(b, "doc_index")
-                .filter(F.col("a.token") < F.col("b.token"))
-                .select(
-                    F.col("a.token").alias("token_a"),
-                    F.col("b.token").alias("token_b"),
+                per_doc.select(
+                    F.explode(
+                        F.flatten(
+                            F.transform(
+                                "toks",
+                                lambda x, i: F.transform(
+                                    F.slice(
+                                        F.col("toks"),
+                                        i + 2,
+                                        F.greatest(
+                                            F.size(F.col("toks")) - i - 1, F.lit(0)
+                                        ),
+                                    ),
+                                    lambda y: F.struct(
+                                        x.alias("token_a"), y.alias("token_b")
+                                    ),
+                                ),
+                            )
+                        )
+                    ).alias("p")
                 )
+                .select("p.token_a", "p.token_b")
                 .distinct()
             )
             self._write(pairs, self.paths.pairs, "pairs", sort_by=["token_a"])

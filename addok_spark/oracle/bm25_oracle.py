@@ -21,7 +21,13 @@ import numpy as np
 import pandas as pd
 
 from ..config import EngineConfig
-from ..functions.text import analyze_str, edge_ngrams_str, make_fuzzy_str
+from ..functions.text import (
+    analyze_str,
+    compare_str,
+    edge_ngrams_str,
+    fold_str,
+    make_fuzzy_str,
+)
 
 
 @dataclass
@@ -99,6 +105,7 @@ def oracle_search(
         seen: set[str] = set()
         toks = [t for t in toks if not (t in seen or seen.add(t))]
         groups: dict[int, list[str]] = {}
+        group_dfs: dict[int, int] = {}
         meaningful: list[tuple[int, int, str]] = []
         for gid, tok in enumerate(toks):
             df = index.df.get(tok, 0)
@@ -114,17 +121,54 @@ def oracle_search(
                     exp = index.fuzzy_expansions(tok)
                 if exp:
                     groups[gid] = [t for t, _ in exp]
-                    meaningful.append((min(d for _, d in exp), gid, tok))
+                    group_dfs[gid] = min(d for _, d in exp)
+                    meaningful.append((group_dfs[gid], gid, tok))
             elif df > cfg.common_threshold:
                 groups[gid] = [tok]
+                group_dfs[gid] = df
             else:
                 groups[gid] = [tok]
+                group_dfs[gid] = df
                 meaningful.append((df, gid, tok))
         meaningful.sort(key=lambda x: (x[0], x[2]))
         order = [gid for _, gid, _ in meaningful[: cfg.max_meaningful]]
 
         candidates: set[int] = set()
         done = False
+
+        def run_gids(gids: list[int], use_scan: bool = True) -> list[int]:
+            """Conjunctive group match + Σboost top-bucket_max (same
+            spec as SearchEngine._run_round incl. manual_scan)."""
+            scan_docs = None
+            if use_scan and all(
+                group_dfs.get(g, 0) > cfg.intersect_limit for g in gids
+            ):
+                sgid = min(gids, key=lambda g: (group_dfs.get(g, 0), g))
+                sboost: dict[int, float] = {}
+                for tok in groups[sgid]:
+                    for d, b in index.boost.get(tok, {}).items():
+                        if d not in sboost or b > sboost[d]:
+                            sboost[d] = b
+                ordered_s = sorted(sboost.items(), key=lambda kv: (-kv[1], kv[0]))
+                scan_docs = {d for d, _ in ordered_s[: cfg.scan_limit]}
+            match: dict[int, dict[int, float]] = {}  # doc -> gid -> gboost
+            for gid in gids:
+                for tok in groups[gid]:
+                    for d, b in index.boost.get(tok, {}).items():
+                        if scan_docs is not None and d not in scan_docs:
+                            continue
+                        slot = match.setdefault(d, {})
+                        slot[gid] = max(slot.get(gid, -math.inf), b)
+            hits = []
+            for d, per_gid in match.items():
+                if len(per_gid) >= len(gids):
+                    pre = 0.0
+                    for gid in sorted(per_gid):
+                        pre += float(per_gid[gid])
+                    hits.append((-pre, d))
+            hits.sort()
+            return [d for _, d in hits[: cfg.bucket_max]]
+
         for round_no in (1, 2, 3, 4):
             if done:
                 break
@@ -140,26 +184,35 @@ def oracle_search(
                 continue
             if not gids:
                 continue
-            # conjunctive group match + Σboost prescore
-            match: dict[int, dict[int, float]] = {}  # doc -> gid -> gboost
-            for gid in gids:
-                for tok in groups[gid]:
-                    for d, b in index.boost.get(tok, {}).items():
-                        slot = match.setdefault(d, {})
-                        slot[gid] = max(slot.get(gid, -math.inf), b)
-            hits = []
-            for d, per_gid in match.items():
-                if len(per_gid) >= len(gids):
-                    pre = 0.0
-                    for gid in sorted(per_gid):
-                        pre += float(per_gid[gid])
-                    hits.append((-pre, d))
-            hits.sort()
-            ordered = [d for _, d in hits[: cfg.bucket_max]]
+            ordered = run_gids(gids)
             room = cfg.bucket_max - len(candidates)
             candidates.update(ordered[:room])
             if len(candidates) >= cfg.bucket_min:
                 done = True
+
+        # round 5: relation extrapolation (Q13, collectors.py:151-214)
+        # — mirror of SearchEngine._relation_round
+        if not done and len(order) >= 3:
+            from ..query.cliques import ordered_cliques
+
+            r = {g: groups[g][0] for g in order}
+            edges = set()
+            for i in order:
+                for j in order:
+                    if i < j:
+                        ta, tb = r[i], r[j]
+                        if (
+                            0 < index.df.get(ta, 0) <= cfg.common_threshold
+                            and 0 < index.df.get(tb, 0) <= cfg.common_threshold
+                            and set(index.tf.get(ta, {})) & set(index.tf.get(tb, {}))
+                        ):
+                            edges.add((i, j))
+            for clique in ordered_cliques(order, edges, group_dfs):
+                if len(candidates) >= cfg.bucket_min:
+                    break
+                ordered = run_gids(list(clique), use_scan=False)
+                room = cfg.bucket_max - len(candidates)
+                candidates.update(ordered[:room])
 
         # --- scoring over FULL group set (same expression tree) ----------
         k1, b = cfg.bm25_k1, cfg.bm25_b
@@ -201,6 +254,9 @@ def oracle_search(
                     "qid": q.qid,
                     "doc_index": d,
                     "score": score,
+                    "str_distance": round(
+                        compare_str(fold_str(q.q), fold_str(doc["text"])), 9
+                    ),
                     "boost": boost_sum,
                     "importance": float(doc.get("importance", 0.0) or 0.0),
                     "conv_id": doc["conv_id"],
@@ -210,14 +266,14 @@ def oracle_search(
         rdf = pd.DataFrame(recs)
         if len(rdf):
             rdf = rdf.sort_values(
-                ["score", "boost", "importance", "doc_index"],
-                ascending=[False, False, False, True],
+                ["score", "str_distance", "boost", "importance", "doc_index"],
+                ascending=[False, False, False, False, True],
             ).head(q.k)
             rdf["rank"] = np.arange(1, len(rdf) + 1)
             rows_out.append(rdf)
     if not rows_out:
         return pd.DataFrame(
-            columns=["qid", "doc_index", "score", "boost", "importance",
-                     "conv_id", "turn_idx", "rank"]
+            columns=["qid", "doc_index", "score", "str_distance", "boost",
+                     "importance", "conv_id", "turn_idx", "rank"]
         )
     return pd.concat(rows_out, ignore_index=True)

@@ -55,7 +55,13 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..config import EngineConfig
-from ..functions.text import analyze_str, edge_ngrams_str, make_fuzzy_str
+from ..functions.text import (
+    analyze_str,
+    edge_ngrams_str,
+    fold_udf,
+    make_compare_str_udf,
+    make_fuzzy_str,
+)
 from ..index.build import IndexPaths
 from ..index.compress import unpack_deltas, unpack_f32, varint_decode
 
@@ -100,6 +106,7 @@ class _QState:
     query: Query
     groups: dict[int, list[str]]          # group_id -> expansion tokens
     meaningful_order: list[int]           # group ids sorted by (df asc, token asc)
+    group_df: dict[int, int] = field(default_factory=dict)  # min df per group
     candidates: set[int] = field(default_factory=set)
     done: bool = False
 
@@ -114,6 +121,10 @@ class SearchEngine:
         self.docs = spark.read.parquet(self.paths.docs)
         self.dictionary = spark.read.parquet(self.paths.dictionary)
         self.prefixes = spark.read.parquet(self.paths.prefixes)
+        try:
+            self.pairs = spark.read.parquet(self.paths.pairs)
+        except Exception:
+            self.pairs = None  # pairs deferred at build time
 
     # ------------------------------------------------------------------
     def _token_stats(self, tokens: set[str]) -> dict[str, int]:
@@ -168,6 +179,7 @@ class SearchEngine:
         for q in queries:
             toks = analyzed[q.qid]
             groups: dict[int, list[str]] = {}
+            group_df: dict[int, int] = {}
             meaningful: list[tuple[int, int, str]] = []  # (df, gid, token)
             for gid, tok in enumerate(toks):
                 df = stats.get(tok, 0)
@@ -185,18 +197,22 @@ class SearchEngine:
                     if exp:
                         groups[gid] = [t for t, _ in exp]
                         dfm = min(d for _, d in exp)
+                        group_df[gid] = dfm
                         meaningful.append((dfm, gid, tok))
                     # else: token unmatched anywhere → dropped
                     # (≙ not_found, addok/helpers/search.py:28-46)
                 elif df > cfg.common_threshold:
                     groups[gid] = [tok]  # common: excluded from round 1
+                    group_df[gid] = df
                 else:
                     groups[gid] = [tok]
+                    group_df[gid] = df
                     meaningful.append((df, gid, tok))
             meaningful.sort(key=lambda x: (x[0], x[2]))
             states[q.qid] = _QState(
                 query=q,
                 groups=groups,
+                group_df=group_df,
                 meaningful_order=[gid for _, gid, _ in meaningful[: cfg.max_meaningful]],
             )
         # refresh stats for expansion tokens introduced above
@@ -205,7 +221,15 @@ class SearchEngine:
     # ------------------------------------------------------------------
     def _run_round(self, plan: pd.DataFrame, topn: int) -> pd.DataFrame:
         """One collection round: conjunctive group match + Σboost
-        top-n per qid. plan columns: qid, gid, token, n_required."""
+        top-n per qid. plan columns: qid, gid, token, n_required,
+        is_scan.
+
+        Scan mode (any is_scan row; ≙ manual_scan, the reference's
+        cost-model path when every required token is too frequent,
+        lua/manual_scan.lua + collectors.py:35-65): only the top
+        ``scan_limit`` postings of the smallest list are probed
+        against the other lists, instead of a full intersection.
+        """
         spark = self.spark
         plan_df = F.broadcast(spark.createDataFrame(plan))
         hits = self.blocks.join(plan_df, "token")
@@ -222,8 +246,33 @@ class SearchEngine:
             "qid",
             "gid",
             "n_required",
+            "is_scan",
             F.explode(_unpack_block("docs_bin", "tfs_bin", "boosts_bin")).alias("p"),
-        ).select("qid", "gid", "n_required", "p.doc_index", "p.boost")
+        ).select(
+            "qid", "gid", "n_required", "is_scan", "p.doc_index", "p.boost"
+        )
+        if bool(plan["is_scan"].any()):
+            scan_qids = plan.loc[plan["is_scan"], "qid"].unique().tolist()
+            scan_side = postings.filter(
+                F.col("is_scan") & F.col("qid").isin(scan_qids)
+            )
+            sg = scan_side.groupBy("qid", "doc_index").agg(
+                F.max("boost").alias("sboost")
+            )
+            ws = Window.partitionBy("qid").orderBy(
+                F.desc("sboost"), F.asc("doc_index")
+            )
+            probe = (
+                sg.withColumn("srn", F.row_number().over(ws))
+                .filter(F.col("srn") <= self.cfg.scan_limit)
+                .select("qid", "doc_index")
+            )
+            scanned = postings.filter(F.col("qid").isin(scan_qids)).join(
+                F.broadcast(probe), ["qid", "doc_index"], "left_semi"
+            )
+            postings = postings.filter(~F.col("qid").isin(scan_qids)).unionByName(
+                scanned
+            )
         # group-level: a doc matches a group if it matches ANY expansion
         per_group = postings.groupBy("qid", "gid", "doc_index").agg(
             F.max("boost").alias("gboost"), F.first("n_required").alias("nr")
@@ -280,10 +329,18 @@ class SearchEngine:
                     continue
                 if not gids:
                     continue
+                # scan mode iff EVERY required group is too frequent
+                # (≙ only_commons → manual_scan, collectors.py:35-65)
+                gdf = st.group_df
+                scan_gid = -1
+                if all(gdf.get(g, 0) > self.cfg.intersect_limit for g in gids):
+                    scan_gid = min(gids, key=lambda g: (gdf.get(g, 0), g))
                 for gid in gids:
                     for tok in st.groups[gid]:
-                        rows.append((qid, gid, tok, len(gids)))
-            return pd.DataFrame(rows, columns=["qid", "gid", "token", "n_required"])
+                        rows.append((qid, gid, tok, len(gids), gid == scan_gid))
+            return pd.DataFrame(
+                rows, columns=["qid", "gid", "token", "n_required", "is_scan"]
+            )
 
         for round_no in (1, 2, 3, 4):
             plan = round_plan(round_no)
@@ -300,7 +357,82 @@ class SearchEngine:
             if all(st.done for st in states.values()):
                 break
 
+        self._relation_round(states)
         return self._score(states)
+
+    # ------------------------------------------------------------------
+    def _relation_round(self, states: dict[str, _QState]) -> None:
+        """Q13 ≙ extend_results_extrapoling_relations
+        (collectors.py:151-214): for still-dry queries with ≥3
+        meaningful groups, extract maximal cliques from the pair
+        (co-occurrence) index over the groups\' representative tokens
+        and re-intersect each clique, least-frequent first. All
+        cliques of the whole batch run as ONE job (virtual qids)."""
+        cfg = self.cfg
+        dry = {
+            qid: st
+            for qid, st in states.items()
+            if not st.done and len(st.meaningful_order) >= 3
+        }
+        if not dry or self.pairs is None:
+            return
+        reps: dict[str, dict[int, str]] = {}
+        all_reps: set[str] = set()
+        for qid, st in dry.items():
+            r = {g: st.groups[g][0] for g in st.meaningful_order}
+            reps[qid] = r
+            all_reps.update(r.values())
+        pair_rows = (
+            self.pairs.filter(
+                F.col("token_a").isin(list(all_reps))
+                & F.col("token_b").isin(list(all_reps))
+            )
+            .select("token_a", "token_b")
+            .collect()
+        )
+        pairset = {(r["token_a"], r["token_b"]) for r in pair_rows}
+
+        from .cliques import ordered_cliques
+
+        plan_rows = []
+        clique_order: dict[str, list[str]] = {}
+        for qid, st in dry.items():
+            nodes = st.meaningful_order
+            r = reps[qid]
+            edges = set()
+            for i in nodes:
+                for j in nodes:
+                    if i < j:
+                        a, b = sorted((r[i], r[j]))
+                        if (a, b) in pairset:
+                            edges.add((i, j))
+            for ci, clique in enumerate(
+                ordered_cliques(nodes, edges, st.group_df)
+            ):
+                vq = f"{qid}\x00{ci}"
+                clique_order.setdefault(qid, []).append(vq)
+                for gid in clique:
+                    for tok in st.groups[gid]:
+                        plan_rows.append((vq, gid, tok, len(clique), False))
+        if not plan_rows:
+            return
+        got = self._run_round(
+            pd.DataFrame(
+                plan_rows,
+                columns=["qid", "gid", "token", "n_required", "is_scan"],
+            ),
+            cfg.bucket_max,
+        )
+        by_vq = {
+            vq: grp.sort_values("rn")["doc_index"].tolist()
+            for vq, grp in got.groupby("qid")
+        }
+        for qid, st in dry.items():
+            for vq in clique_order.get(qid, []):
+                if len(st.candidates) >= cfg.bucket_min:
+                    break
+                room = cfg.bucket_max - len(st.candidates)
+                st.candidates.update(by_vq.get(vq, [])[:room])
 
     # ------------------------------------------------------------------
     def _score(self, states: dict[str, _QState]) -> DataFrame:
@@ -414,8 +546,26 @@ class SearchEngine:
         for e in fexprs:
             per_doc = per_doc.filter(e)
 
+        # string-distance tie-break (reference score_by_str_distance,
+        # results.py:80-104, recast as a deterministic secondary sort
+        # key per north_rule) — candidates ≤ BUCKET_MAX/query, so the
+        # pairwise compare is a tiny pandas-UDF pass
+        qmap = F.create_map(
+            *[
+                x
+                for st in states.values()
+                for x in (F.lit(st.query.qid), F.lit(st.query.q))
+            ]
+        )
+        cmp_udf = make_compare_str_udf()
+        per_doc = per_doc.withColumn(
+            "str_distance",
+            F.round(cmp_udf(fold_udf(qmap[F.col("qid")]), fold_udf(F.col("text"))), 9),
+        )
+
         w = Window.partitionBy("qid").orderBy(
             F.desc("score"),
+            F.desc("str_distance"),
             F.desc("boost"),
             F.desc("importance"),
             F.asc("doc_index"),
@@ -425,7 +575,7 @@ class SearchEngine:
             .filter(F.col("rank") <= F.col("k"))
             .select(
                 "qid", "rank", "conv_id", "turn_idx", "role", "tool",
-                "text", "score", "importance", "doc_index",
+                "text", "score", "str_distance", "importance", "doc_index",
             )
             .orderBy("qid", "rank")
         )

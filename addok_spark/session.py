@@ -47,6 +47,10 @@ def build_session(
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # smaller input splits: scan parallelism must reach the core
+        # count even for ~1GB intermediates (default 128MB splits cap
+        # the analyze/pack map sides at a handful of tasks)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -108,3 +108,37 @@ def test_empty_and_notfound(engine, cfg):
 def test_query_too_long(engine, cfg):
     with pytest.raises(ValueError):
         engine.search([Query(qid="qlong", q="x " * 200, k=5)])
+
+
+def test_scan_mode_rank_identity(spark, index_paths, corpus_pdf, oracle):
+    """only_commons → manual_scan path (Q3/Q4): with intersect_limit
+    forced low, all-common queries probe only the top scan_limit
+    postings of the smallest list; engine and oracle must still be
+    rank-identical."""
+    from addok_spark.config import EngineConfig
+
+    cfg_scan = EngineConfig(
+        build_partitions=8,
+        doc_bucket_bits=8,
+        posting_block_size=64,
+        common_threshold=400,
+        intersect_limit=50,
+        scan_limit=60,
+    )
+    engine = SearchEngine(spark, index_paths, cfg_scan)
+    queries = [
+        Query(qid="qs1", q="the of", k=10),
+        Query(qid="qs2", q="the of to and", k=10),
+    ]
+    got = engine.search(queries).toPandas()
+    want = oracle_search(oracle, queries, cfg_scan)
+    got_g = {qid: g.sort_values("rank") for qid, g in got.groupby("qid")}
+    want_g = {qid: g.sort_values("rank") for qid, g in want.groupby("qid")}
+    assert set(got_g) == set(want_g)
+    assert len(got_g) >= 1
+    for qid in sorted(want_g):
+        assert list(got_g[qid]["doc_index"]) == list(want_g[qid]["doc_index"]), qid
+        np.testing.assert_allclose(
+            got_g[qid]["score"].to_numpy(), want_g[qid]["score"].to_numpy(),
+            rtol=1e-9,
+        )
