@@ -1,0 +1,99 @@
+"""Minimal HTTP search API (reference §3.1 surface parity).
+
+The reference serves ``GET /search/?q=...&limit=..&autocomplete=..``
+via Falcon (``/root/reference/addok/http/base.py:171-209``, wiring
+``addok/http/wsgi.py:8-18``) returning GeoJSON FeatureCollections.
+Transcripts have no geometry, so results render as a JSON envelope
+with the same contract shape: query echo, limit clamping 1..100,
+multi-value filters (``role=a&role=b`` → OR, different params → AND,
+``addok/http/base.py:88-122``), 413 on over-long queries
+(EntityTooLarge, ``addok/helpers/text.py:225-233``).
+
+stdlib http.server on purpose: the serving tier is NOT the engine
+(any WSGI/ASGI frontend works); this exists so a reference user can
+exercise the same HTTP contract against the Spark engine. One
+process, driver-side — batch evaluation (``SearchEngine.search`` with
+many queries) is the idiomatic high-throughput path.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .config import EngineConfig
+from .query.engine import Query, SearchEngine
+
+FILTERABLE = ("role", "tool")
+
+
+def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[int, dict]:
+    q = (params.get("q") or [""])[0]
+    if not q:
+        return 400, {"error": "missing q"}
+    if len(q) > engine.cfg.query_max_length:
+        return 413, {"error": "query too long"}  # ≙ EntityTooLarge
+    try:
+        limit = int((params.get("limit") or ["10"])[0])
+    except ValueError:
+        return 400, {"error": "bad limit"}
+    limit = max(1, min(100, limit))  # http/base.py:176-178
+    autocomplete = (params.get("autocomplete") or ["0"])[0] in ("1", "true")
+    filters = {
+        k: params[k] for k in FILTERABLE if params.get(k)
+    }  # repeated param = OR; multiple fields = AND
+    res = engine.search(
+        [Query(qid="http", q=q, k=limit, autocomplete=autocomplete, filters=filters)]
+    ).collect()
+    return 200, {
+        "query": q,
+        "limit": limit,
+        "hits": [
+            {
+                "rank": r["rank"],
+                "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"],
+                "role": r["role"],
+                "tool": r["tool"],
+                "text": r["text"],
+                "score": r["score"],
+            }
+            for r in res
+        ],
+    }
+
+
+def make_server(engine: SearchEngine, host: str = "127.0.0.1", port: int = 0):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path.rstrip("/") != "/search":
+                self.send_response(404)
+                self.end_headers()
+                return
+            try:
+                code, body = _handle_search(engine, parse_qs(u.query))
+            except Exception as e:  # engine failure → 500 with reason
+                code, body = 500, {"error": str(e)[:200]}
+            payload = json.dumps(body).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Access-Control-Allow-Origin", "*")  # http CORS parity
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_background(engine: SearchEngine, port: int = 0):
+    """Start the server on a daemon thread; returns (server, port)."""
+    srv = make_server(engine, port=port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

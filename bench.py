@@ -198,12 +198,19 @@ def main() -> None:
     result: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1]}
     corpus_path = str(work / "corpus")
 
-    # 1) headline operator suite + corpus materialization + full build
+    # 1) headline operator suite + corpora + full build.
+    # The full-build/latency corpus is FIXED (8k convs ≈ 320k turns)
+    # so those metrics stay comparable across rounds; BENCH_CONVS
+    # sizes only the scaling corpus.
     spark = _session(CPUS)
     queries = _bench_queries(spark)
     n_turns = _materialize_corpus(spark, BENCH_CONVS, corpus_path)
+    _materialize_corpus(spark, 8000, str(work / "corpus_fixed"))
     _materialize_corpus(spark, 200, str(work / "warm"))
-    full = _build_once(spark, corpus_path, str(work / f"idx_{CPUS}"), side_tables=True)
+    full = _build_once(
+        spark, str(work / "corpus_fixed"), str(work / f"idx_{CPUS}"),
+        side_tables=True,
+    )
     latency = _query_latency(spark, str(work / f"idx_{CPUS}"))
     spark.stop()
 

@@ -1,0 +1,83 @@
+"""HTTP contract tests (≙ reference tests/test_http.py:4-97: status
+codes, limit clamping, filters, CORS, over-long query)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from addok_spark.config import EngineConfig
+from addok_spark.data.transcripts import transcripts_df
+from addok_spark.http_api import serve_background
+from addok_spark.index.build import build_index
+from addok_spark.query.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_index_root):
+    cfg = EngineConfig(
+        build_partitions=8, doc_bucket_bits=8, posting_block_size=64,
+        common_threshold=400,
+    )
+    paths = build_index(
+        spark, transcripts_df(spark, 25, seed=42), cfg,
+        f"{tmp_index_root}/http_idx",
+    )
+    engine = SearchEngine(spark, paths, cfg)
+    srv, port = serve_background(engine)
+    yield f"http://127.0.0.1:{port}", engine
+    srv.shutdown()
+
+
+def _get(url):
+    try:
+        r = urllib.request.urlopen(url, timeout=120)
+        return r.status, json.loads(r.read()), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}"), dict(e.headers)
+
+
+def test_search_basic(server, spark):
+    base, engine = server
+    sample = engine.docs.limit(1).collect()[0]
+    words = "+".join(sample["text"].split()[:2])
+    code, body, headers = _get(f"{base}/search/?q={words}&limit=5")
+    assert code == 200
+    assert body["limit"] == 5
+    assert len(body["hits"]) <= 5
+    assert headers.get("Access-Control-Allow-Origin") == "*"
+    if body["hits"]:
+        assert body["hits"][0]["rank"] == 1
+
+
+def test_missing_q(server):
+    base, _ = server
+    code, body, _ = _get(f"{base}/search/")
+    assert code == 400
+
+
+def test_limit_clamped(server):
+    base, _ = server
+    code, body, _ = _get(f"{base}/search/?q=the&limit=10000")
+    assert code == 200 and body["limit"] == 100
+    code, body, _ = _get(f"{base}/search/?q=the&limit=0")
+    assert code == 200 and body["limit"] == 1
+
+
+def test_query_too_long_413(server):
+    base, _ = server
+    code, _, _ = _get(f"{base}/search/?q=" + "x" * 300)
+    assert code == 413
+
+
+def test_role_filter(server):
+    base, _ = server
+    code, body, _ = _get(f"{base}/search/?q=the+run&role=user&role=tool&limit=20")
+    assert code == 200
+    assert all(h["role"] in ("user", "tool") for h in body["hits"])
+
+
+def test_404(server):
+    base, _ = server
+    code, _, _ = _get(f"{base}/nope")
+    assert code == 404

@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the Catalyst behaviors the engine relies
+on must actually appear in the plans (predicate pushdown, column
+pruning, broadcast joins, partition pruning on the pbucket layout)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from addok_spark.config import EngineConfig
+from addok_spark.data.transcripts import transcripts_df
+from addok_spark.entry_queries import q_bm25_topk
+from addok_spark.index.build import build_index
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fmt(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang")
+    )
+    plan = _fmt(df)
+    assert "PushedFilters" in plan
+    assert "IsNotNull(lang)" in plan or "EqualTo(lang,en)" in plan
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    plan = _fmt(df)
+    # the scan must not read the wide text column for a 1-col projection
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+
+
+def test_bm25_uses_broadcast_joins(spark):
+    plan = _plan(q_bm25_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pbucket_partition_pruning(spark, tmp_index_root):
+    cfg = EngineConfig(
+        build_partitions=4, doc_bucket_bits=2, pbucket_shift=1,
+        posting_block_size=8,
+    )
+    paths = build_index(
+        spark, transcripts_df(spark, 8, seed=42), cfg,
+        f"{tmp_index_root}/plans_idx",
+    )
+    blocks = spark.read.parquet(paths.blocks).filter(F.col("pbucket") == 0)
+    plan = _fmt(blocks)
+    # pbucket is a directory-partition column → pruned at planning
+    assert "PartitionFilters" in plan
+    assert "pbucket" in plan
