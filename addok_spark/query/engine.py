@@ -140,24 +140,40 @@ class SearchEngine:
         )
         return {r["token"]: r["df"] for r in rows}
 
-    def _prefix_expansions(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
-        """Autocomplete expansion: full tokens under this edge n-gram,
-        highest-df first (≙ order_by_frequency.lua); (token, df)."""
+    def _prefix_expansions_batch(
+        self, prefixes: set[str], limit: int = 10
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Autocomplete expansions for MANY prefixes in one job:
+        full tokens under each edge n-gram, highest-df first
+        (≙ order_by_frequency.lua); prefix → [(token, df)]."""
+        if not prefixes:
+            return {}
+        w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("token"))
         rows = (
-            self.prefixes.filter(F.col("prefix") == prefix)
-            .orderBy(F.desc("df"), F.asc("token"))
-            .limit(limit)
+            self.prefixes.filter(F.col("prefix").isin(list(prefixes)))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= limit)
             .collect()
         )
-        return [(r["token"], r["df"]) for r in rows]
+        out: dict[str, list[tuple[str, int]]] = {}
+        for r in sorted(rows, key=lambda r: (r["prefix"], r["rn"])):
+            out.setdefault(r["prefix"], []).append((r["token"], r["df"]))
+        return out
 
-    def _fuzzy_expansions(self, token: str) -> list[tuple[str, int]]:
-        """Edit-1 neighbors present in the dictionary, in generation
-        order (≙ addok/fuzzy.py:100 `neighbors.index` ordering);
-        returns (token, df) pairs."""
-        neighbors = make_fuzzy_str(token)
-        present = self._token_stats(set(neighbors))
-        return [(n, present[n]) for n in neighbors if present.get(n, 0) > 0][:8]
+    def _fuzzy_expansions_batch(
+        self, tokens: set[str]
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Edit-1 neighborhoods for MANY tokens resolved against the
+        dictionary in one job; per token the neighbors keep generation
+        order (≙ addok/fuzzy.py:100 `neighbors.index` ordering)."""
+        if not tokens:
+            return {}
+        neigh = {t: make_fuzzy_str(t) for t in tokens}
+        present = self._token_stats({n for ns in neigh.values() for n in ns})
+        return {
+            t: [(n, present[n]) for n in ns if present.get(n, 0) > 0][:8]
+            for t, ns in neigh.items()
+        }
 
     # ------------------------------------------------------------------
     def _plan_queries(self, queries: list[Query]) -> dict[str, _QState]:
@@ -176,6 +192,24 @@ class SearchEngine:
             all_tokens.update(toks)
         stats = self._token_stats(all_tokens)
 
+        # batch expansion lookups: ONE prefix job + ONE fuzzy job for
+        # the whole query set (was one Spark job per token)
+        want_prefix: set[str] = set()
+        want_fuzzy: set[str] = set()
+        for q in queries:
+            toks = analyzed[q.qid]
+            for gid, tok in enumerate(toks):
+                df = stats.get(tok, 0)
+                last = gid == len(toks) - 1
+                if q.autocomplete and last:
+                    want_prefix.add(tok)
+                    if df == 0:
+                        want_fuzzy.add(tok)
+                elif df == 0:
+                    want_fuzzy.add(tok)
+        prefix_exp = self._prefix_expansions_batch(want_prefix)
+        fuzzy_exp = self._fuzzy_expansions_batch(want_fuzzy)
+
         for q in queries:
             toks = analyzed[q.qid]
             groups: dict[int, list[str]] = {}
@@ -189,11 +223,11 @@ class SearchEngine:
                     have = {t for t, _ in exp}
                     if q.autocomplete and last:
                         exp += [
-                            td for td in self._prefix_expansions(tok)
+                            td for td in prefix_exp.get(tok, [])
                             if td[0] not in have
                         ]
                     if not exp:
-                        exp = self._fuzzy_expansions(tok)
+                        exp = fuzzy_exp.get(tok, [])
                     if exp:
                         groups[gid] = [t for t, _ in exp]
                         dfm = min(d for _, d in exp)
