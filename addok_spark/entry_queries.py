@@ -320,6 +320,89 @@ SELECT substr(' ' || token || ' ', i, 3) AS trigram, token
 FROM (SELECT token, unnest(range(1, length(token) + 1)) AS i FROM d)
 """
 
+def q_phrase_count(spark, sf_dir):
+    """Positional-phrase analog over raw text (the engine's
+    phrase_match uses packed position streams; this is the
+    SQL-checkable twin): per-doc occurrence count of the normalized
+    phrase 'data table'."""
+    norm = dedup.normalize_text(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_count(norm, F.lit("data table")).cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 0)
+    )
+
+
+SQL_PHRASE_COUNT = """
+SELECT doc_id,
+       len(regexp_extract_all(
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+         'data table'))::bigint AS n_occ
+FROM documents
+WHERE len(regexp_extract_all(
+        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+        'data table')) > 0
+"""
+
+
+def q_tfidf_vectors(spark, sf_dir):
+    """Per-(doc, token) tf-idf weight (the sparse-vectorization step
+    of a retrieval/embedding pipeline), smooth idf = ln(N/df) + 1."""
+    tf = q_tokenize_tf(spark, sf_dir)
+    n_docs = tf.select("doc_id").distinct().count()
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(df, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (F.log(F.lit(float(n_docs)) / F.col("df")) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+        .filter(F.col("tfidf") >= 3.0)
+    )
+
+
+SQL_TFIDF = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok GROUP BY doc_id, token),
+n AS (SELECT count(DISTINCT doc_id)::double AS n_docs FROM tf),
+df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token)
+SELECT tf.doc_id, tf.token,
+       round(tf.tf * (ln(n.n_docs / df.df) + 1.0), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+WHERE round(tf.tf * (ln(n.n_docs / df.df) + 1.0), 6) >= 3.0
+"""
+
+
+def q_top_terms_per_doc(spark, sf_dir):
+    """Top-3 tokens per document by (tf desc, token asc) — the
+    per-doc summary window (keyword extraction baseline)."""
+    tf = q_tokenize_tf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "rn")
+    )
+
+
+SQL_TOP_TERMS = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok GROUP BY doc_id, token),
+r AS (SELECT doc_id, token, tf,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token)::bigint AS rn
+      FROM tf)
+SELECT doc_id, token, tf, rn FROM r WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup / similarity / text-analysis (training-data pipeline ops)
 # ---------------------------------------------------------------------------
@@ -681,6 +764,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_levenshtein": q_fuzzy_levenshtein,
     "cooccurrence_pairs": q_cooccurrence_pairs,
     "char_trigrams": q_char_trigrams,
+    "phrase_count": q_phrase_count,
+    "tfidf_vectors": q_tfidf_vectors,
+    "top_terms_per_doc": q_top_terms_per_doc,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -708,6 +794,9 @@ ORACLES: dict[str, str] = {
     "fuzzy_levenshtein": SQL_FUZZY,
     "cooccurrence_pairs": SQL_COOCCURRENCE,
     "char_trigrams": SQL_CHAR_TRIGRAMS,
+    "phrase_count": SQL_PHRASE_COUNT,
+    "tfidf_vectors": SQL_TFIDF,
+    "top_terms_per_doc": SQL_TOP_TERMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "minhash_signatures": SQL_MINHASH,
