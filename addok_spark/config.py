@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from .functions.text import FUZZY_KEY_MAP as _FUZZY_KEY_MAP
+
 
 @dataclass(frozen=True)
 class FieldSpec:
@@ -42,12 +44,23 @@ class EngineConfig:
     )
     default_boost: float = 1.0
     importance_weight: float = 0.1  # addok/helpers/results.py:51-57
+    # filterable columns — indexed as f|name|value doc-set postings in
+    # the SAME blocks table (≙ the reference FILTERS config,
+    # default.py:161, and f| sets, helpers/keys.py:16-17), so query
+    # filters constrain candidate COLLECTION, not just post-scoring
+    filter_fields: tuple[str, ...] = ("role", "tool")
 
     # --- tokenizer / analyzer ---
     min_edge_ngram: int = 3   # default.py:45
     max_edge_ngram: int = 20  # default.py:46
     query_max_length: int = 200  # default.py:41
     synonyms: dict[str, str] = field(default_factory=dict)
+    # keyboard-adjacency map limiting fuzzy substitutions; defaults to
+    # the reference's AZERTY FUZZY_KEY_MAP (default.py:172-200). Set
+    # to None for full-alphabet substitutions.
+    fuzzy_key_map: dict[str, str] | None = field(
+        default_factory=lambda: dict(_FUZZY_KEY_MAP)
+    )
 
     # --- collection strategy thresholds (default.py:17-33) ---
     bucket_min: int = 10

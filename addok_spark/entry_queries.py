@@ -7,7 +7,7 @@ IDENTICAL on both sides (the driver hash-compares values after
 sorting columns by name).
 
 Tokenizer used for oracle-checkable queries: ``lower`` +
-``[a-z0-9]+`` split — exactly expressible in both engines. (The full
+``[a-z0-9_]+`` split — exactly expressible in both engines. (The full
 unicode-folding analyzer is exercised by the pytest golden tests and
 the transcripts rank-identity oracle instead; DuckDB's
 ``strip_accents`` diverges from the reference's folding on ligatures,
@@ -30,7 +30,7 @@ from .pipelines import ann, dedup, textstats
 
 SQL_TOKENS = (
     "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),"
-    " '[^a-z0-9]+'), x -> x <> '')) AS token FROM documents"
+    " '[^a-z0-9_]+'), x -> x <> '')) AS token FROM documents"
 )
 
 
@@ -249,10 +249,11 @@ ORDER BY df DESC, token LIMIT 20
 
 def q_fuzzy_levenshtein(spark, sf_dir):
     """T13/Q14: fuzzy candidate pruning — dictionary tokens within
-    edit distance 1 of a typo'd query token."""
+    edit distance 1 of the typo 'tabl' (true distance 1 from 'table',
+    so the check exercises real rows at sf0.01)."""
     d = q_token_dictionary(spark, sf_dir).select("token", "df")
     return (
-        d.withColumn("dist", F.levenshtein(F.col("token"), F.lit("tabel")).cast("long"))
+        d.withColumn("dist", F.levenshtein(F.col("token"), F.lit("tabl")).cast("long"))
         .filter(F.col("dist") <= 1)
         .select("token", "df", "dist")
     )
@@ -262,17 +263,18 @@ SQL_FUZZY = f"""
 WITH tok AS ({SQL_TOKENS}),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
 d AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token)
-SELECT token, df, levenshtein(token, 'tabel')::bigint AS dist
-FROM d WHERE levenshtein(token, 'tabel') <= 1
+SELECT token, df, levenshtein(token, 'tabl')::bigint AS dist
+FROM d WHERE levenshtein(token, 'tabl') <= 1
 """
 
 
 def q_cooccurrence_pairs(spark, sf_dir):
     """B5/Q13: token co-occurrence pairs (pair index), rare tokens
-    only (df bounds ≙ PairsIndexer skipping commons)."""
+    only (df bounds ≙ PairsIndexer skipping commons; bounds chosen so
+    the check exercises real rows at sf0.01)."""
     tf = q_tokenize_tf(spark, sf_dir)
     d = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    rare = d.filter((F.col("df") >= 3) & (F.col("df") <= 50)).select("token")
+    rare = d.filter((F.col("df") >= 2) & (F.col("df") <= 400)).select("token")
     t = tf.join(rare, "token", "left_semi").select("doc_id", "token").distinct()
     a, b = t.alias("a"), t.alias("b")
     return (
@@ -282,7 +284,7 @@ def q_cooccurrence_pairs(spark, sf_dir):
             F.col("a.token").alias("token_a"), F.col("b.token").alias("token_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .filter(F.col("n_docs") >= 3)
+        .filter(F.col("n_docs") >= 2)
     )
 
 
@@ -290,11 +292,11 @@ SQL_COOCCURRENCE = f"""
 WITH tok AS ({SQL_TOKENS}),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
 d AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-rare AS (SELECT token FROM d WHERE df BETWEEN 3 AND 50),
+rare AS (SELECT token FROM d WHERE df BETWEEN 2 AND 400),
 t AS (SELECT DISTINCT doc_id, token FROM tf WHERE token IN (SELECT token FROM rare))
 SELECT a.token AS token_a, b.token AS token_b, count(*)::bigint AS n_docs
 FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
-GROUP BY 1, 2 HAVING count(*) >= 3
+GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
@@ -339,11 +341,11 @@ def q_phrase_count(spark, sf_dir):
 SQL_PHRASE_COUNT = """
 SELECT doc_id,
        len(regexp_extract_all(
-         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+         trim(regexp_replace(lower(text), '[^a-z0-9_]+', ' ', 'g')),
          'data table'))::bigint AS n_occ
 FROM documents
 WHERE len(regexp_extract_all(
-        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+        trim(regexp_replace(lower(text), '[^a-z0-9_]+', ' ', 'g')),
         'data table')) > 0
 """
 
@@ -408,19 +410,33 @@ SELECT doc_id, token, tf, rn FROM r WHERE rn <= 3
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+    """Exact dedup over the corpus PLUS a deterministic re-keyed
+    duplicate slice (doc_id % 7 == 0 → doc_id + 100000): the synthetic
+    corpus has no verbatim dups, so the injected slice makes the
+    oracle exercise real duplicate groups instead of hash-matching on
+    zero rows."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup_slice = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dedup.exact_duplicates(d.unionByName(dup_slice), "doc_id", "text")
 
 
 SQL_DEDUP_EXACT = """
-WITH h AS (SELECT doc_id,
-  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash
-  FROM documents)
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+h AS (SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '[^a-z0-9_]+', ' ', 'g'))) AS text_hash
+  FROM uni)
 SELECT text_hash, count(*)::bigint AS n_dups, min(doc_id) AS canonical_id
 FROM h GROUP BY text_hash HAVING count(*) > 1
 """
 
 SQL_SHINGLES = """
-t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
         x -> x <> '') AS ts FROM documents),
 sh AS (SELECT DISTINCT doc_id AS id,
         array_to_string(list_slice(ts, i + 1, i + 3), ' ') AS shingle
@@ -534,7 +550,7 @@ def q_simhash(spark, sf_dir):
 
 SQL_SIMHASH = """
 WITH t AS (SELECT doc_id AS id,
-  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS token
   FROM documents),
 tf AS (SELECT id, token, count(*)::bigint AS tf FROM t GROUP BY id, token),
 h AS (SELECT id, tf, ('0x' || substr(md5(token), 1, 12))::bigint AS hv FROM tf),
@@ -564,7 +580,7 @@ def _sql_ratio(words: list[str]) -> str:
 
 SQL_LANG_ID = f"""
 WITH t AS (SELECT doc_id AS id,
-  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
   FROM documents),
 r AS (SELECT id,
   {_sql_ratio(textstats.STOPWORDS['de'])} AS ratio_de,
@@ -586,7 +602,7 @@ def q_quality_score(spark, sf_dir):
 
 SQL_QUALITY = f"""
 WITH t AS (SELECT doc_id AS id, text,
-  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
   FROM documents),
 m AS (SELECT id,
   length(text)::int AS n_chars,
@@ -616,7 +632,7 @@ def q_token_counts(spark, sf_dir):
 SQL_TOKEN_COUNTS = """
 SELECT doc_id AS id,
   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::int AS n_ws_tokens,
-  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::int AS n_word_tokens,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> ''))::int AS n_word_tokens,
   ceil(length(text) / 4.0)::bigint AS n_bpe_est
 FROM documents
 """

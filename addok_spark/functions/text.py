@@ -50,7 +50,10 @@ _CHAR_MAP = str.maketrans(
     }
 )
 _COMBINING_RE = re.compile("[\\u0300-\\u036f\\u0483-\\u0489\\u0591-\\u05bd]")
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# Post-fold equivalent of the reference's ``[\w]+`` word pattern
+# (text.py:15): underscores are token characters, so ``foo_bar`` is
+# ONE token — matters for transcripts full of snake_case identifiers.
+_TOKEN_RE = re.compile(r"[a-z0-9_]+")
 _NON_WORD_RE = re.compile(r"[^\w]+")
 
 
@@ -71,7 +74,7 @@ def fold_series(s: pd.Series) -> pd.Series:
 
 
 def tokenize_str(s: str) -> list[str]:
-    """fold + ``[a-z0-9]+`` split (oracle / test path)."""
+    """fold + ``[a-z0-9_]+`` split (oracle / test path)."""
     return _TOKEN_RE.findall(fold_str(s))
 
 
@@ -148,33 +151,54 @@ def char_ngrams_str(token: str, n: int = 3) -> list[str]:
 
 _ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
+# Surrounding letters on a standard keyboard (default french AZERTY)
+# — same contents as the reference FUZZY_KEY_MAP
+# (addok/config/default.py:172-200). The generation ORDER of the
+# candidate list matters: the engine caps fuzzy candidates, so order
+# decides which survive (addok/fuzzy.py:100 `neighbors.index` sort).
+FUZZY_KEY_MAP: dict[str, str] = {
+    "a": "ezqop", "z": "aqse", "e": "azsdryu", "r": "edft", "t": "rfgy",
+    "y": "teghu", "u": "yehji", "i": "ujko", "o": "iaklp", "p": "oalm",
+    "q": "azsw", "s": "qzedxw", "d": "serfcx", "f": "drtgvc",
+    "g": "ftyhbv", "h": "gyujnb", "j": "huikn", "k": "jil", "l": "kom",
+    "m": "lpu", "w": "qsx", "x": "wsdc", "c": "xdfvio", "v": "cfgb",
+    "b": "vghn", "n": "bhj",
+}
+
 
 def make_fuzzy_str(word: str, keyboard: dict[str, str] | None = None) -> list[str]:
-    """Edit-distance-1 neighborhood with order-preserving dedup:
-    adjacent transpositions, substitutions (optionally limited to a
-    keyboard-adjacency map like default.py:173-200), insertions, and
-    deletions only for words longer than 3 chars."""
-    seen: set[str] = {word}
-    out: list[str] = []
+    """Edit-distance-1 neighborhood, emission order and dedup EXACTLY
+    matching the reference (``addok/fuzzy.py:13-56``):
 
-    def emit(w: str) -> None:
-        if w and w not in seen:
-            seen.add(w)
-            out.append(w)
-
+    1. adjacent transpositions (per position);
+    2. substitutions — keyboard-map-limited per position when a map
+       is given (default.py:172-200), else per-LETTER then
+       per-position over the full alphabet;
+    3. insertions, per-letter then per-position;
+    4. deletions, only for words longer than 3 chars;
+    then order-preserving dedup (``dict.fromkeys``). The original word
+    is NOT special-cased (matching the reference: a transposition of
+    equal adjacent letters may re-emit it)."""
+    neighbors: list[str] = []
     for i in range(len(word) - 1):  # adjacent transpositions
-        emit(word[:i] + word[i + 1] + word[i] + word[i + 2 :])
-    for i, ch in enumerate(word):  # substitutions
-        pool = keyboard.get(ch, "") if keyboard is not None else _ALPHABET
-        for c in pool:
-            emit(word[:i] + c + word[i + 1 :])
-    for i in range(len(word) + 1):  # insertions
+        neighbors.append(word[:i] + word[i + 1] + word[i] + word[i + 2 :])
+    if keyboard is not None:  # keyboard-limited substitutions
+        for i, ch in enumerate(word):
+            for c in keyboard.get(ch, ""):
+                if c != ch:
+                    neighbors.append(word[:i] + c + word[i + 1 :])
+    else:  # plain substitutions: per-letter OUTER, per-position inner
         for c in _ALPHABET:
-            emit(word[:i] + c + word[i:])
+            for i, ch in enumerate(word):
+                if c != ch:
+                    neighbors.append(word[:i] + c + word[i + 1 :])
+    for c in _ALPHABET:  # insertions: per-letter outer
+        for i in range(len(word) + 1):
+            neighbors.append(word[:i] + c + word[i:])
     if len(word) > 3:  # deletions
         for i in range(len(word)):
-            emit(word[:i] + word[i + 1 :])
-    return out
+            neighbors.append(word[:i] + word[i + 1 :])
+    return list(dict.fromkeys(neighbors))
 
 
 # ---------------------------------------------------------------------------
@@ -210,15 +234,22 @@ def compare_ngrams(a: str, b: str, n: int = 2) -> float:
 
 def compare_str(query: str, label: str) -> float:
     """Weighted trigram recall/precision + normalized edit distance
-    (reference text.py:175-188: 0.85 recall + 0.05 precision +
-    0.1 edit-similarity)."""
+    (reference text.py:175-188, called as ``compare_str(label,
+    query)`` at results.py:80 — so 0.85 weighs coverage of the QUERY
+    trigrams). The edit term subtracts the length difference first
+    (the reference's "editdistance limited to common text portion"),
+    so prefix/autocomplete-style length gaps aren't penalized."""
     qa, la = set(char_ngrams_str(query, 3)), set(char_ngrams_str(label, 3))
     inter = len(qa & la)
     recall = inter / len(qa) if qa else 0.0
     precision = inter / len(la) if la else 0.0
     m = max(len(query), len(label))
-    edit_sim = 1.0 - (levenshtein(query, label) / m if m else 0.0)
-    return 0.85 * recall + 0.05 * precision + 0.1 * edit_sim
+    dist = (
+        (levenshtein(query, label) - abs(len(query) - len(label))) / m
+        if m
+        else 0.0
+    )
+    return 0.85 * recall + 0.05 * precision + 0.1 * (1.0 - dist)
 
 
 # ---------------------------------------------------------------------------
@@ -247,9 +278,20 @@ def make_fuzzy_udf():
     return F.pandas_udf(_fz, T.ArrayType(T.StringType()))
 
 
+def str_distance_key(query: str, label: str) -> float:
+    """The deterministic str_distance tie-break key: compare_str
+    rounded to 9 digits with Python round (banker's/HALF_EVEN). BOTH
+    the engine UDF and the oracle call THIS function, so a value
+    landing exactly on a representable half can't round differently
+    between the two sides."""
+    return round(compare_str(query, label), 9)
+
+
 def make_compare_str_udf():
     def _cmp(q: pd.Series, lbl: pd.Series) -> pd.Series:
-        return pd.Series([compare_str(a or "", b or "") for a, b in zip(q, lbl)])
+        return pd.Series(
+            [str_distance_key(a or "", b or "") for a, b in zip(q, lbl)]
+        )
 
     return F.pandas_udf(_cmp, T.DoubleType())
 

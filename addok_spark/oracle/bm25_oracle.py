@@ -23,10 +23,10 @@ import pandas as pd
 from ..config import EngineConfig
 from ..functions.text import (
     analyze_str,
-    compare_str,
     edge_ngrams_str,
     fold_str,
     make_fuzzy_str,
+    str_distance_key,
 )
 
 
@@ -88,7 +88,7 @@ class OracleIndex:
 
     def fuzzy_expansions(self, token: str) -> list[tuple[str, int]]:
         out = []
-        for n in make_fuzzy_str(token):
+        for n in make_fuzzy_str(token, self.cfg.fuzzy_key_map):
             if n in self.df:
                 out.append((n, self.df[n]))
         return out[:8]
@@ -254,8 +254,8 @@ def oracle_search(
                     "qid": q.qid,
                     "doc_index": d,
                     "score": score,
-                    "str_distance": round(
-                        compare_str(fold_str(q.q), fold_str(doc["text"])), 9
+                    "str_distance": str_distance_key(
+                        fold_str(q.q), fold_str(doc["text"])
                     ),
                     "boost": boost_sum,
                     "importance": float(doc.get("importance", 0.0) or 0.0),

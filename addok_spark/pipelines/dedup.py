@@ -28,7 +28,7 @@ def _md5_long(col, nchars: int = 12):
 def normalize_text(col):
     """Cheap fold for dedup purposes: lower + squeeze non-alnum to
     single spaces + trim (≙ alphanumerize, reference text.py:209-210)."""
-    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9_]+", " "))
 
 
 def tokens_col(col):

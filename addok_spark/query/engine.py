@@ -168,7 +168,7 @@ class SearchEngine:
         order (≙ addok/fuzzy.py:100 `neighbors.index` ordering)."""
         if not tokens:
             return {}
-        neigh = {t: make_fuzzy_str(t) for t in tokens}
+        neigh = {t: make_fuzzy_str(t, self.cfg.fuzzy_key_map) for t in tokens}
         present = self._token_stats({n for ns in neigh.values() for n in ns})
         return {
             t: [(n, present[n]) for n in ns if present.get(n, 0) > 0][:8]
@@ -591,10 +591,12 @@ class SearchEngine:
                 for x in (F.lit(st.query.qid), F.lit(st.query.q))
             ]
         )
+        # rounding happens INSIDE the UDF (Python round, HALF_EVEN)
+        # so engine and oracle share one rounding rule (str_distance_key)
         cmp_udf = make_compare_str_udf()
         per_doc = per_doc.withColumn(
             "str_distance",
-            F.round(cmp_udf(fold_udf(qmap[F.col("qid")]), fold_udf(F.col("text"))), 9),
+            cmp_udf(fold_udf(qmap[F.col("qid")]), fold_udf(F.col("text"))),
         )
 
         w = Window.partitionBy("qid").orderBy(

@@ -29,6 +29,9 @@ from addok_spark.functions.text import (
         ("Lilas", ["lilas"]),
         ("", []),
         (None, []),
+        # reference pattern is [\w]+ (text.py:15): underscores are
+        # token chars — snake_case identifiers stay ONE token
+        ("tool_name foo_bar", ["tool_name", "foo_bar"]),
     ],
 )
 def test_tokenize(raw, expected):
@@ -80,6 +83,44 @@ def test_fuzzy_neighborhood():
     assert len(out) == len(set(out))           # dedup
     longer = make_fuzzy_str("rues")
     assert "rue" in longer                     # deletion for len>3
+
+
+def test_fuzzy_golden_order():
+    """Reproduces the reference's exact neighbor ORDER (fuzzy.py:13-56:
+    transpositions → substitutions → insertions → deletions, then
+    order-preserving dedup). Order matters because the engine caps
+    candidates, so order decides which survive."""
+    from addok_spark.functions.text import FUZZY_KEY_MAP
+
+    km = make_fuzzy_str("mot", FUZZY_KEY_MAP)
+    assert km[:15] == [
+        "omt", "mto",                                  # transpositions
+        "lot", "pot", "uot", "mit", "mat", "mkt",      # keymap subst
+        "mlt", "mpt", "mor", "mof", "mog", "moy",      # (per position)
+        "amot",                                        # insertions
+    ]
+    assert len(km) == 115
+    plain = make_fuzzy_str("mot")
+    # plain substitutions run per-LETTER then per-position
+    assert plain[:8] == ["omt", "mto", "aot", "mat", "moa", "bot", "mbt", "mob"]
+    assert len(plain) == 178
+    # deletions included for len>3, in position order at the tail
+    assert make_fuzzy_str("rues")[-4:] == ["ues", "res", "rus", "rue"]
+    # the original word is NOT special-cased: equal adjacent letters
+    # transpose back to the word itself, and the reference keeps it
+    assert make_fuzzy_str("aa", FUZZY_KEY_MAP)[0] == "aa"
+
+
+def test_compare_str_common_portion():
+    # the edit term subtracts the length difference (reference
+    # text.py:180-182), so a pure prefix pays no edit penalty
+    q = "rue"
+    full = compare_str(q, "rue des lilas")
+    qa = set(char_ngrams_str(q, 3))
+    la = set(char_ngrams_str("rue des lilas", 3))
+    inter = len(qa & la)
+    expected = 0.85 * inter / len(qa) + 0.05 * inter / len(la) + 0.1 * 1.0
+    assert full == pytest.approx(expected)
 
 
 def test_synonyms_roundtrip():
