@@ -374,6 +374,34 @@ def _pack_group(
     return out
 
 
+def filter_token_rows(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Filter-set postings: one ``f|name|value`` token row per doc per
+    filterable column (≙ the reference's ``f|`` Redis sets,
+    ``addok/helpers/keys.py:16-17``, ``helpers/index.py:180-195``).
+    Stored in the SAME blocks table as word postings (tf=1, boost=0,
+    empty positions), so query filters ride the normal intersection
+    path and constrain candidate COLLECTION — a selective filter can
+    never be starved by an unfiltered top-boost bucket. ``|`` cannot
+    appear in analyzed tokens, so the namespace is collision-free."""
+    fields = [f for f in cfg.filter_fields if f in docs.columns]
+    if not fields:
+        return None
+    parts = [
+        docs.filter(F.col(f).isNotNull()).select(
+            "doc_index",
+            F.concat(F.lit(f"f|{f}|"), F.col(f).cast("string")).alias("token"),
+            F.lit(1).alias("tf"),
+            F.lit(b"").alias("pos_bin"),
+            F.lit(0.0).cast("float").alias("boost"),
+        )
+        for f in fields
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
     """(doc_index, token, tf, pos_bin, boost) -> packed block rows.
 
@@ -576,6 +604,10 @@ class IndexBuilder:
                 F.col("tk.pos_bin").alias("pos_bin"),
                 F.col("tk.boost").alias("boost"),
             )
+            # filter-set postings ride the same shuffle + pack pass
+            frows = filter_token_rows(analyzed, cfg)
+            if frows is not None:
+                token_doc = token_doc.unionByName(frows)
             blocks = build_blocks(token_doc, cfg)
             # pack output is (token,bucket)-sorted within partitions
             # already — write as-is; parquet row-group stats still give
@@ -621,7 +653,10 @@ class IndexBuilder:
         # a separate follow-on job like `addok ngrams`, autocomplete.py:111-131)
         if cfg.build_prefixes and not (resume and self._stage_done("prefixes")):
             prefixes = (
-                dictionary.filter(~F.col("token").rlike("^[0-9]+$"))
+                dictionary.filter(
+                    ~F.col("token").rlike("^[0-9]+$")
+                    & ~F.col("token").contains("|")  # skip filter keys
+                )
                 .select(
                     "token",
                     "df",
@@ -650,7 +685,8 @@ class IndexBuilder:
                 F.col("df") > cfg.common_threshold
             ).select("token")
             tok_doc = (
-                blocks_df.join(F.broadcast(commons), "token", "left_anti")
+                blocks_df.filter(~F.col("token").contains("|"))
+                .join(F.broadcast(commons), "token", "left_anti")
                 .select("token", _unpack_docs_udf(F.col("docs_bin")).alias("ds"))
                 .select("token", F.explode("ds").alias("doc_index"))
             )

@@ -43,6 +43,7 @@ from .build import (
     IndexPaths,
     build_blocks,
     dictionary_from_blocks,
+    filter_token_rows,
     tokenize_docs,
 )
 
@@ -152,7 +153,11 @@ def apply_actions(
     ).persist()
     docs_part.write.mode("overwrite").partitionBy("pbucket").parquet(paths.docs)
 
-    # rebuild the touched posting partitions
+    # rebuild the touched posting partitions (incl. filter-set rows,
+    # same union as the bulk build)
+    frows = filter_token_rows(new_docs, cfg)
+    if frows is not None:
+        token_doc = token_doc.unionByName(frows)
     blocks = build_blocks(token_doc, cfg)
     blocks.write.mode("overwrite").partitionBy("pbucket").parquet(paths.blocks)
 
@@ -176,7 +181,9 @@ def apply_actions(
     dictionary.write.mode("overwrite").parquet(paths.dictionary)
     prefixes = (
         spark.read.parquet(paths.dictionary)
-        .filter(~F.col("token").rlike("^[0-9]+$"))
+        .filter(
+            ~F.col("token").rlike("^[0-9]+$") & ~F.col("token").contains("|")
+        )
         .select(
             "token",
             "df",

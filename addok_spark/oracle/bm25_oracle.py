@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import EngineConfig
+from ..query.engine import FILTER_GID_BASE
 from ..functions.text import (
     analyze_str,
     edge_ngrams_str,
@@ -71,6 +72,15 @@ class OracleIndex:
                     np.float32(fb[t] + imp * cfg.importance_weight)
                 )
         self.df = {t: len(m) for t, m in self.tf.items()}
+        # filter-set postings (f|name|value → {doc: 0.0}) — same
+        # namespace as the engine's filter_token_rows (build.py)
+        self.fboost: dict[str, dict[int, float]] = defaultdict(dict)
+        for fname in cfg.filter_fields:
+            if fname not in corpus.columns:
+                continue
+            for d, v in zip(corpus["doc_index"], corpus[fname]):
+                if v is not None and not (isinstance(v, float) and math.isnan(v)):
+                    self.fboost[f"f|{fname}|{v}"][int(d)] = 0.0
         self.n_docs = len(corpus)
         self.avgdl = float(self.dl.sum()) / max(self.n_docs, 1)
         # prefix table (non-digit tokens, autocomplete.py:111-131)
@@ -80,6 +90,12 @@ class OracleIndex:
                 continue
             for p in edge_ngrams_str(t, cfg.min_edge_ngram, cfg.max_edge_ngram):
                 self.prefixes[p].append((t, df))
+
+    def postings(self, token: str) -> dict[int, float]:
+        """doc → boost for word tokens AND f| filter keys."""
+        if token.startswith("f|") and token in self.fboost:
+            return self.fboost[token]
+        return self.boost.get(token, {})
 
     # -- expansion helpers (mirror SearchEngine) ---------------------------
     def prefix_expansions(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
@@ -133,6 +149,22 @@ def oracle_search(
         meaningful.sort(key=lambda x: (x[0], x[2]))
         order = [gid for _, gid, _ in meaningful[: cfg.max_meaningful]]
 
+        # no usable word tokens → abort guard (collectors.py:10-17)
+        if not groups:
+            continue
+        # filter groups (mirror engine FILTER_GID_BASE semantics)
+        filter_gids: list[int] = []
+        for fi, (fcol, vals) in enumerate(
+            sorted((getattr(q, "filters", None) or {}).items())
+        ):
+            vs = sorted({str(v).strip() for v in vals if str(v).strip()})
+            if vs:
+                gid = FILTER_GID_BASE + fi
+                keys = [f"f|{fcol}|{v}" for v in vs]
+                groups[gid] = keys
+                group_dfs[gid] = min(len(index.fboost.get(k, {})) for k in keys)
+                filter_gids.append(gid)
+
         candidates: set[int] = set()
         done = False
 
@@ -146,7 +178,7 @@ def oracle_search(
                 sgid = min(gids, key=lambda g: (group_dfs.get(g, 0), g))
                 sboost: dict[int, float] = {}
                 for tok in groups[sgid]:
-                    for d, b in index.boost.get(tok, {}).items():
+                    for d, b in index.postings(tok).items():
                         if d not in sboost or b > sboost[d]:
                             sboost[d] = b
                 ordered_s = sorted(sboost.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -154,7 +186,7 @@ def oracle_search(
             match: dict[int, dict[int, float]] = {}  # doc -> gid -> gboost
             for gid in gids:
                 for tok in groups[gid]:
-                    for d, b in index.boost.get(tok, {}).items():
+                    for d, b in index.postings(tok).items():
                         if scan_docs is not None and d not in scan_docs:
                             continue
                         slot = match.setdefault(d, {})
@@ -175,7 +207,10 @@ def oracle_search(
             if round_no == 1:
                 gids = order
             elif round_no == 2:
-                gids = order if order else sorted(groups)
+                # commons fallback only (mirror engine round-2 skip)
+                gids = [] if order else [
+                    g for g in sorted(groups) if g < FILTER_GID_BASE
+                ]
             elif round_no == 3 and len(order) > 1:
                 gids = order[:-1]
             elif round_no == 4 and len(order) > 2:
@@ -184,7 +219,7 @@ def oracle_search(
                 continue
             if not gids:
                 continue
-            ordered = run_gids(gids)
+            ordered = run_gids(gids + filter_gids)
             room = cfg.bucket_max - len(candidates)
             candidates.update(ordered[:room])
             if len(candidates) >= cfg.bucket_min:
@@ -210,7 +245,7 @@ def oracle_search(
             for clique in ordered_cliques(order, edges, group_dfs):
                 if len(candidates) >= cfg.bucket_min:
                     break
-                ordered = run_gids(list(clique), use_scan=False)
+                ordered = run_gids(list(clique) + filter_gids, use_scan=False)
                 room = cfg.bucket_max - len(candidates)
                 candidates.update(ordered[:room])
 
@@ -230,6 +265,8 @@ def oracle_search(
             boost_sum = 0.0
             matched_any = False
             for gid in sorted(groups):
+                if gid >= FILTER_GID_BASE:
+                    continue  # filter groups never score
                 tf = 0
                 dfm = None
                 gboost = None

@@ -65,31 +65,47 @@ from ..functions.text import (
 from ..index.build import IndexPaths
 from ..index.compress import unpack_deltas, unpack_f32, varint_decode
 
-UNPACK_SCHEMA = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("doc_index", T.LongType()),
-            T.StructField("tf", T.IntegerType()),
-            T.StructField("boost", T.FloatType()),
-        ]
-    )
+UNPACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_index", T.ArrayType(T.LongType())),
+        T.StructField("tf", T.ArrayType(T.IntegerType())),
+        T.StructField("boost", T.ArrayType(T.FloatType())),
+    ]
 )
 
 
 @F.pandas_udf(UNPACK_SCHEMA)
-def _unpack_block(docs_bin: pd.Series, tfs_bin: pd.Series, boosts_bin: pd.Series) -> pd.Series:
-    out = []
+def _unpack_block(docs_bin: pd.Series, tfs_bin: pd.Series, boosts_bin: pd.Series) -> pd.DataFrame:
+    """Block decode as STRUCT-OF-ARRAYS: one numpy array per column
+    per block — never a Python object per posting. At 100× scale a
+    common token's blocks decode to millions of postings per round;
+    they cross Arrow as primitive list buffers and are exploded
+    JVM-side with arrays_zip (the row-wise dict construction this
+    replaces was the build side's measured anti-scaling pattern)."""
+    docs, tfs, boosts = [], [], []
     for db, tb, bb in zip(docs_bin, tfs_bin, boosts_bin):
-        docs = unpack_deltas(db).astype(np.int64)
-        tfs = varint_decode(tb).astype(np.int32)
-        boosts = unpack_f32(bb)
-        out.append(
-            [
-                {"doc_index": int(d), "tf": int(t), "boost": float(b)}
-                for d, t, b in zip(docs, tfs, boosts)
-            ]
-        )
-    return pd.Series(out)
+        docs.append(unpack_deltas(db).astype(np.int64))
+        tfs.append(varint_decode(tb).astype(np.int32))
+        boosts.append(unpack_f32(bb))
+    return pd.DataFrame({"doc_index": docs, "tf": tfs, "boost": boosts})
+
+
+def _exploded_postings(hits, extra_cols: list[str], with_tf: bool = False):
+    """blocks rows → (…extra_cols, doc_index, boost[, tf]) posting
+    rows: UDF decode to arrays, then JVM-side arrays_zip + explode."""
+    unp = hits.select(
+        *extra_cols,
+        _unpack_block("docs_bin", "tfs_bin", "boosts_bin").alias("u"),
+    )
+    zipped = F.arrays_zip(
+        F.col("u.doc_index").alias("doc_index"),
+        F.col("u.boost").alias("boost"),
+        *([F.col("u.tf").alias("tf")] if with_tf else []),
+    )
+    out_cols = ["p.doc_index", "p.boost"] + (["p.tf"] if with_tf else [])
+    return unp.select(*extra_cols, F.explode(zipped).alias("p")).select(
+        *extra_cols, *out_cols
+    )
 
 
 @dataclass
@@ -101,6 +117,12 @@ class Query:
     filters: dict[str, list[str]] = field(default_factory=dict)
 
 
+# group ids at/above this are FILTER groups (f|name|value doc-set
+# postings): required in every collection round, zero boost, excluded
+# from BM25 scoring and from drop-token relaxation
+FILTER_GID_BASE = 1_000_000
+
+
 @dataclass
 class _QState:
     query: Query
@@ -109,6 +131,10 @@ class _QState:
     group_df: dict[int, int] = field(default_factory=dict)  # min df per group
     candidates: set[int] = field(default_factory=set)
     done: bool = False
+
+    @property
+    def filter_gids(self) -> list[int]:
+        return [g for g in sorted(self.groups) if g >= FILTER_GID_BASE]
 
 
 class SearchEngine:
@@ -181,6 +207,7 @@ class SearchEngine:
         states: dict[str, _QState] = {}
         all_tokens: set[str] = set()
         analyzed: dict[str, list[str]] = {}
+        fkeys: dict[str, list[tuple[int, list[str]]]] = {}
         for q in queries:
             if len(q.q) > cfg.query_max_length:
                 raise ValueError(f"query too long ({len(q.q)} > {cfg.query_max_length})")
@@ -190,6 +217,18 @@ class SearchEngine:
             toks = [t for t in toks if not (t in seen or seen.add(t))]
             analyzed[q.qid] = toks
             all_tokens.update(toks)
+            # filter groups: one group per filter field, OR across its
+            # values (≙ SUNION f|k|v1..vn, core.py:177-206), AND across
+            # fields (≙ SINTER, core.py:250-269); values deduped +
+            # sorted like _normalize_filter_values (core.py:160-176)
+            fk: list[tuple[int, list[str]]] = []
+            for fi, (fcol, vals) in enumerate(sorted((q.filters or {}).items())):
+                vs = sorted({str(v).strip() for v in vals if str(v).strip()})
+                if vs:
+                    keys = [f"f|{fcol}|{v}" for v in vs]
+                    fk.append((FILTER_GID_BASE + fi, keys))
+                    all_tokens.update(keys)
+            fkeys[q.qid] = fk
         stats = self._token_stats(all_tokens)
 
         # batch expansion lookups: ONE prefix job + ONE fuzzy job for
@@ -243,13 +282,23 @@ class SearchEngine:
                     group_df[gid] = df
                     meaningful.append((df, gid, tok))
             meaningful.sort(key=lambda x: (x[0], x[2]))
+            no_token_groups = not groups
+            for gid, keys in fkeys[q.qid]:
+                groups[gid] = keys
+                # group df = min over value-set cardinalities (the
+                # cost-model stat steering manual_scan probe choice;
+                # a selective filter can drive the probe,
+                # ≙ collectors.py:35-65 SCARD comparison)
+                group_df[gid] = min(stats.get(k, 0) for k in keys)
             states[q.qid] = _QState(
                 query=q,
                 groups=groups,
                 group_df=group_df,
                 meaningful_order=[gid for _, gid, _ in meaningful[: cfg.max_meaningful]],
+                # no usable word tokens → abort (≙ the
+                # no_available_tokens_abort guard, collectors.py:10-17)
+                done=no_token_groups,
             )
-        # refresh stats for expansion tokens introduced above
         return states
 
     # ------------------------------------------------------------------
@@ -276,14 +325,8 @@ class SearchEngine:
             .select("qid", "bucket")
         )
         pruned = hits.join(buck, ["qid", "bucket"], "left_semi")
-        postings = pruned.select(
-            "qid",
-            "gid",
-            "n_required",
-            "is_scan",
-            F.explode(_unpack_block("docs_bin", "tfs_bin", "boosts_bin")).alias("p"),
-        ).select(
-            "qid", "gid", "n_required", "is_scan", "p.doc_index", "p.boost"
+        postings = _exploded_postings(
+            pruned, ["qid", "gid", "n_required", "is_scan"]
         )
         if bool(plan["is_scan"].any()):
             scan_qids = plan.loc[plan["is_scan"], "qid"].unique().tolist()
@@ -350,11 +393,13 @@ class SearchEngine:
                 if round_no == 1:
                     gids = order
                 elif round_no == 2:
-                    # commons fallback / expansions are already in
-                    # groups; retry including common tokens if there
-                    # were no meaningful ones (≙ only_commons,
-                    # collectors.py:20-65)
-                    gids = order if order else sorted(st.groups)
+                    # commons fallback ONLY (expansions already ride
+                    # round 1's groups, so re-running the identical
+                    # plan would waste a full collection round —
+                    # ≙ only_commons, collectors.py:20-65)
+                    gids = [] if order else [
+                        g for g in sorted(st.groups) if g < FILTER_GID_BASE
+                    ]
                 elif round_no == 3 and len(order) > 1:
                     gids = order[:-1]  # drop highest-df
                 elif round_no == 4 and len(order) > 2:
@@ -363,6 +408,10 @@ class SearchEngine:
                     continue
                 if not gids:
                     continue
+                # filter groups are required in EVERY round (the
+                # reference appends f| keys to every intersect,
+                # core.py:337-352) and are never relaxation-dropped
+                gids = gids + st.filter_gids
                 # scan mode iff EVERY required group is too frequent
                 # (≙ only_commons → manual_scan, collectors.py:35-65)
                 gdf = st.group_df
@@ -445,9 +494,10 @@ class SearchEngine:
             ):
                 vq = f"{qid}\x00{ci}"
                 clique_order.setdefault(qid, []).append(vq)
-                for gid in clique:
+                cg = list(clique) + st.filter_gids  # filters always required
+                for gid in cg:
                     for tok in st.groups[gid]:
-                        plan_rows.append((vq, gid, tok, len(clique), False))
+                        plan_rows.append((vq, gid, tok, len(cg), False))
         if not plan_rows:
             return
         got = self._run_round(
@@ -486,6 +536,7 @@ class SearchEngine:
             (st.query.qid, gid, tok)
             for st in states.values()
             for gid, toks in sorted(st.groups.items())
+            if gid < FILTER_GID_BASE  # filter groups never score
             for tok in toks
         ]
         if not cand_rows:
@@ -513,12 +564,7 @@ class SearchEngine:
         hits = self.blocks.join(qtoks, "token").join(
             cbuckets, ["qid", "bucket"], "left_semi"
         )
-        postings = hits.select(
-            "qid",
-            "gid",
-            "token",
-            F.explode(_unpack_block("docs_bin", "tfs_bin", "boosts_bin")).alias("p"),
-        ).select("qid", "gid", "token", "p.doc_index", "p.tf", "p.boost")
+        postings = _exploded_postings(hits, ["qid", "gid", "token"], with_tf=True)
         postings = postings.join(cand, ["qid", "doc_index"], "inner")
 
         # group-level tf: expansions of one query token sum their tf

@@ -24,33 +24,41 @@ from pyspark.sql import types as T
 from ..functions.text import analyze_str
 from ..index.compress import unpack_deltas, varint_decode
 
-POS_SCHEMA = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("doc_index", T.LongType()),
-            T.StructField("positions", T.ArrayType(T.IntegerType())),
-        ]
-    )
+POS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_index", T.ArrayType(T.LongType())),
+        T.StructField("position", T.ArrayType(T.IntegerType())),
+    ]
 )
 
 
 @F.pandas_udf(POS_SCHEMA)
-def _unpack_positions(docs_bin: pd.Series, tfs_bin: pd.Series, pos_bin: pd.Series) -> pd.Series:
-    out = []
+def _unpack_positions(docs_bin: pd.Series, tfs_bin: pd.Series, pos_bin: pd.Series) -> pd.DataFrame:
+    """Decode a block's position streams into FLAT parallel arrays
+    (doc repeated per occurrence, absolute position) — all numpy, no
+    per-posting Python objects. Per-posting delta streams are
+    restored with one cumsum + a vectorized per-group offset reset
+    (each posting's first delta is its absolute first position)."""
+    doc_col, pos_col = [], []
+    empty_i8, empty_i4 = np.empty(0, np.int64), np.empty(0, np.int32)
     for db, tb, pb in zip(docs_bin, tfs_bin, pos_bin):
         docs = unpack_deltas(bytes(db)).astype(np.int64)
         tfs = varint_decode(bytes(tb)).astype(np.int64)
         deltas = varint_decode(bytes(pb)).astype(np.int64)
-        ends = np.cumsum(tfs)
-        starts = ends - tfs
-        rows = []
-        for i, d in enumerate(docs):
-            ds = deltas[starts[i] : ends[i]]
-            rows.append(
-                {"doc_index": int(d), "positions": np.cumsum(ds).astype(int).tolist()}
-            )
-        out.append(rows)
-    return pd.Series(out)
+        if not len(deltas):
+            doc_col.append(empty_i8)
+            pos_col.append(empty_i4)
+            continue
+        starts = np.cumsum(tfs) - tfs
+        c = np.cumsum(deltas)
+        # offset of posting j = running total just before its start;
+        # subtracting it makes each posting's cumsum restart at its
+        # own absolute first position
+        off = np.zeros(len(tfs), dtype=np.int64)
+        off[1:] = c[starts[1:] - 1]
+        doc_col.append(np.repeat(docs, tfs))
+        pos_col.append((c - np.repeat(off, tfs)).astype(np.int32))
+    return pd.DataFrame({"doc_index": doc_col, "position": pos_col})
 
 
 def phrase_match(engine, phrase: str, k: int = 10) -> DataFrame:
@@ -78,25 +86,28 @@ def phrase_match(engine, phrase: str, k: int = 10) -> DataFrame:
         .select("bucket")
     )
     pruned = hits.join(buck, "bucket", "left_semi")
-    pos = pruned.select(
-        "token",
+    unp = pruned.select(
+        "offset", _unpack_positions("docs_bin", "tfs_bin", "pos_bin").alias("u")
+    )
+    pos = unp.select(
         "offset",
         F.explode(
-            _unpack_positions("docs_bin", "tfs_bin", "pos_bin")
+            F.arrays_zip(
+                F.col("u.doc_index").alias("doc_index"),
+                F.col("u.position").alias("position"),
+            )
         ).alias("p"),
     ).select(
         "offset",
         F.col("p.doc_index").alias("doc_index"),
         # normalize: a token at position x matching query offset o
         # anchors a phrase starting at x - o
-        F.expr("transform(p.positions, x -> x - offset)").alias("anchors"),
+        (F.col("p.position") - F.col("offset")).alias("anchor"),
     )
     # per (doc, offset): the set of anchor starts; phrase occurs at
     # anchor a iff EVERY offset contributes a  →  count distinct
     # offsets per (doc, anchor) == n_tokens
-    anchors = pos.select(
-        "doc_index", "offset", F.explode("anchors").alias("anchor")
-    ).dropDuplicates(["doc_index", "offset", "anchor"])
+    anchors = pos.dropDuplicates(["doc_index", "offset", "anchor"])
     matched = (
         anchors.groupBy("doc_index", "anchor")
         .agg(F.count(F.lit(1)).alias("no"))

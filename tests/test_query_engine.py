@@ -100,6 +100,36 @@ def test_filters(engine, oracle, corpus_pdf, cfg):
     assert set(got["role"]) <= {"user"}
 
 
+def test_filter_constrained_collection(engine, oracle, cfg):
+    """Filters constrain candidate COLLECTION, not just post-scoring
+    (≙ reference appending f| keys to every intersect,
+    core.py:337-352). 'the of' are common tokens whose unfiltered
+    top-100 bucket is dominated by non-matching docs — a selective
+    tool filter (~5% of docs) must still return the oracle's top-k
+    instead of a starved bucket."""
+    queries = [
+        Query(qid="qfc1", q="the of", k=10, filters={"tool": ["python"]}),
+        Query(qid="qfc2", q="error file", k=10,
+              filters={"role": ["tool"], "tool": ["grep", "bash"]}),
+        Query(qid="qfc3", q="the of", k=10, filters={"role": ["nope"]}),
+    ]
+    got = engine.search(queries).toPandas()
+    want = oracle_search(oracle, queries, cfg)
+    got_g = {qid: g.sort_values("rank") for qid, g in got.groupby("qid")}
+    want_g = {qid: g.sort_values("rank") for qid, g in want.groupby("qid")}
+    assert set(got_g) == set(want_g)
+    assert "qfc3" not in got_g  # nonexistent filter value → no rows
+    assert len(got_g["qfc1"]) == 10 and set(got_g["qfc1"]["tool"]) == {"python"}
+    assert set(got_g["qfc2"]["tool"]) <= {"grep", "bash"}
+    assert set(got_g["qfc2"]["role"]) == {"tool"}
+    for qid in sorted(want_g):
+        assert list(got_g[qid]["doc_index"]) == list(want_g[qid]["doc_index"]), qid
+        np.testing.assert_allclose(
+            got_g[qid]["score"].to_numpy(), want_g[qid]["score"].to_numpy(),
+            rtol=1e-9,
+        )
+
+
 def test_empty_and_notfound(engine, cfg):
     out = engine.search([Query(qid="qx", q="zzzz qqqq xxxx", k=5)]).toPandas()
     assert len(out) == 0 or set(out["qid"]) == {"qx"}
