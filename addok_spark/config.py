@@ -71,6 +71,14 @@ class EngineConfig:
     max_meaningful: int = 10  # addok/core.py:274
     match_threshold: float = 0.9  # MATCH_THRESHOLD, default.py:36
     min_score: float = 0.1  # default.py:38
+    # --- block-max WAND bucket skipping (SURVEY §4.1 top-k pushdown) ---
+    # engage two-phase collection when EVERY required group's df
+    # exceeds wand_min_df: decode the wand_bucket_batch best buckets
+    # by upper bound first, then only buckets whose ub beats the
+    # running top-n floor. Rank-preserving by construction.
+    wand_enabled: bool = True
+    wand_min_df: int = 10_000
+    wand_bucket_batch: int = 4
 
     # --- BM25 (north_rule scoring model) ---
     bm25_k1: float = 1.2

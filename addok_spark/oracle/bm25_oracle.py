@@ -167,6 +167,16 @@ def oracle_search(
 
         candidates: set[int] = set()
         done = False
+        qf = fold_str(q.q)
+
+        def has_cream() -> bool:
+            # ≙ core.py:400-419 (mirror of SearchEngine._apply_cream)
+            return any(
+                str_distance_key(
+                    qf, fold_str(index.docs.iloc[d]["text"] or "")
+                ) >= cfg.match_threshold
+                for d in sorted(candidates)
+            )
 
         def run_gids(gids: list[int], use_scan: bool = True) -> list[int]:
             """Conjunctive group match + Σboost top-bucket_max (same
@@ -204,6 +214,9 @@ def oracle_search(
         for round_no in (1, 2, 3, 4):
             if done:
                 break
+            if round_no >= 3 and candidates and has_cream():
+                done = True
+                break
             if round_no == 1:
                 gids = order
             elif round_no == 2:
@@ -227,6 +240,8 @@ def oracle_search(
 
         # round 5: relation extrapolation (Q13, collectors.py:151-214)
         # — mirror of SearchEngine._relation_round
+        if not done and candidates and has_cream():
+            done = True
         if not done and len(order) >= 3:
             from ..query.cliques import ordered_cliques
 

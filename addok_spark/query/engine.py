@@ -58,9 +58,11 @@ from ..config import EngineConfig
 from ..functions.text import (
     analyze_str,
     edge_ngrams_str,
+    fold_str,
     fold_udf,
     make_compare_str_udf,
     make_fuzzy_str,
+    str_distance_key,
 )
 from ..index.build import IndexPaths
 from ..index.compress import unpack_deltas, unpack_f32, varint_decode
@@ -302,10 +304,111 @@ class SearchEngine:
         return states
 
     # ------------------------------------------------------------------
-    def _run_round(self, plan: pd.DataFrame, topn: int) -> pd.DataFrame:
+    def _run_round(
+        self, plan: pd.DataFrame, topn: int, wand_qids: list[str] | None = None
+    ) -> pd.DataFrame:
         """One collection round: conjunctive group match + Σboost
         top-n per qid. plan columns: qid, gid, token, n_required,
-        is_scan.
+        is_scan. Returns pandas (qid, doc_index, rn, prescore).
+
+        Block-max WAND (for ``wand_qids``; SURVEY §4.1): per-bucket
+        upper bound ub = Σ_group max(max_boost) is computed from block
+        METADATA only. Phase 1 decodes each wand qid's best
+        ``wand_bucket_batch`` buckets by ub; phase 2 decodes only the
+        remaining buckets whose ub beats the phase-1 top-n floor —
+        buckets that cannot contain a top-n doc are never unpacked.
+        Rank-preserving: prescore ≤ its bucket's ub by construction.
+        """
+        spark = self.spark
+        cfg = self.cfg
+        wand_qids = [
+            q for q in (wand_qids or []) if q in set(plan["qid"])
+        ]
+        plan_df = F.broadcast(spark.createDataFrame(plan))
+        hits = self.blocks.join(plan_df, "token")
+        # bucket qualification + upper bound, metadata only: every
+        # group must appear in the bucket (skipping without decoding)
+        g1 = hits.groupBy("qid", "bucket", "gid").agg(
+            F.max("max_boost").alias("gmax"),
+            F.first("n_required").alias("nr"),
+        )
+        buck = (
+            g1.groupBy("qid", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("ng"),
+                F.first("nr").alias("nr"),
+                F.sum("gmax").cast("double").alias("ub"),
+            )
+            .filter(F.col("ng") >= F.col("nr"))
+            .select("qid", "bucket", "ub")
+        )
+        self.last_round_metrics = {"wand_qids": len(wand_qids), "buckets_skipped": 0}
+        if not wand_qids:
+            pruned = hits.join(
+                buck.select("qid", "bucket"), ["qid", "bucket"], "left_semi"
+            )
+            return self._conjunctive_topn(pruned, plan, topn)
+
+        R = cfg.wand_bucket_batch
+        wb = Window.partitionBy("qid").orderBy(F.desc("ub"), F.asc("bucket"))
+        buck2 = buck.withColumn("rnb", F.row_number().over(wb)).persist()
+        try:
+            is_wand = F.col("qid").isin(wand_qids)
+            p1b = buck2.filter(~is_wand | (F.col("rnb") <= R)).select("qid", "bucket")
+            got1 = self._conjunctive_topn(
+                hits.join(p1b, ["qid", "bucket"], "left_semi"), plan, topn
+            )
+            # remaining-bucket summary per wand qid (metadata only)
+            rem = (
+                buck2.filter(is_wand & (F.col("rnb") > R))
+                .groupBy("qid")
+                .agg(F.max("ub").alias("max_ub"), F.count(F.lit(1)).alias("nb"))
+                .collect()
+            )
+            NEG = float("-1e300")
+            thresholds: dict[str, float] = {}
+            for r in rem:
+                mine = got1[got1["qid"] == r["qid"]]
+                t = (
+                    float(mine["prescore"].min()) if len(mine) >= topn else NEG
+                )
+                if r["max_ub"] > t:
+                    thresholds[r["qid"]] = t
+                else:
+                    self.last_round_metrics["buckets_skipped"] += int(r["nb"])
+            if not thresholds:
+                return got1
+            thr_df = F.broadcast(
+                spark.createDataFrame(
+                    list(thresholds.items()), "qid string, thr double"
+                )
+            )
+            p2b = (
+                buck2.filter(F.col("rnb") > R)
+                .join(thr_df, "qid")
+                .filter(F.col("ub") > F.col("thr"))
+                .select("qid", "bucket")
+            )
+            got2 = self._conjunctive_topn(
+                hits.join(p2b, ["qid", "bucket"], "left_semi"), plan, topn
+            )
+            # merge the two phases (disjoint bucket sets → disjoint
+            # docs) under the same total order
+            merged = pd.concat([got1, got2], ignore_index=True)
+            merged = merged.sort_values(
+                ["qid", "prescore", "doc_index"], ascending=[True, False, True]
+            )
+            merged["rn"] = merged.groupby("qid").cumcount() + 1
+            return merged[merged["rn"] <= topn].reset_index(drop=True)
+        finally:
+            buck2.unpersist()
+
+    # ------------------------------------------------------------------
+    def _conjunctive_topn(
+        self, pruned, plan: pd.DataFrame, topn: int
+    ) -> pd.DataFrame:
+        """Conjunctive group match + Σboost top-n over (pre-pruned)
+        block rows; collects the ≤topn-per-qid result to the driver.
 
         Scan mode (any is_scan row; ≙ manual_scan, the reference's
         cost-model path when every required token is too frequent,
@@ -313,18 +416,6 @@ class SearchEngine:
         ``scan_limit`` postings of the smallest list are probed
         against the other lists, instead of a full intersection.
         """
-        spark = self.spark
-        plan_df = F.broadcast(spark.createDataFrame(plan))
-        hits = self.blocks.join(plan_df, "token")
-        # bucket pruning before unpack: every group must appear in the
-        # bucket (block-max-style skipping without decoding)
-        buck = (
-            hits.groupBy("qid", "bucket")
-            .agg(F.countDistinct("gid").alias("ng"), F.first("n_required").alias("nr"))
-            .filter(F.col("ng") >= F.col("nr"))
-            .select("qid", "bucket")
-        )
-        pruned = hits.join(buck, ["qid", "bucket"], "left_semi")
         postings = _exploded_postings(
             pruned, ["qid", "gid", "n_required", "is_scan"]
         )
@@ -373,9 +464,19 @@ class SearchEngine:
         top = (
             per_doc.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= topn)
-            .select("qid", "doc_index", "rn")
+            .select("qid", "doc_index", "rn", "prescore")
         )
-        return top.toPandas()
+        out = top.toPandas()
+        if out.empty:
+            out = pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype=object),
+                    "doc_index": pd.Series(dtype="int64"),
+                    "rn": pd.Series(dtype="int64"),
+                    "prescore": pd.Series(dtype="float64"),
+                }
+            )
+        return out
 
     # ------------------------------------------------------------------
     def search(self, queries: list[Query]) -> DataFrame:
@@ -384,8 +485,9 @@ class SearchEngine:
         cfg = self.cfg
         states = self._plan_queries(queries)
 
-        def round_plan(round_no: int) -> pd.DataFrame:
+        def round_plan(round_no: int) -> tuple[pd.DataFrame, list[str]]:
             rows = []
+            wand_qids: list[str] = []
             for qid, st in states.items():
                 if st.done:
                     continue
@@ -418,18 +520,35 @@ class SearchEngine:
                 scan_gid = -1
                 if all(gdf.get(g, 0) > self.cfg.intersect_limit for g in gids):
                     scan_gid = min(gids, key=lambda g: (gdf.get(g, 0), g))
+                elif cfg.wand_enabled and all(
+                    gdf.get(g, 0) > cfg.wand_min_df for g in gids
+                ):
+                    # every group frequent → a full conjunctive decode
+                    # is the expensive case block-max skipping is for
+                    wand_qids.append(qid)
                 for gid in gids:
                     for tok in st.groups[gid]:
                         rows.append((qid, gid, tok, len(gids), gid == scan_gid))
             return pd.DataFrame(
                 rows, columns=["qid", "gid", "token", "n_required", "is_scan"]
-            )
+            ), wand_qids
 
+        self.last_metrics = {"rounds": 0, "cream_stops": 0, "buckets_skipped": 0}
         for round_no in (1, 2, 3, 4):
-            plan = round_plan(round_no)
+            if round_no >= 3:
+                # cream early-termination (≙ has_cream, core.py:400-419,
+                # guarding the reducing/fuzzy collectors): a dry bucket
+                # that already holds a ≥ match_threshold string match
+                # stops relaxing instead of paying more rounds
+                self._apply_cream(states)
+            plan, wand_qids = round_plan(round_no)
             if plan.empty:
                 continue
-            got = self._run_round(plan, cfg.bucket_max)
+            self.last_metrics["rounds"] += 1
+            got = self._run_round(plan, cfg.bucket_max, wand_qids)
+            self.last_metrics["buckets_skipped"] += self.last_round_metrics[
+                "buckets_skipped"
+            ]
             for qid, grp in got.groupby("qid"):
                 st = states[qid]
                 room = cfg.bucket_max - len(st.candidates)
@@ -440,8 +559,43 @@ class SearchEngine:
             if all(st.done for st in states.values()):
                 break
 
+        self._apply_cream(states)
         self._relation_round(states)
         return self._score(states)
+
+    # ------------------------------------------------------------------
+    def _apply_cream(self, states: dict[str, _QState]) -> None:
+        """Mark still-dry queries done when their bucket already holds
+        a string match ≥ cfg.match_threshold (the reference's "cream"
+        check, core.py:400-419). One tiny pbucket-pruned doc lookup
+        for ALL dry queries' candidates (≤ bucket_max each), compared
+        driver-side with the shared str_distance_key."""
+        need = {
+            qid: st
+            for qid, st in states.items()
+            if not st.done and st.candidates
+        }
+        if not need:
+            return
+        ids = sorted({d for st in need.values() for d in st.candidates})
+        shift = self.meta["doc_bucket_bits"] + self.meta["pbucket_shift"]
+        pbs = sorted({d >> shift for d in ids})
+        rows = (
+            self.docs.filter(F.col("pbucket").isin(pbs))
+            .filter(F.col("doc_index").isin(ids))
+            .select("doc_index", "text")
+            .collect()
+        )
+        folded = {r["doc_index"]: fold_str(r["text"] or "") for r in rows}
+        thr = self.cfg.match_threshold
+        for qid, st in need.items():
+            qf = fold_str(st.query.q)
+            if any(
+                str_distance_key(qf, folded.get(d, "")) >= thr
+                for d in sorted(st.candidates)
+            ):
+                st.done = True
+                self.last_metrics["cream_stops"] += 1
 
     # ------------------------------------------------------------------
     def _relation_round(self, states: dict[str, _QState]) -> None:
