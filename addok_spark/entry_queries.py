@@ -446,26 +446,36 @@ sh AS (SELECT DISTINCT doc_id AS id,
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.1
+    return dedup.ngram_jaccard_pairs_lsh(
+        _docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.05,
+        n_hashes=8, bands=4,
     )
 
 
 SQL_DEDUP_JACCARD = f"""
 WITH {SQL_SHINGLES},
 sizes AS (SELECT id, count(*)::bigint AS set_size FROM sh GROUP BY id),
-rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle)
-         WHERE sdf <= 1000),
-shr AS (SELECT * FROM sh WHERE shingle IN (SELECT shingle FROM rare)),
-common AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::bigint AS n_common
-           FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.id < b.id
+h AS (SELECT id, hid,
+        ('0x' || substr(md5(hid::varchar || '|' || shingle), 1, 12))::bigint AS hv
+      FROM sh, (SELECT unnest(range(0, 8)) AS hid)),
+sig AS (SELECT id, hid, min(hv) AS minhash FROM h GROUP BY id, hid),
+banded AS (SELECT id, (hid // 2)::int AS band,
+             md5(string_agg(minhash::varchar, ',' ORDER BY minhash)) AS band_key
+           FROM sig GROUP BY id, band),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.id < b.id),
+common AS (SELECT c.id_a, c.id_b, count(*)::bigint AS n_common
+           FROM cand c
+           JOIN sh a ON a.id = c.id_a
+           JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
            GROUP BY 1, 2)
 SELECT id_a, id_b, n_common, sa.set_size AS size_a, sb.set_size AS size_b,
        round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
 FROM common
 JOIN sizes sa ON sa.id = common.id_a
 JOIN sizes sb ON sb.id = common.id_b
-WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.1
+WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.05
 """
 
 

@@ -492,6 +492,55 @@ def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def pairs_from_blocks(
+    blocks_df: DataFrame, dictionary: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """Co-occurrence pairs derived from posting BLOCKS (no text
+    re-analysis): unpack doc ids per token, drop COMMON tokens (the
+    Zipf head is small by construction → broadcast anti-join), regroup
+    per doc, expand pairs with a codegen nested transform — no
+    self-join shuffle at all (≙ PairsIndexer skipping commons,
+    addok/pairs.py:6-16). Reused by the bulk build AND the CDC path
+    so the relation round never sees stale edges."""
+    commons = dictionary.filter(
+        F.col("df") > cfg.common_threshold
+    ).select("token")
+    tok_doc = (
+        blocks_df.filter(~F.col("token").contains("|"))
+        .join(F.broadcast(commons), "token", "left_anti")
+        .select("token", _unpack_docs_udf(F.col("docs_bin")).alias("ds"))
+        .select("token", F.explode("ds").alias("doc_index"))
+    )
+    per_doc = tok_doc.groupBy("doc_index").agg(
+        F.array_sort(F.collect_set("token")).alias("toks")
+    )
+    return (
+        per_doc.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "toks",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("toks"),
+                                i + 2,
+                                F.greatest(
+                                    F.size(F.col("toks")) - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("token_a"), y.alias("token_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.token_a", "p.token_b")
+        .distinct()
+    )
+
+
 def dictionary_from_blocks(blocks: DataFrame) -> DataFrame:
     """Token dictionary as a pure derivation of block metadata."""
     return blocks.groupBy("token").agg(
@@ -675,48 +724,8 @@ class IndexBuilder:
         # --- pair (co-occurrence) table, meaningful tokens only
         # (reference PairsIndexer skips commons, addok/pairs.py:6-16)
         if cfg.build_pairs and not (resume and self._stage_done("pairs")):
-            # derived from posting BLOCKS (no text re-analysis): unpack
-            # doc ids per token, drop COMMON tokens (the Zipf head is
-            # small by construction → broadcast anti-join), regroup per
-            # doc, expand pairs with a codegen nested transform — no
-            # self-join shuffle at all
-            blocks_df = spark.read.parquet(self.paths.blocks)
-            commons = dictionary.filter(
-                F.col("df") > cfg.common_threshold
-            ).select("token")
-            tok_doc = (
-                blocks_df.filter(~F.col("token").contains("|"))
-                .join(F.broadcast(commons), "token", "left_anti")
-                .select("token", _unpack_docs_udf(F.col("docs_bin")).alias("ds"))
-                .select("token", F.explode("ds").alias("doc_index"))
-            )
-            per_doc = tok_doc.groupBy("doc_index").agg(
-                F.array_sort(F.collect_set("token")).alias("toks")
-            )
-            pairs = (
-                per_doc.select(
-                    F.explode(
-                        F.flatten(
-                            F.transform(
-                                "toks",
-                                lambda x, i: F.transform(
-                                    F.slice(
-                                        F.col("toks"),
-                                        i + 2,
-                                        F.greatest(
-                                            F.size(F.col("toks")) - i - 1, F.lit(0)
-                                        ),
-                                    ),
-                                    lambda y: F.struct(
-                                        x.alias("token_a"), y.alias("token_b")
-                                    ),
-                                ),
-                            )
-                        )
-                    ).alias("p")
-                )
-                .select("p.token_a", "p.token_b")
-                .distinct()
+            pairs = pairs_from_blocks(
+                spark.read.parquet(self.paths.blocks), dictionary, cfg
             )
             self._write(pairs, self.paths.pairs, "pairs", sort_by=["token_a"])
 

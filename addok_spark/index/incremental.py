@@ -44,6 +44,7 @@ from .build import (
     build_blocks,
     dictionary_from_blocks,
     filter_token_rows,
+    pairs_from_blocks,
     tokenize_docs,
 )
 
@@ -75,9 +76,27 @@ def apply_actions(
     changes = changes.withColumn(
         "_action", F.coalesce(F.col("_action"), F.lit("index"))
     )
-    # last action per key wins (reference processes docs in order;
-    # within one batch we take the max-ts / arbitrary-deterministic row)
-    changes = changes.dropDuplicates(["conv_id", "turn_idx"])
+    # LAST action per key wins, deterministically: ordered by the
+    # change-sequence column — explicit `_seq` if provided, else the
+    # row timestamp `ts` — with `_action` as the final tiebreak so
+    # equal-sequence batches still resolve identically across runs
+    # (the reference processes actions strictly in stream order,
+    # ds.py:67-70; a micro-batch must reproduce that order)
+    from pyspark.sql.window import Window as _W
+
+    seq = (
+        F.col("_seq")
+        if "_seq" in changes.columns
+        else (F.col("ts") if "ts" in changes.columns else F.lit(0))
+    )
+    wseq = _W.partitionBy("conv_id", "turn_idx").orderBy(
+        seq.desc(), F.col("_action").desc()
+    )
+    changes = (
+        changes.withColumn("__rn", F.row_number().over(wseq))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *(["_seq"] if "_seq" in changes.columns else []))
+    )
 
     docs = spark.read.parquet(paths.docs)
     keyed = changes.select(
@@ -179,6 +198,17 @@ def apply_actions(
     # reads block stats only — no text re-analysis)
     dictionary = dictionary_from_blocks(spark.read.parquet(paths.blocks))
     dictionary.write.mode("overwrite").parquet(paths.dictionary)
+
+    # pairs re-derived too when the index carries them — otherwise the
+    # relation round would use stale co-occurrence edges (pairs from
+    # deleted docs persisting, new docs' pairs missing)
+    if Path(paths.pairs).exists():
+        # derived from blocks only (no self-read) → plain overwrite
+        pairs_from_blocks(
+            spark.read.parquet(paths.blocks),
+            spark.read.parquet(paths.dictionary),
+            cfg,
+        ).write.mode("overwrite").parquet(paths.pairs)
     prefixes = (
         spark.read.parquet(paths.dictionary)
         .filter(

@@ -107,6 +107,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by word-k-gram Jaccard, with MinHash-LSH
+    candidate generation: exact Jaccard is computed ONLY for pairs
+    colliding in ≥1 LSH band, so pair volume is bounded by bucket
+    population instead of growing quadratically per shared shingle
+    (the scale problem of the plain shingle join above). Recall
+    follows the banding S-curve (n_hashes/bands rows per band); pairs
+    below the curve's knee can be missed — use ``ngram_jaccard_pairs``
+    when exhaustiveness matters more than scale."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands, k)
+    sh = word_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
+    b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
 ) -> DataFrame:

@@ -122,6 +122,51 @@ def test_insert_appends_and_searchable(spark, cfg, built):
     assert list(res["turn_idx"])[0] == 0
 
 
+def test_pairs_follow_cdc(spark, cfg, built):
+    """Pairs (co-occurrence) must be re-derived after CDC: edges from
+    deleted docs disappear, edges from new docs appear (otherwise the
+    relation round uses stale edges)."""
+
+    def pairset():
+        return {
+            (r["token_a"], r["token_b"])
+            for r in spark.read.parquet(built.pairs).collect()
+        }
+
+    assert ("des", "lilas") in pairset()  # from conv-a/0
+    changes = spark.createDataFrame(
+        [
+            ("conv-a", 0, "user", "rue des Lilas", None, 0.5, "delete"),
+            ("conv-d", 0, "user", "quai branly musee", None, 0.3, "index"),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double, _action string",
+    )
+    apply_actions(spark, built, changes, cfg)
+    ps = pairset()
+    assert ("des", "lilas") not in ps          # stale edge gone
+    assert ("branly", "quai") in ps            # new doc's edges present
+
+
+def test_last_action_per_key_is_deterministic(spark, cfg, built):
+    """A micro-batch carrying index THEN delete for one key must
+    resolve by the sequence column (_seq), not row luck."""
+    changes = spark.createDataFrame(
+        [
+            ("conv-a", 1, "assistant", "replaced text one", "grep", 0.5, "index", 1),
+            ("conv-a", 1, "assistant", "replaced text two", "grep", 0.5, "delete", 2),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double, _action string, _seq int",
+    )
+    m = apply_actions(spark, built, changes, cfg)
+    assert m["deletes"] == 1 and m["upserts"] == 0
+    docs = spark.read.parquet(built.docs)
+    assert docs.filter(
+        (F.col("conv_id") == "conv-a") & (F.col("turn_idx") == 1)
+    ).count() == 0
+
+
 def test_streaming_foreachbatch(spark, cfg, built, tmp_path):
     """File-source micro-batches → foreachBatch(apply_actions)."""
     src = tmp_path / "stream_src"
