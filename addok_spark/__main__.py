@@ -55,7 +55,7 @@ def cmd_build(args) -> None:
 def cmd_ngrams(args) -> None:
     """Prefix-table post-pass (≙ `addok ngrams`)."""
     from .config import EngineConfig
-    from .index.build import IndexBuilder
+    from .index.build import IndexBuilder, prefixes_from_dictionary
 
     spark = _spark(args)
     cfg = EngineConfig()
@@ -64,23 +64,11 @@ def cmd_ngrams(args) -> None:
     m = b._manifest()
     m["stages"].pop("prefixes", None)
     b.paths.manifest.write_text(json.dumps(m))
-    from pyspark.sql import functions as F
-
-    from .functions.text import edge_ngrams_col
-
     dictionary = spark.read.parquet(b.paths.dictionary)
-    prefixes = (
-        dictionary.filter(~F.col("token").rlike("^[0-9]+$"))
-        .select(
-            "token",
-            "df",
-            F.explode(
-                edge_ngrams_col("token", cfg.min_edge_ngram, cfg.max_edge_ngram)
-            ).alias("prefix"),
-        )
-        .select("prefix", "token", "df")
+    b._write(
+        prefixes_from_dictionary(dictionary, cfg),
+        b.paths.prefixes, "prefixes", sort_by=["prefix"],
     )
-    b._write(prefixes, b.paths.prefixes, "prefixes", sort_by=["prefix"])
     print(json.dumps({"prefixes": b.metrics["stages"]["prefixes"]}))
 
 
@@ -102,6 +90,48 @@ def cmd_search(args) -> None:
                 "tool": r["tool"], "score": r["score"], "text": r["text"],
             }
         ))
+
+
+def cmd_explain(args) -> None:
+    """Per-stage timing + plan for one query (≙ the reference shell's
+    EXPLAIN, addok/shell.py:282-327: token classification, collection
+    steps with timings, scoring)."""
+    from .query.engine import FILTER_GID_BASE, Query, SearchEngine
+
+    spark = _spark(args)
+    eng = SearchEngine(spark, args.index, _cfg(args))
+    filters = json.loads(args.filters) if args.filters else {}
+    res = eng.search(
+        [Query(qid="explain", q=args.query, k=args.k,
+               autocomplete=args.autocomplete, filters=filters)]
+    ).collect()
+    st = eng.last_states["explain"]
+    groups = [
+        {
+            "gid": gid,
+            "kind": "filter" if gid >= FILTER_GID_BASE else (
+                "meaningful" if gid in st.meaningful_order else "common"
+            ),
+            "tokens": toks,
+            "df": st.group_df.get(gid),
+        }
+        for gid, toks in sorted(st.groups.items())
+    ]
+    print(json.dumps(
+        {
+            "query": args.query,
+            "groups": groups,
+            "stages": eng.last_trace,
+            "metrics": eng.last_metrics,
+            "candidates": len(st.candidates),
+            "results": [
+                {"rank": r["rank"], "conv_id": r["conv_id"],
+                 "turn_idx": r["turn_idx"], "score": r["score"]}
+                for r in res
+            ],
+        },
+        indent=2,
+    ))
 
 
 def cmd_actions(args) -> None:
@@ -157,6 +187,15 @@ def main(argv=None) -> None:
     s.add_argument("--filters", help='JSON, e.g. {"role": ["user"]}')
     s.add_argument("--synonyms")
     s.set_defaults(fn=cmd_search)
+
+    e = sub.add_parser("explain")
+    e.add_argument("--index", required=True)
+    e.add_argument("-q", "--query", required=True)
+    e.add_argument("-k", type=int, default=10)
+    e.add_argument("--autocomplete", action="store_true")
+    e.add_argument("--filters", help='JSON, e.g. {"role": ["user"]}')
+    e.add_argument("--synonyms")
+    e.set_defaults(fn=cmd_explain)
 
     a = sub.add_parser("actions")
     a.add_argument("--input", required=True)

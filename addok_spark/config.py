@@ -79,8 +79,24 @@ class EngineConfig:
     wand_enabled: bool = True
     wand_min_df: int = 10_000
     wand_bucket_batch: int = 4
+    # ...and only when the decode volume actually justifies the second
+    # scheduling round-trip: Σ group df must exceed this. Two-phase
+    # collection costs ~2 extra driver actions (~1s fixed overhead on
+    # a warm local cluster), which posting decode only outweighs in
+    # the tens of millions of postings.
+    wand_min_postings: int = 20_000_000
+    # bucket pruning (metadata intersection before decode) is two
+    # extra stages per round; engage it per-qid only above this
+    # estimated decode volume (Σ group df)
+    prune_min_postings: int = 100_000
 
-    # --- BM25 (north_rule scoring model) ---
+    # --- scoring model ---
+    # "bm25" (north_rule default) or "reference": the reference's
+    # Σscore/Σceiling fold over importance + string distance
+    # (core.py:92-101, results.py:51-104), incl. the autocomplete
+    # equals/startswith/contains ladder and the MIN_SCORE cutoff —
+    # lets the reference's golden search scenarios replay 1:1
+    scorer: str = "bm25"
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
 

@@ -222,14 +222,23 @@ def levenshtein(a: str, b: str) -> int:
 
 
 def compare_ngrams(a: str, b: str, n: int = 2) -> float:
-    """Padded-bigram overlap similarity; 1-char operands degrade to
-    exact-match (reference text.py:165-172 semantics)."""
-    if len(a) == 1 or len(b) == 1:
+    """Bigram MULTISET similarity |∩| / |∪| with multiplicity, no
+    padding — NGram.compare(N=2, pad_len=0) semantics as called at
+    reference text.py:165-172. Validated against the exact tie values
+    the reference documents (tests/test_search.py:607-613: both
+    saint-mandé labels score 0.7878787878787878 against the
+    three-word query). 1-char operands degrade to exact-match."""
+    if len(a) == 1 and len(b) == 1:
         return 1.0 if a == b else 0.0
-    sa, sb = set(char_ngrams_str(a, n)), set(char_ngrams_str(b, n))
-    if not sa or not sb:
+    from collections import Counter
+
+    ca = Counter(a[i : i + n] for i in range(len(a) - n + 1))
+    cb = Counter(b[i : i + n] for i in range(len(b) - n + 1))
+    na, nb = sum(ca.values()), sum(cb.values())
+    if not na or not nb:
         return 0.0
-    return len(sa & sb) / len(sa | sb)
+    inter = sum((ca & cb).values())
+    return inter / (na + nb - inter)
 
 
 def compare_str(query: str, label: str) -> float:
@@ -276,6 +285,51 @@ def make_fuzzy_udf():
         return s.map(lambda w: make_fuzzy_str(w) if isinstance(w, str) else [])
 
     return F.pandas_udf(_fz, T.ArrayType(T.StringType()))
+
+
+def ref_string_score(query: str, label: str, autocomplete: bool) -> float:
+    """The reference's string sub-score (inputs pre-folded):
+
+    - autocomplete (score_by_autocomplete_distance, results.py:60-77):
+      equals → 1.0, label startswith query → 0.9, query contained →
+      0.7, else bigram similarity × 0.9;
+    - otherwise (score_by_ngram_distance, results.py:91-104): bigram
+      similarity. ``compare_ngrams`` stands in for the ngram
+      package's NGram.compare (set-overlap bigram similarity; exact
+      third-party tie values may differ at the margin)."""
+    if autocomplete:
+        if query == label:
+            return 1.0
+        if label.startswith(query):
+            return 0.9
+        if query in label:
+            return 0.7
+        return compare_ngrams(label, query) * 0.9
+    return compare_ngrams(label, query)
+
+
+def ref_fold_score(importance: float, str_score: float, iw: float = 0.1) -> float:
+    """The reference's score fold (core.py:92-101): Σ sub-scores /
+    Σ ceilings over {importance (ceiling iw), str_distance (ceiling
+    1.0)} — shared by engine UDF and oracle so the division happens
+    in one place."""
+    return (importance * iw + str_score) / (iw + 1.0)
+
+
+def make_ref_score_udf(iw: float = 0.1):
+    def _rs(q: pd.Series, lbl: pd.Series, ac: pd.Series, imp: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                ref_fold_score(
+                    float(i or 0.0),
+                    ref_string_score(a or "", b or "", bool(c)),
+                    iw,
+                )
+                for a, b, c, i in zip(q, lbl, ac, imp)
+            ]
+        )
+
+    return F.pandas_udf(_rs, T.DoubleType())
 
 
 def str_distance_key(query: str, label: str) -> float:

@@ -492,6 +492,25 @@ def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def prefixes_from_dictionary(dictionary: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Edge-ngram prefix table over non-digit word tokens (skips the
+    f| filter namespace) — the `addok ngrams` post-pass derivation
+    (autocomplete.py:111-131), shared by build / CDC / CLI."""
+    return (
+        dictionary.filter(
+            ~F.col("token").rlike("^[0-9]+$") & ~F.col("token").contains("|")
+        )
+        .select(
+            "token",
+            "df",
+            F.explode(
+                edge_ngrams_col("token", cfg.min_edge_ngram, cfg.max_edge_ngram)
+            ).alias("prefix"),
+        )
+        .select("prefix", "token", "df")
+    )
+
+
 def pairs_from_blocks(
     blocks_df: DataFrame, dictionary: DataFrame, cfg: EngineConfig
 ) -> DataFrame:
@@ -701,24 +720,9 @@ class IndexBuilder:
         # --- prefix table (edge n-grams over non-digit dictionary tokens;
         # a separate follow-on job like `addok ngrams`, autocomplete.py:111-131)
         if cfg.build_prefixes and not (resume and self._stage_done("prefixes")):
-            prefixes = (
-                dictionary.filter(
-                    ~F.col("token").rlike("^[0-9]+$")
-                    & ~F.col("token").contains("|")  # skip filter keys
-                )
-                .select(
-                    "token",
-                    "df",
-                    F.explode(
-                        edge_ngrams_col(
-                            "token", cfg.min_edge_ngram, cfg.max_edge_ngram
-                        )
-                    ).alias("prefix"),
-                )
-                .select("prefix", "token", "df")
-            )
             self._write(
-                prefixes, self.paths.prefixes, "prefixes", sort_by=["prefix"]
+                prefixes_from_dictionary(dictionary, cfg),
+                self.paths.prefixes, "prefixes", sort_by=["prefix"],
             )
 
         # --- pair (co-occurrence) table, meaningful tokens only

@@ -38,13 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
-from ..functions.text import edge_ngrams_col
 from .build import (
     IndexPaths,
     build_blocks,
     dictionary_from_blocks,
     filter_token_rows,
     pairs_from_blocks,
+    prefixes_from_dictionary,
     tokenize_docs,
 )
 
@@ -209,21 +209,9 @@ def apply_actions(
             spark.read.parquet(paths.dictionary),
             cfg,
         ).write.mode("overwrite").parquet(paths.pairs)
-    prefixes = (
-        spark.read.parquet(paths.dictionary)
-        .filter(
-            ~F.col("token").rlike("^[0-9]+$") & ~F.col("token").contains("|")
-        )
-        .select(
-            "token",
-            "df",
-            F.explode(
-                edge_ngrams_col("token", cfg.min_edge_ngram, cfg.max_edge_ngram)
-            ).alias("prefix"),
-        )
-        .select("prefix", "token", "df")
-    )
-    prefixes.write.mode("overwrite").parquet(paths.prefixes)
+    prefixes_from_dictionary(
+        spark.read.parquet(paths.dictionary), cfg
+    ).write.mode("overwrite").parquet(paths.prefixes)
 
     # refresh meta (n_docs / avgdl) + lineage record
     docs_now = spark.read.parquet(paths.docs)

@@ -27,6 +27,8 @@ from ..functions.text import (
     edge_ngrams_str,
     fold_str,
     make_fuzzy_str,
+    ref_fold_score,
+    ref_string_score,
     str_distance_key,
 )
 
@@ -211,17 +213,16 @@ def oracle_search(
             hits.sort()
             return [d for _, d in hits[: cfg.bucket_max]]
 
-        for round_no in (1, 2, 3, 4):
+        for round_no in (1, 3, 4):
             if done:
                 break
             if round_no >= 3 and candidates and has_cream():
                 done = True
                 break
             if round_no == 1:
-                gids = order
-            elif round_no == 2:
-                # commons fallback only (mirror engine round-2 skip)
-                gids = [] if order else [
+                # meaningful conjunction or commons fallback (mirror
+                # of the engine's merged round 1)
+                gids = order if order else [
                     g for g in sorted(groups) if g < FILTER_GID_BASE
                 ]
             elif round_no == 3 and len(order) > 1:
@@ -301,6 +302,17 @@ def oracle_search(
                 boost_sum += float(gboost)
             if not matched_any:
                 continue
+            if cfg.scorer == "reference":
+                score = ref_fold_score(
+                    float(doc.get("importance", 0.0) or 0.0),
+                    ref_string_score(
+                        qf, fold_str(doc["text"] or ""),
+                        bool(getattr(q, "autocomplete", False)),
+                    ),
+                    cfg.importance_weight,
+                )
+                if score < cfg.min_score:
+                    continue
             recs.append(
                 {
                     "qid": q.qid,

@@ -15,16 +15,20 @@ Collection/scoring split mirrors the reference architecture:
   generalizing ``addok/fuzzy.py:92-104`` substitution and
   ``addok/autocomplete.py:79-87`` prefix OR). Round order ≙ the
   RESULTS_COLLECTORS chain (``addok/config/default.py:78-92``):
-  1. all meaningful tokens (``bucket_with_meaningful``)
-  2. + expansions for not-found tokens (fuzzy / autocomplete)
+  1. all meaningful tokens (``bucket_with_meaningful``) with
+     fuzzy/autocomplete expansions riding as group members; queries
+     with NO meaningful tokens take the ``only_commons`` fallback in
+     the same batched round (disjoint qid sets);
   3. drop the highest-df meaningful token
-     (``extend_results_reducing_tokens``)
+     (``extend_results_reducing_tokens``) — unless the bucket already
+     holds a ≥ match_threshold match ("cream", core.py:400-419);
   4. drop the two highest-df.
   Collection pre-score = Σ boost (≙ ZINTERSTORE sum + ZREVRANGE
   top-k, ``addok/helpers/lua/zinter.lua:1-11``).
 - **Score**: every collected candidate is scored against the FULL
   query (≙ SEARCH_RESULT_PROCESSORS, ``addok/core.py:367-381``) with
-  BM25 (north_rule) + deterministic secondary keys
+  BM25 (north_rule; or the reference's Σscore/Σceiling fold under
+  ``scorer="reference"``) + deterministic secondary keys
   ``(score desc, boost desc, importance desc, doc_index asc)`` —
   the reference's implicit tie behavior made explicit
   (SURVEY.md §4.2).
@@ -62,6 +66,7 @@ from ..functions.text import (
     fold_udf,
     make_compare_str_udf,
     make_fuzzy_str,
+    make_ref_score_udf,
     str_distance_key,
 )
 from ..index.build import IndexPaths
@@ -325,7 +330,13 @@ class SearchEngine:
             q for q in (wand_qids or []) if q in set(plan["qid"])
         ]
         plan_df = F.broadcast(spark.createDataFrame(plan))
-        hits = self.blocks.join(plan_df, "token")
+        # explicit IN-filter BEFORE the broadcast join: a broadcast
+        # join alone pushes nothing into the parquet scan, so every
+        # round would re-read all packed block binaries; the token
+        # list is driver-known, and blocks are token-sorted within
+        # files → row-group min/max pruning skips nearly everything
+        toks = sorted(set(plan["token"]))
+        hits = self.blocks.filter(F.col("token").isin(toks)).join(plan_df, "token")
         # bucket qualification + upper bound, metadata only: every
         # group must appear in the bucket (skipping without decoding)
         g1 = hits.groupBy("qid", "bucket", "gid").agg(
@@ -343,21 +354,60 @@ class SearchEngine:
             .select("qid", "bucket", "ub")
         )
         self.last_round_metrics = {"wand_qids": len(wand_qids), "buckets_skipped": 0}
-        if not wand_qids:
-            pruned = hits.join(
-                buck.select("qid", "bucket"), ["qid", "bucket"], "left_semi"
+        # bucket pruning is itself two extra stages — only worth it
+        # for qids whose decode volume is large (the rare+common case
+        # where a common token's blocks can be skipped in buckets the
+        # rare token never touches). Small-volume qids decode straight.
+        if "gdf" in plan.columns:
+            per_qid_df = (
+                plan.drop_duplicates(["qid", "gid"]).groupby("qid")["gdf"].sum()
             )
-            return self._conjunctive_topn(pruned, plan, topn)
+        else:  # direct _run_round callers (tests): prune everything
+            per_qid_df = None
+        all_qids = set(plan["qid"])
+        prune_qids = sorted(
+            q
+            for q in all_qids - set(wand_qids)
+            if per_qid_df is None
+            or per_qid_df.get(q, 0) > cfg.prune_min_postings
+        )
+        plain_qids = sorted(all_qids - set(wand_qids) - set(prune_qids))
+
+        def gated_prune(src):
+            parts = []
+            if plain_qids:
+                parts.append(src.filter(F.col("qid").isin(plain_qids)))
+            if prune_qids:
+                hp = src.filter(F.col("qid").isin(prune_qids))
+                parts.append(
+                    hp.join(
+                        buck.select("qid", "bucket"), ["qid", "bucket"],
+                        "left_semi",
+                    )
+                )
+            out = parts[0]
+            for p_ in parts[1:]:
+                out = out.unionByName(p_)
+            return out
+
+        if not wand_qids:
+            return self._conjunctive_topn(gated_prune(hits), plan, topn)
 
         R = cfg.wand_bucket_batch
+        is_wand = F.col("qid").isin(wand_qids)
         wb = Window.partitionBy("qid").orderBy(F.desc("ub"), F.asc("bucket"))
-        buck2 = buck.withColumn("rnb", F.row_number().over(wb)).persist()
+        buck2 = (
+            buck.filter(is_wand)
+            .withColumn("rnb", F.row_number().over(wb))
+            .persist()
+        )
         try:
-            is_wand = F.col("qid").isin(wand_qids)
-            p1b = buck2.filter(~is_wand | (F.col("rnb") <= R)).select("qid", "bucket")
-            got1 = self._conjunctive_topn(
-                hits.join(p1b, ["qid", "bucket"], "left_semi"), plan, topn
-            )
+            hw = hits.filter(is_wand)
+            p1b = buck2.filter(F.col("rnb") <= R).select("qid", "bucket")
+            phase1 = hw.join(p1b, ["qid", "bucket"], "left_semi")
+            if plain_qids or prune_qids:
+                phase1 = gated_prune(hits.filter(~is_wand)).unionByName(phase1)
+            got1 = self._conjunctive_topn(phase1, plan, topn)
             # remaining-bucket summary per wand qid (metadata only)
             rem = (
                 buck2.filter(is_wand & (F.col("rnb") > R))
@@ -390,7 +440,7 @@ class SearchEngine:
                 .select("qid", "bucket")
             )
             got2 = self._conjunctive_topn(
-                hits.join(p2b, ["qid", "bucket"], "left_semi"), plan, topn
+                hw.join(p2b, ["qid", "bucket"], "left_semi"), plan, topn
             )
             # merge the two phases (disjoint bucket sets → disjoint
             # docs) under the same total order
@@ -441,30 +491,77 @@ class SearchEngine:
             postings = postings.filter(~F.col("qid").isin(scan_qids)).unionByName(
                 scanned
             )
-        # group-level: a doc matches a group if it matches ANY expansion
-        per_group = postings.groupBy("qid", "gid", "doc_index").agg(
-            F.max("boost").alias("gboost"), F.first("n_required").alias("nr")
+        # group-level semantics (a doc matches a group if it matches
+        # ANY expansion; prescore = Σ over groups of max boost) in ONE
+        # shuffle: collect this doc's (gid, boost) pairs sorted
+        # ascending, then fold — each gid run's LAST element is its
+        # max, committed in gid-ascending order, so the float sum
+        # order is identical to summing per-group maxes by gid asc
+        # (determinism invariant, SURVEY §7.4)
+        zero = F.struct(
+            F.lit(-1).cast("long").alias("g"),
+            F.lit(0.0).cast("float").alias("m"),
+            F.lit(0).alias("n"),
+            F.lit(0.0).alias("t"),
         )
-        per_doc = (
-            per_group.groupBy("qid", "doc_index")
-            .agg(
-                F.count(F.lit(1)).alias("nmatch"),
-                F.first("nr").alias("nr"),
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("gid", "gboost"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["gboost"].cast("double"),
-                ).alias("prescore"),
+
+        def _step(acc, x):
+            new_group = x["gid"] != acc["g"]
+            committed = F.when(
+                acc["g"] >= 0, acc["t"] + acc["m"].cast("double")
+            ).otherwise(acc["t"])
+            return F.struct(
+                x["gid"].alias("g"),
+                x["boost"].alias("m"),
+                F.when(new_group, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+                F.when(new_group, committed).otherwise(acc["t"]).alias("t"),
             )
-            .filter(F.col("nmatch") >= F.col("nr"))
+
+        def _finish(acc):
+            return F.struct(
+                acc["n"].alias("nmatch"),
+                F.when(
+                    acc["g"] >= 0, acc["t"] + acc["m"].cast("double")
+                ).otherwise(acc["t"]).alias("prescore"),
+            )
+
+        per_doc = (
+            postings.groupBy("qid", "doc_index")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("gid", "boost"))),
+                    zero, _step, _finish,
+                ).alias("st"),
+                F.first("n_required").alias("nr"),
+            )
+            .filter(F.col("st.nmatch") >= F.col("nr"))
+            .select("qid", "doc_index", F.col("st.prescore").alias("prescore"))
         )
-        w = Window.partitionBy("qid").orderBy(
-            F.desc("prescore"), F.asc("doc_index")
-        )
+        # top-n per qid without a window: one groupBy(qid) sort+slice
+        # (candidate counts per qid are bounted by the conjunctive
+        # match, and only topn survive)
         top = (
-            per_doc.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= topn)
-            .select("qid", "doc_index", "rn", "prescore")
+            per_doc.groupBy("qid")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("prescore")).alias("np"),
+                                F.col("doc_index").alias("d"),
+                            )
+                        )
+                    ),
+                    1, topn,
+                ).alias("top")
+            )
+            .select("qid", F.posexplode("top").alias("pos", "x"))
+            .select(
+                "qid",
+                F.col("x.d").alias("doc_index"),
+                (F.col("pos") + 1).alias("rn"),
+                (-F.col("x.np")).alias("prescore"),
+            )
         )
         out = top.toPandas()
         if out.empty:
@@ -482,8 +579,16 @@ class SearchEngine:
     def search(self, queries: list[Query]) -> DataFrame:
         """Batched search: returns DataFrame (qid, rank, conv_id,
         turn_idx, role, tool, text, score, importance)."""
+        import time as _time0
+
         cfg = self.cfg
+        _tp = _time0.time()
         states = self._plan_queries(queries)
+        _plan_trace = {
+            "stage": "plan_queries",
+            "seconds": round(_time0.time() - _tp, 3),
+            "queries": len(queries),
+        }
 
         def round_plan(round_no: int) -> tuple[pd.DataFrame, list[str]]:
             rows = []
@@ -493,13 +598,12 @@ class SearchEngine:
                     continue
                 order = st.meaningful_order
                 if round_no == 1:
-                    gids = order
-                elif round_no == 2:
-                    # commons fallback ONLY (expansions already ride
-                    # round 1's groups, so re-running the identical
-                    # plan would waste a full collection round —
-                    # ≙ only_commons, collectors.py:20-65)
-                    gids = [] if order else [
+                    # meaningful conjunction; queries with NO
+                    # meaningful tokens take the commons fallback
+                    # (≙ only_commons, collectors.py:20-65) in the
+                    # SAME round — the two qid sets are disjoint, so
+                    # one batched plan covers both
+                    gids = order if order else [
                         g for g in sorted(st.groups) if g < FILTER_GID_BASE
                     ]
                 elif round_no == 3 and len(order) > 1:
@@ -520,21 +624,33 @@ class SearchEngine:
                 scan_gid = -1
                 if all(gdf.get(g, 0) > self.cfg.intersect_limit for g in gids):
                     scan_gid = min(gids, key=lambda g: (gdf.get(g, 0), g))
-                elif cfg.wand_enabled and all(
-                    gdf.get(g, 0) > cfg.wand_min_df for g in gids
+                elif (
+                    cfg.wand_enabled
+                    and all(gdf.get(g, 0) > cfg.wand_min_df for g in gids)
+                    and sum(gdf.get(g, 0) for g in gids) > cfg.wand_min_postings
                 ):
-                    # every group frequent → a full conjunctive decode
-                    # is the expensive case block-max skipping is for
+                    # every group frequent AND the decode volume large
+                    # enough to outweigh the two-phase scheduling cost
+                    # → the case block-max skipping is for
                     wand_qids.append(qid)
                 for gid in gids:
                     for tok in st.groups[gid]:
-                        rows.append((qid, gid, tok, len(gids), gid == scan_gid))
+                        rows.append(
+                            (qid, gid, tok, len(gids), gid == scan_gid,
+                             gdf.get(gid, 0))
+                        )
             return pd.DataFrame(
-                rows, columns=["qid", "gid", "token", "n_required", "is_scan"]
+                rows,
+                columns=["qid", "gid", "token", "n_required", "is_scan", "gdf"],
             ), wand_qids
 
+        import time as _time
+
         self.last_metrics = {"rounds": 0, "cream_stops": 0, "buckets_skipped": 0}
-        for round_no in (1, 2, 3, 4):
+        self.last_trace = [_plan_trace]  # per-stage timings (≙ shell
+        #                EXPLAIN, addok/shell.py:282-327 / docs/shell.md)
+        _t0 = _time.time()
+        for round_no in (1, 3, 4):
             if round_no >= 3:
                 # cream early-termination (≙ has_cream, core.py:400-419,
                 # guarding the reducing/fuzzy collectors): a dry bucket
@@ -545,7 +661,19 @@ class SearchEngine:
             if plan.empty:
                 continue
             self.last_metrics["rounds"] += 1
+            _tr = _time.time()
             got = self._run_round(plan, cfg.bucket_max, wand_qids)
+            self.last_trace.append(
+                {
+                    "stage": f"collect_round_{round_no}",
+                    "seconds": round(_time.time() - _tr, 3),
+                    "plan_tokens": int(len(plan)),
+                    "qids": int(plan["qid"].nunique()),
+                    "wand_qids": len(wand_qids),
+                    "buckets_skipped": self.last_round_metrics["buckets_skipped"],
+                    "rows": int(len(got)),
+                }
+            )
             self.last_metrics["buckets_skipped"] += self.last_round_metrics[
                 "buckets_skipped"
             ]
@@ -560,8 +688,21 @@ class SearchEngine:
                 break
 
         self._apply_cream(states)
+        _tr = _time.time()
         self._relation_round(states)
-        return self._score(states)
+        self.last_trace.append(
+            {"stage": "relation_round", "seconds": round(_time.time() - _tr, 3)}
+        )
+        _tr = _time.time()
+        out = self._score(states)
+        self.last_trace.append(
+            {"stage": "score_plan", "seconds": round(_time.time() - _tr, 3)}
+        )
+        self.last_trace.append(
+            {"stage": "total_driver", "seconds": round(_time.time() - _t0, 3)}
+        )
+        self.last_states = states
+        return out
 
     # ------------------------------------------------------------------
     def _apply_cream(self, states: dict[str, _QState]) -> None:
@@ -651,13 +792,16 @@ class SearchEngine:
                 cg = list(clique) + st.filter_gids  # filters always required
                 for gid in cg:
                     for tok in st.groups[gid]:
-                        plan_rows.append((vq, gid, tok, len(cg), False))
+                        plan_rows.append(
+                            (vq, gid, tok, len(cg), False,
+                             st.group_df.get(gid, 0))
+                        )
         if not plan_rows:
             return
         got = self._run_round(
             pd.DataFrame(
                 plan_rows,
-                columns=["qid", "gid", "token", "n_required", "is_scan"],
+                columns=["qid", "gid", "token", "n_required", "is_scan", "gdf"],
             ),
             cfg.bucket_max,
         )
@@ -715,8 +859,11 @@ class SearchEngine:
                 "qid string, bucket long",
             )
         )
-        hits = self.blocks.join(qtoks, "token").join(
-            cbuckets, ["qid", "bucket"], "left_semi"
+        all_toks = sorted({t for _, _, t in tok_rows})
+        hits = (
+            self.blocks.filter(F.col("token").isin(all_toks))
+            .join(qtoks, "token")
+            .join(cbuckets, ["qid", "bucket"], "left_semi")
         )
         postings = _exploded_postings(hits, ["qid", "gid", "token"], with_tf=True)
         postings = postings.join(cand, ["qid", "doc_index"], "inner")
@@ -734,8 +881,17 @@ class SearchEngine:
             F.max("boost").alias("gboost"),
             F.first("k").alias("k"),
         )
-        dl = self.docs.select("doc_index", "dl", "conv_id", "turn_idx", "role",
-                              "tool", "text", "importance")
+        # prune the docs scan to candidate partitions (+ row groups):
+        # candidates are driver-known, docs are pbucket-partitioned
+        shift = meta["doc_bucket_bits"] + meta.get("pbucket_shift", 6)
+        cand_ids = sorted({d for _, d, _ in cand_rows})
+        docs_src = self.docs.filter(
+            F.col("pbucket").isin(sorted({d >> shift for d in cand_ids}))
+        )
+        if len(cand_ids) <= 10_000:
+            docs_src = docs_src.filter(F.col("doc_index").isin(cand_ids))
+        dl = docs_src.select("doc_index", "dl", "conv_id", "turn_idx", "role",
+                             "tool", "text", "importance")
         scored = per_group.join(dl, "doc_index")
         idf = F.log(
             F.lit(1.0)
@@ -798,6 +954,32 @@ class SearchEngine:
             "str_distance",
             cmp_udf(fold_udf(qmap[F.col("qid")]), fold_udf(F.col("text"))),
         )
+
+        if self.cfg.scorer == "reference":
+            # reference-semantics fold (core.py:92-101): score =
+            # (importance·iw + string sub-score)/(iw + 1), with the
+            # autocomplete ladder and the MIN_SCORE render cutoff
+            # (core.py:327-335) — BM25 replaced wholesale
+            amap = F.create_map(
+                *[
+                    x
+                    for st in states.values()
+                    for x in (
+                        F.lit(st.query.qid),
+                        F.lit(bool(st.query.autocomplete)),
+                    )
+                ]
+            )
+            ref_udf = make_ref_score_udf(self.cfg.importance_weight)
+            per_doc = per_doc.withColumn(
+                "score",
+                ref_udf(
+                    fold_udf(qmap[F.col("qid")]),
+                    fold_udf(F.col("text")),
+                    amap[F.col("qid")],
+                    F.col("importance"),
+                ),
+            ).filter(F.col("score") >= F.lit(self.cfg.min_score))
 
         w = Window.partitionBy("qid").orderBy(
             F.desc("score"),

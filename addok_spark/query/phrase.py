@@ -77,7 +77,9 @@ def phrase_match(engine, phrase: str, k: int = 10) -> DataFrame:
             [(t, i) for i, t in enumerate(toks)], "token string, offset int"
         )
     )
-    hits = engine.blocks.join(qdf, "token")
+    hits = engine.blocks.filter(
+        F.col("token").isin(sorted(set(toks)))
+    ).join(qdf, "token")
     # bucket prune: all tokens must have blocks in the bucket
     buck = (
         hits.groupBy("bucket")

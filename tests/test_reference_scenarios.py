@@ -1,0 +1,126 @@
+"""Golden behavioral scenarios ported from the reference's search
+suite (``/root/reference/tests/test_search.py``), replayed under the
+reference-semantics scorer (``EngineConfig(scorer="reference")``:
+Σscore/Σceiling fold over importance + string distance,
+core.py:92-101 / results.py:51-104). Documents are transcript rows
+whose ``text`` plays the reference's label role.
+"""
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from addok_spark.config import EngineConfig, FieldSpec
+from addok_spark.index.build import build_index
+from addok_spark.oracle.bm25_oracle import OracleIndex, oracle_search
+from addok_spark.query.engine import Query, SearchEngine
+
+DOCS = [
+    # (conv_id, text, importance)
+    ("doc-conflans", "Conflans", 0.0),
+    ("doc-andresy", "rue d'Andrésy", 0.0),
+    ("doc-paris-st-mande", "avenue de paris saint-mandé", 0.0185),
+    ("doc-st-mande-paris", "avenue de saint-mandé paris", 0.0463),
+    ("doc-rue-paris", "rue de paris", 1.0),
+    ("doc-rue-paris-twin", "rue de paris", 0.2),
+    ("doc-long", "w99990 " + " ".join(f"filler{i}" for i in range(40)), 0.0),
+]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_index_root):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [d[0] for d in DOCS],
+            "turn_idx": 0,
+            "role": "user",
+            "text": [d[1] for d in DOCS],
+            "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+            "importance": [d[2] for d in DOCS],
+        }
+    )
+    cfg = EngineConfig(
+        scorer="reference",
+        fields=(FieldSpec("text", 1.0),),
+        build_partitions=2,
+        doc_bucket_bits=4,
+        posting_block_size=16,
+        build_pairs=False,
+    )
+    out = str(Path(tmp_index_root) / "ref_scenarios")
+    paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
+    return SearchEngine(spark, paths, cfg), OracleIndex(pdf, cfg), cfg
+
+
+def _search(setup, q, **kw):
+    engine, oracle, cfg = setup
+    query = Query(qid="s", q=q, k=10, **kw)
+    got = engine.search([query]).toPandas()
+    want = oracle_search(oracle, [query], cfg)
+    assert list(got["doc_index"]) == list(want["doc_index"]), (
+        f"engine/oracle diverge for {q!r}:\n{got}\n{want}"
+    )
+    return got
+
+
+def test_should_match_name(setup):
+    # test_search.py:5-12
+    res = _search(setup, "Conflans")
+    assert res.iloc[0]["conv_id"] == "doc-conflans"
+
+
+def test_match_is_case_insensitive(setup):
+    # test_search.py:15-18
+    assert _search(setup, "conflans").iloc[0]["conv_id"] == "doc-conflans"
+
+
+def test_match_with_and_without_accent(setup):
+    # test_search.py:21-30
+    assert _search(setup, "andrésy").iloc[0]["conv_id"] == "doc-andresy"
+    assert _search(setup, "andresy").iloc[0]["conv_id"] == "doc-andresy"
+
+
+def test_word_order_priority(setup):
+    # test_search.py:602-617: the doc whose label IS the query wins
+    r1 = _search(setup, "avenue de paris saint-mandé")
+    assert r1.iloc[0]["conv_id"] == "doc-paris-st-mande"
+    r2 = _search(setup, "avenue de saint-mandé paris")
+    assert r2.iloc[0]["conv_id"] == "doc-st-mande-paris"
+
+
+def test_score_is_not_greater_than_one(setup):
+    # test_search.py:334-338: importance=1 + exact label → score == 1
+    res = _search(setup, "rue de paris")
+    assert res.iloc[0]["conv_id"] == "doc-rue-paris"
+    assert res.iloc[0]["score"] == pytest.approx(1.0)
+    assert (res["score"] <= 1.0 + 1e-12).all()
+
+
+def test_importance_breaks_label_ties(setup):
+    # identical labels → higher importance first (score_by_importance)
+    res = _search(setup, "rue de paris")
+    assert list(res["conv_id"][:2]) == ["doc-rue-paris", "doc-rue-paris-twin"]
+    assert res.iloc[0]["score"] > res.iloc[1]["score"]
+
+
+def test_min_score_cutoff(setup):
+    # core.py:327-335: a match whose folded score < MIN_SCORE(0.1) is
+    # dropped — one rare token inside a 41-token label scores ~0
+    res = _search(setup, "w99990")
+    assert len(res) == 0
+
+
+def test_autocomplete_startswith_ladder(setup):
+    # results.py:60-77: label startswith query → sub-score 0.9
+    res = _search(setup, "rue de par", autocomplete=True)
+    assert res.iloc[0]["conv_id"] == "doc-rue-paris"
+    expected = (1.0 * 0.1 + 0.9) / 1.1
+    assert res.iloc[0]["score"] == pytest.approx(expected)
+
+
+def test_does_not_fail_without_usable_tokens(setup):
+    # test_search.py:598-599
+    engine, _, _ = setup
+    assert len(engine.search([Query(qid="x", q="./.$*", k=5)]).toPandas()) == 0

@@ -38,9 +38,52 @@ def test_csv_loader(spark, tmp_path):
     assert rows[("c2", 0)]["text"] == "rue des lilas"
 
 
-def test_msgpack_stub():
-    with pytest.raises(NotImplementedError):
-        load_msgpack(None, "x")
+def test_msgpack_codec_roundtrip():
+    from addok_spark.msgpack_codec import packb, unpack_stream
+
+    objs = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "héllo " * 10, "tool": None, "importance": 0.25,
+         "nested": [1, -5, 2.5, True, b"\x00\x01", {"k": "v"}]},
+        "bare string",
+        12345678901234,
+        -129,
+        [None, False] * 20,             # array16
+        {str(i): i for i in range(20)},  # map16
+        "x" * 300,                       # str16
+    ]
+    blob = b"".join(packb(o) for o in objs)
+    assert list(unpack_stream(blob)) == objs
+
+
+def test_msgpack_loader(spark, tmp_path):
+    """S2: concatenated msgpack maps → typed rows; non-map records
+    and truncated tails land in _corrupt_record."""
+    from addok_spark.msgpack_codec import packb
+
+    d = tmp_path / "mp"
+    d.mkdir()
+    good = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "hello msgpack", "tool": None,
+         "ts": "2026-01-01T00:00:00", "importance": 0.5},
+        {"conv_id": "c1", "turn_idx": 1, "role": "tool",
+         "text": "grep output", "tool": "grep",
+         "ts": "2026-01-01T00:00:01", "importance": 0.25},
+    ]
+    (d / "a.msgpack").write_bytes(
+        b"".join(packb(o) for o in good) + packb("not a map")
+    )
+    (d / "b.msgpack").write_bytes(packb(good[0])[:-3])  # truncated
+    df = load_msgpack(spark, str(d)).toPandas()
+    ok = df[df["_corrupt_record"].isnull()].sort_values("turn_idx")
+    assert list(ok["conv_id"]) == ["c1", "c1"]
+    assert list(ok["text"]) == ["hello msgpack", "grep output"]
+    assert str(ok["ts"].iloc[0]).startswith("2026-01-01")
+    bad = df[df["_corrupt_record"].notnull()]
+    assert len(bad) == 2  # the non-map record + the truncated file
+    vr = valid_rows(load_msgpack(spark, str(d)))
+    assert vr.count() == 2
 
 
 def test_haversine_paris_london(spark):

@@ -55,7 +55,8 @@ def wand_setup(spark, tmp_index_root):
         build_partitions=4,
         doc_bucket_bits=3,       # 8 docs per bucket → 12 buckets
         posting_block_size=8,
-        wand_min_df=4,           # 'alpha'/'beta' df=96 → wand engages
+        wand_min_df=4,           # 'alpha'/'beta' df≈95 → wand engages
+        wand_min_postings=10,    # tiny corpus: bypass the volume gate
         wand_bucket_batch=2,
         build_pairs=False,
     )
