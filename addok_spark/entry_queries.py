@@ -354,16 +354,21 @@ def q_tfidf_vectors(spark, sf_dir):
     """Per-(doc, token) tf-idf weight (the sparse-vectorization step
     of a retrieval/embedding pipeline), smooth idf = ln(N/df) + 1."""
     tf = q_tokenize_tf(spark, sf_dir)
-    n_docs = tf.select("doc_id").distinct().count()
+    # n_docs via a broadcast 1-row aggregate cross join — ONE job for
+    # the whole query instead of a separate count() action per call
+    n = tf.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
             F.round(
                 F.col("tf")
-                * (F.log(F.lit(float(n_docs)) / F.col("df")) + F.lit(1.0)),
+                * (F.log(F.col("n_docs") / F.col("df")) + F.lit(1.0)),
                 6,
             ).alias("tfidf"),
         )
@@ -455,9 +460,10 @@ def q_dedup_jaccard(spark, sf_dir):
 SQL_DEDUP_JACCARD = f"""
 WITH {SQL_SHINGLES},
 sizes AS (SELECT id, count(*)::bigint AS set_size FROM sh GROUP BY id),
-h AS (SELECT id, hid,
-        ('0x' || substr(md5(hid::varchar || '|' || shingle), 1, 12))::bigint AS hv
-      FROM sh, (SELECT unnest(range(0, 8)) AS hid)),
+ab(hid, a, b) AS (VALUES (0,3557,127),(1,3041,9111),(2,2503,51787),(3,1987,303773),
+  (4,1597,917113),(5,1229,2531381),(6,919,7247237),(7,613,19300907)),
+base AS (SELECT id, ('0x' || substr(md5(shingle), 1, 12))::bigint AS base FROM sh),
+h AS (SELECT id, hid, (a * base + b) % 2305843009213693951 AS hv FROM base, ab),
 sig AS (SELECT id, hid, min(hv) AS minhash FROM h GROUP BY id, hid),
 banded AS (SELECT id, (hid // 2)::int AS band,
              md5(string_agg(minhash::varchar, ',' ORDER BY minhash)) AS band_key
@@ -487,9 +493,10 @@ def q_minhash_signatures(spark, sf_dir):
 
 SQL_MINHASH = f"""
 WITH {SQL_SHINGLES},
-h AS (SELECT id, hid,
-        ('0x' || substr(md5(hid::varchar || '|' || shingle), 1, 12))::bigint AS hv
-      FROM sh, (SELECT unnest(range(0, 8)) AS hid))
+ab(hid, a, b) AS (VALUES (0,3557,127),(1,3041,9111),(2,2503,51787),(3,1987,303773),
+  (4,1597,917113),(5,1229,2531381),(6,919,7247237),(7,613,19300907)),
+base AS (SELECT id, ('0x' || substr(md5(shingle), 1, 12))::bigint AS base FROM sh),
+h AS (SELECT id, hid, (a * base + b) % 2305843009213693951 AS hv FROM base, ab)
 SELECT id, hid::int AS hash_id, min(hv) AS minhash FROM h GROUP BY id, hid
 """
 
@@ -502,9 +509,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 SQL_MINHASH_LSH_PAIRS = f"""
 WITH {SQL_SHINGLES},
-h AS (SELECT id, hid,
-        ('0x' || substr(md5(hid::varchar || '|' || shingle), 1, 12))::bigint AS hv
-      FROM sh, (SELECT unnest(range(0, 8)) AS hid)),
+ab(hid, a, b) AS (VALUES (0,3557,127),(1,3041,9111),(2,2503,51787),(3,1987,303773),
+  (4,1597,917113),(5,1229,2531381),(6,919,7247237),(7,613,19300907)),
+base AS (SELECT id, ('0x' || substr(md5(shingle), 1, 12))::bigint AS base FROM sh),
+h AS (SELECT id, hid, (a * base + b) % 2305843009213693951 AS hv FROM base, ab),
 sig AS (SELECT id, hid, min(hv) AS minhash FROM h GROUP BY id, hid),
 banded AS (SELECT id, (hid // 2)::int AS band,
              md5(string_agg(minhash::varchar, ',' ORDER BY minhash)) AS band_key
@@ -779,6 +787,53 @@ FROM f GROUP BY user_id
 # registry
 # ---------------------------------------------------------------------------
 
+
+def q_token_kinds(spark, sf_dir):
+    """T4 (kind flagging, generalized): classify every dictionary
+    token — digit (the reference's housenumber-kind trigger,
+    text.py:236-244), snake (underscore identifiers: the transcript
+    analog of special-kind tokens), else word — with df per kind."""
+    d = q_token_dictionary(spark, sf_dir).select("token", "df")
+    kind = (
+        F.when(F.col("token").rlike("^[0-9]+$"), F.lit("digit"))
+        .when(F.col("token").contains("_"), F.lit("snake"))
+        .otherwise(F.lit("word"))
+    )
+    return d.select("token", "df", kind.alias("kind"))
+
+
+SQL_TOKEN_KINDS = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+d AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token)
+SELECT token, df,
+       CASE WHEN regexp_full_match(token, '[0-9]+') THEN 'digit'
+            WHEN contains(token, '_') THEN 'snake'
+            ELSE 'word' END AS kind
+FROM d
+"""
+
+
+def q_doc_labels(spark, sf_dir):
+    """R3 (make_labels): synthesize a display label from the doc's
+    fields (reference results.py:13-29 concatenates name + postcode +
+    city; the documents analog is source/lang + a text snippet)."""
+    d = _docs(spark, sf_dir)
+    label = F.concat_ws(
+        " — ",
+        F.concat_ws("/", F.col("source"), F.col("lang")),
+        F.substring(F.col("text"), 1, 80),
+    )
+    return d.select("doc_id", label.alias("label"))
+
+
+SQL_DOC_LABELS = """
+SELECT doc_id,
+       concat_ws(' — ', concat_ws('/', source, lang), substr(text, 1, 80)) AS label
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_tf": q_tokenize_tf,
     "token_dictionary": q_token_dictionary,
@@ -807,9 +862,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_buckets": q_lsh_buckets,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "token_kinds": q_token_kinds,
+    "doc_labels": q_doc_labels,
 }
 
 ORACLES: dict[str, str] = {
+    "token_kinds": SQL_TOKEN_KINDS,
+    "doc_labels": SQL_DOC_LABELS,
     "tokenize_tf": SQL_TOKENIZE_TF,
     "token_dictionary": SQL_TOKEN_DICTIONARY,
     "postings_topk": SQL_POSTINGS_TOPK,

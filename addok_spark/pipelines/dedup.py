@@ -52,14 +52,21 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) distinct word k-grams. Built with codegen array
-    ops (transform over sequence) — no UDF."""
-    toks = tokens_col(F.col(text_col))
+    ops (transform over sequence) — no UDF.
+
+    The token array is projected to a NAMED column first and the
+    lambda references it by name: inlining the tokenize expression
+    into the per-element lambda makes Spark re-evaluate the
+    regexp+split once per shingle (measured 10× slower at sf0.1)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("ts")
+    )
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        F.sequence(F.lit(0), F.greatest(F.size("ts") - k, F.lit(0))),
+        lambda i: F.array_join(F.slice("ts", i + 1, k), " "),
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        toks.select("id", F.explode(sh).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -153,24 +160,42 @@ def ngram_jaccard_pairs_lsh(
     )
 
 
+# universal-hash family over ONE md5 base value per shingle:
+# hv_i = (a_i·base + b_i) mod (2^61−1). base < 2^48 and a_i < 2^13, so
+# a_i·base < 2^61 — exact in int64 on both engines. Fixed literals →
+# DuckDB-reproducible. 8× fewer md5 evaluations than hashing
+# (i ‖ shingle) per hash id, which dominated the signature build.
+MINHASH_P = 2305843009213693951  # 2^61 − 1 (Mersenne prime)
+MINHASH_AB = [
+    (3557, 127), (3041, 9111), (2503, 51787), (1987, 303773),
+    (1597, 917113), (1229, 2531381), (919, 7247237), (613, 19300907),
+]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
 ) -> DataFrame:
     """MinHash signatures: h_i(doc) = min over shingles of
-    md5(i || shingle) (48-bit numeric). One explode + groupBy;
+    (a_i·md5_48(shingle) + b_i) mod p. One explode + groupBy;
     map-side combinable (min is algebraic) → scales like a word
     count. Returns (id, hash_id, minhash)."""
+    assert n_hashes <= len(MINHASH_AB)
     sh = word_shingles(df, id_col, text_col, k)
-    hashed = sh.select(
+    based = sh.select("id", _md5_long(F.col("shingle")).alias("base"))
+    fam = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hash_id"),
+                F.lit(MINHASH_AB[i][0]).cast("long").alias("a"),
+                F.lit(MINHASH_AB[i][1]).cast("long").alias("b"),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    hashed = based.select("id", "base", F.explode(fam).alias("f")).select(
         "id",
-        F.explode(
-            F.array(*[F.lit(i) for i in range(n_hashes)])
-        ).alias("hash_id"),
-        "shingle",
-    ).select(
-        "id",
-        "hash_id",
-        _md5_long(F.concat_ws("|", F.col("hash_id"), F.col("shingle"))).alias("hv"),
+        F.col("f.hash_id").alias("hash_id"),
+        ((F.col("f.a") * F.col("base") + F.col("f.b")) % F.lit(MINHASH_P)).alias("hv"),
     )
     return hashed.groupBy("id", "hash_id").agg(F.min("hv").alias("minhash"))
 
