@@ -720,8 +720,92 @@ bits AS (SELECT vec_id, CASE WHEN dot > 0 THEN (1::bigint << j::int) ELSE 0 END 
 SELECT vec_id AS id, sum(b)::bigint AS bucket FROM bits GROUP BY vec_id
 """
 
+
+
+def q_lsh_topk_multiprobe(spark, sf_dir):
+    """Multi-probe sign-LSH ANN: probe the query's bucket plus all
+    Hamming-distance-1 neighbor buckets (recovers the recall a single
+    probe loses when the query sits near a hyperplane), exact cosine
+    within the probed buckets only."""
+    planes = ann.make_planes(N_PLANES, EMB_DIM)
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann.lsh_topk(
+        emb, [float(x) for x in qv], planes, "vec_id", "embedding",
+        k=10, multi_probe=1,
+    )
+
+
+def _sql_lsh_topk_multiprobe() -> str:
+    planes = ann.make_planes(N_PLANES, EMB_DIM)
+    rows = ",\n".join(
+        f"({j}, {i}, {w!r})"
+        for j, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""
+WITH planes(j, i, w) AS (VALUES {rows}),
+z AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             unnest(embedding)::double AS x
+      FROM embeddings),
+dots AS (SELECT z.vec_id, p.j, sum(z.x * p.w) AS dot
+         FROM z JOIN planes p ON z.i = p.i GROUP BY z.vec_id, p.j),
+buckets AS (SELECT vec_id,
+              sum(CASE WHEN dot > 0 THEN (1::bigint << j::int) ELSE 0 END)::bigint AS bucket
+            FROM dots GROUP BY vec_id),
+qb AS (SELECT bucket AS q FROM buckets WHERE vec_id = 0),
+cand AS (SELECT b.vec_id FROM buckets b, qb
+         WHERE bit_count(xor(b.bucket, qb.q)) <= 1),
+qvec AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+zz AS (SELECT e.vec_id, unnest(e.embedding)::double AS x, unnest(qvec.qv)::double AS y
+       FROM embeddings e, qvec
+       WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM zz GROUP BY vec_id)
+SELECT vec_id AS id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM s ORDER BY cosine DESC, id LIMIT 10
+"""
+
 # ---------------------------------------------------------------------------
 # events (streaming-shaped analytics, batch-checkable)
+
+
+def q_stateful_sessions(spark, sf_dir):
+    """Custom stateful operator twin (streaming/stateful.py,
+    applyInPandasWithState on streams): full per-session rows — gap
+    sessionization carrying running aggregates. Batch execution runs
+    the same fold under applyInPandas; timestamps emitted as epochs
+    so the check is timezone-neutral."""
+    from .streaming.stateful import stateful_sessionize
+
+    ev = _events(spark, sf_dir)
+    out = stateful_sessionize(ev, gap_s=1800, flush_open=True)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("long").alias("start_epoch"),
+        F.unix_timestamp("session_end").cast("long").alias("end_epoch"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+SQL_STATEFUL_SESSIONS = """
+WITH o AS (SELECT user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id,
+       floor(epoch(min(ts)))::bigint AS start_epoch,
+       floor(epoch(max(ts)))::bigint AS end_epoch,
+       count(*)::bigint AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def q_events_hourly(spark, sf_dir):
@@ -864,11 +948,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "token_kinds": q_token_kinds,
     "doc_labels": q_doc_labels,
+    "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
+    "stateful_sessions": q_stateful_sessions,
 }
 
 ORACLES: dict[str, str] = {
     "token_kinds": SQL_TOKEN_KINDS,
     "doc_labels": SQL_DOC_LABELS,
+    "lsh_topk_multiprobe": _sql_lsh_topk_multiprobe(),
+    "stateful_sessions": SQL_STATEFUL_SESSIONS,
     "tokenize_tf": SQL_TOKENIZE_TF,
     "token_dictionary": SQL_TOKEN_DICTIONARY,
     "postings_topk": SQL_POSTINGS_TOPK,

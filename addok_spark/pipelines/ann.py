@@ -80,6 +80,29 @@ def cosine_topk(
     )
 
 
+def query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    qbits = 0
+    for j, plane in enumerate(planes):
+        if float(np.dot(np.array(query_vec), np.array(plane))) > 0:
+            qbits |= 1 << j
+    return qbits
+
+
+def probe_buckets(qbits: int, n_planes: int, multi_probe: int = 0) -> list[int]:
+    """The query bucket plus all buckets within Hamming distance
+    ``multi_probe`` of it (standard multi-probe LSH: a vector near a
+    hyperplane lands on either side, so flipping uncertain bits
+    recovers the recall a single probe loses)."""
+    out = {qbits}
+    frontier = {qbits}
+    for _ in range(multi_probe):
+        frontier = {
+            b ^ (1 << j) for b in frontier for j in range(n_planes)
+        } - out
+        out |= frontier
+    return sorted(out)
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -87,22 +110,22 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's sign
-    bucket. At scale the bucket column is a partition key, so the
-    probe prunes to one partition (IVF-style)."""
+    bucket(s). At scale the bucket column is a partition key, so the
+    probe prunes to one partition per probed bucket (IVF-style);
+    ``multi_probe`` widens to neighbor buckets (Hamming ≤ n flips)
+    for recall at the cost of probing more partitions."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qbits = 0
-    for j, plane in enumerate(planes):
-        if float(np.dot(np.array(query_vec), np.array(plane))) > 0:
-            qbits |= 1 << j
+    probes = probe_buckets(query_bucket(query_vec, planes), len(planes), multi_probe)
     return (
         emb.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
             sign_bucket_col(F.col(vec_col), planes).alias("bucket"),
         )
-        .filter(F.col("bucket") == qbits)
+        .filter(F.col("bucket").isin(probes))
         .select("id", F.round(cosine_col(F.col("vec"), q), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
