@@ -26,9 +26,6 @@ from urllib.parse import parse_qs, urlparse
 from .config import EngineConfig
 from .query.engine import Query, SearchEngine
 
-FILTERABLE = ("role", "tool")
-
-
 def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[int, dict]:
     q = (params.get("q") or [""])[0]
     if not q:
@@ -42,8 +39,8 @@ def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[
     limit = max(1, min(100, limit))  # http/base.py:176-178
     autocomplete = (params.get("autocomplete") or ["0"])[0] in ("1", "true")
     filters = {
-        k: params[k] for k in FILTERABLE if params.get(k)
-    }  # repeated param = OR; multiple fields = AND
+        k: params[k] for k in engine.cfg.filter_fields if params.get(k)
+    }  # repeated param = OR; multiple fields = AND (≙ FILTERS config)
     res = engine.search(
         [Query(qid="http", q=q, k=limit, autocomplete=autocomplete, filters=filters)]
     ).collect()

@@ -49,6 +49,33 @@ def test_bm25_uses_broadcast_joins(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_round_pushes_token_infilter_into_blocks_scan(spark, tmp_index_root):
+    """The collection round must push the plan's token IN-list into
+    the blocks parquet scan (a broadcast join alone pushes nothing —
+    every round would re-read all packed binaries)."""
+    import pandas as pd
+
+    from addok_spark.query.engine import SearchEngine
+
+    cfg = EngineConfig(
+        build_partitions=4, doc_bucket_bits=4, posting_block_size=16,
+    )
+    paths = build_index(
+        spark, transcripts_df(spark, 10, seed=42), cfg,
+        f"{tmp_index_root}/scanplan_idx",
+    )
+    eng = SearchEngine(spark, paths, cfg)
+    toks = sorted(
+        r["token"]
+        for r in eng.blocks.select("token").distinct().limit(3).collect()
+    )
+    plan = _fmt(
+        eng.blocks.filter(F.col("token").isin(toks)).select("token", "n")
+    )
+    assert "PushedFilters" in plan
+    assert "In(token" in plan or "EqualTo(token" in plan
+
+
 def test_pbucket_partition_pruning(spark, tmp_index_root):
     cfg = EngineConfig(
         build_partitions=4, doc_bucket_bits=2, pbucket_shift=1,
