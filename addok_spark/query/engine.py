@@ -153,7 +153,11 @@ class SearchEngine:
         self.blocks = spark.read.parquet(self.paths.blocks)
         self.docs = spark.read.parquet(self.paths.docs)
         self.dictionary = spark.read.parquet(self.paths.dictionary)
-        self.prefixes = spark.read.parquet(self.paths.prefixes)
+        try:
+            self.prefixes = spark.read.parquet(self.paths.prefixes)
+        except Exception:
+            self.prefixes = None  # deferred (build_prefixes=False;
+            #                       `addok_spark ngrams` builds later)
         try:
             self.pairs = spark.read.parquet(self.paths.pairs)
         except Exception:
@@ -179,7 +183,7 @@ class SearchEngine:
         """Autocomplete expansions for MANY prefixes in one job:
         full tokens under each edge n-gram, highest-df first
         (≙ order_by_frequency.lua); prefix → [(token, df)]."""
-        if not prefixes:
+        if not prefixes or self.prefixes is None:
             return {}
         w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("token"))
         rows = (
@@ -316,7 +320,9 @@ class SearchEngine:
         top-n per qid. plan columns: qid, gid, token, n_required,
         is_scan. Returns pandas (qid, doc_index, rn, prescore).
 
-        Block-max WAND (for ``wand_qids``; SURVEY §4.1): per-bucket
+        Block-max WAND (for ``wand_qids``; SURVEY §4.1 "Top-k
+        pushdown", after the published WAND / Block-Max WAND top-k
+        pruning technique): per-bucket
         upper bound ub = Σ_group max(max_boost) is computed from block
         METADATA only. Phase 1 decodes each wand qid's best
         ``wand_bucket_batch`` buckets by ub; phase 2 decodes only the

@@ -78,6 +78,11 @@ def _hw_calibration() -> dict:
 
 HEADLINE = [
     "bm25_topk",
+    "phrase_count",
+    "minhash_lsh_pairs",
+    "lsh_topk_multiprobe",
+    "stateful_sessions",
+    "token_kinds",
     "token_dictionary",
     "postings_topk",
     "conjunctive_intersect",

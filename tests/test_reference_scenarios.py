@@ -25,6 +25,8 @@ DOCS = [
     ("doc-rue-paris", "rue de paris", 1.0),
     ("doc-rue-paris-twin", "rue de paris", 0.2),
     ("doc-long", "w99990 " + " ".join(f"filler{i}" for i in range(40)), 0.0),
+    ("doc-lille-douai", "rue de Lille Douai", 0.0),
+    ("doc-douai-lille", "rue de Douai Lille", 0.0),
 ]
 
 
@@ -88,6 +90,14 @@ def test_word_order_priority(setup):
     assert r1.iloc[0]["conv_id"] == "doc-paris-st-mande"
     r2 = _search(setup, "avenue de saint-mandé paris")
     assert r2.iloc[0]["conv_id"] == "doc-st-mande-paris"
+
+
+def test_word_order_priority_same_tokens(setup):
+    # test_search.py:47-55 (best_match3): both docs carry the SAME
+    # token set; only word order separates them — the bigram-multiset
+    # distance must prefer the doc in query order
+    assert _search(setup, "rue de lille douai").iloc[0]["conv_id"] == "doc-lille-douai"
+    assert _search(setup, "rue de douai lille").iloc[0]["conv_id"] == "doc-douai-lille"
 
 
 def test_score_is_not_greater_than_one(setup):
