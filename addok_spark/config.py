@@ -112,6 +112,12 @@ class EngineConfig:
     # `addok ngrams` builds it as a post-pass)
     build_prefixes: bool = True
     build_pairs: bool = True
+    # CDC policy for the pairs table: re-derive after every batch
+    # (exact, but a full block-unpack pass — fine for hourly batches,
+    # heavy for high-frequency micro-batches at 100 TB) or invalidate
+    # (delete the dir; the relation round degrades gracefully to
+    # pairs=None until the next `addok_spark build`/pairs rebuild)
+    cdc_rebuild_pairs: bool = True
 
     @property
     def field_names(self) -> tuple[str, ...]:

@@ -199,16 +199,22 @@ def apply_actions(
     dictionary = dictionary_from_blocks(spark.read.parquet(paths.blocks))
     dictionary.write.mode("overwrite").parquet(paths.dictionary)
 
-    # pairs re-derived too when the index carries them — otherwise the
-    # relation round would use stale co-occurrence edges (pairs from
-    # deleted docs persisting, new docs' pairs missing)
+    # pairs must not go stale (the relation round would use edges
+    # from deleted docs / miss new docs'): either re-derive them —
+    # exact, but a full block-unpack pass — or invalidate the dir so
+    # the engine degrades to pairs=None (cfg.cdc_rebuild_pairs)
     if Path(paths.pairs).exists():
-        # derived from blocks only (no self-read) → plain overwrite
-        pairs_from_blocks(
-            spark.read.parquet(paths.blocks),
-            spark.read.parquet(paths.dictionary),
-            cfg,
-        ).write.mode("overwrite").parquet(paths.pairs)
+        if cfg.cdc_rebuild_pairs:
+            # derived from blocks only (no self-read) → plain overwrite
+            pairs_from_blocks(
+                spark.read.parquet(paths.blocks),
+                spark.read.parquet(paths.dictionary),
+                cfg,
+            ).write.mode("overwrite").parquet(paths.pairs)
+        else:
+            import shutil as _sh
+
+            _sh.rmtree(paths.pairs, ignore_errors=True)
     prefixes_from_dictionary(
         spark.read.parquet(paths.dictionary), cfg
     ).write.mode("overwrite").parquet(paths.prefixes)

@@ -97,6 +97,34 @@ def _unpack_block(docs_bin: pd.Series, tfs_bin: pd.Series, boosts_bin: pd.Series
     return pd.DataFrame({"doc_index": docs, "tf": tfs, "boost": boosts})
 
 
+def _topn_per_qid(df, score_col: str, id_col: str, topn: int):
+    """Exact distributed top-n per qid by (score desc, id asc),
+    without a per-qid window: level 1 takes the top-n within each
+    (qid, id-salt) slice, level 2 the top-n of the ≤64·topn
+    survivors. No reducer ever holds more than 64·topn rows of one
+    qid, however many docs match. Returns (qid, id, rn, score)."""
+    key = F.struct(
+        (-F.col(score_col)).alias("np"), F.col(id_col).alias("d")
+    )
+    lvl1 = (
+        df.select("qid", F.pmod(F.col(id_col), F.lit(64)).alias("salt"), key.alias("key"))
+        .groupBy("qid", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list("key")), 1, topn).alias("top"))
+        .select("qid", F.explode("top").alias("key"))
+    )
+    return (
+        lvl1.groupBy("qid")
+        .agg(F.slice(F.array_sort(F.collect_list("key")), 1, topn).alias("top"))
+        .select("qid", F.posexplode("top").alias("pos", "x"))
+        .select(
+            "qid",
+            F.col("x.d").alias(id_col),
+            (F.col("pos") + 1).alias("rn"),
+            (-F.col("x.np")).alias(score_col),
+        )
+    )
+
+
 def _exploded_postings(hits, extra_cols: list[str], with_tf: bool = False):
     """blocks rows → (…extra_cols, doc_index, boost[, tf]) posting
     rows: UDF decode to arrays, then JVM-side arrays_zip + explode."""
@@ -483,14 +511,13 @@ class SearchEngine:
             sg = scan_side.groupBy("qid", "doc_index").agg(
                 F.max("boost").alias("sboost")
             )
-            ws = Window.partitionBy("qid").orderBy(
-                F.desc("sboost"), F.asc("doc_index")
-            )
-            probe = (
-                sg.withColumn("srn", F.row_number().over(ws))
-                .filter(F.col("srn") <= self.cfg.scan_limit)
-                .select("qid", "doc_index")
-            )
+            # two-level top-scan_limit (same no-single-reducer rule as
+            # the round top-n: the probe list of a common token is
+            # corpus-sized before the cap)
+            probe = _topn_per_qid(
+                sg.select("qid", "doc_index", F.col("sboost").alias("prescore")),
+                "prescore", "doc_index", self.cfg.scan_limit,
+            ).select("qid", "doc_index")
             scanned = postings.filter(F.col("qid").isin(scan_qids)).join(
                 F.broadcast(probe), ["qid", "doc_index"], "left_semi"
             )
@@ -543,31 +570,13 @@ class SearchEngine:
             .filter(F.col("st.nmatch") >= F.col("nr"))
             .select("qid", "doc_index", F.col("st.prescore").alias("prescore"))
         )
-        # top-n per qid without a window: one groupBy(qid) sort+slice
-        # (candidate counts per qid are bounted by the conjunctive
-        # match, and only topn survive)
-        top = (
-            per_doc.groupBy("qid")
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                (-F.col("prescore")).alias("np"),
-                                F.col("doc_index").alias("d"),
-                            )
-                        )
-                    ),
-                    1, topn,
-                ).alias("top")
-            )
-            .select("qid", F.posexplode("top").alias("pos", "x"))
-            .select(
-                "qid",
-                F.col("x.d").alias("doc_index"),
-                (F.col("pos") + 1).alias("rn"),
-                (-F.col("x.np")).alias("prescore"),
-            )
+        # top-n per qid without a window, TWO-LEVEL so no single
+        # reducer ever sees a query's full match set (a common-token
+        # conjunction can match a large corpus fraction): per
+        # (qid, doc-salt) partial top-n, then top-n of the ≤64·topn
+        # survivors — exact for any monotone top-n
+        top = _topn_per_qid(
+            per_doc, "prescore", "doc_index", topn
         )
         out = top.toPandas()
         if out.empty:
