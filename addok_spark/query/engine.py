@@ -46,7 +46,6 @@ Scale notes:
 from __future__ import annotations
 
 import json
-import math
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -61,7 +60,6 @@ from pyspark.sql.window import Window
 from ..config import EngineConfig
 from ..functions.text import (
     analyze_str,
-    edge_ngrams_str,
     fold_str,
     fold_udf,
     make_compare_str_udf,
@@ -886,10 +884,12 @@ class SearchEngine:
         # group-level tf: expansions of one query token sum their tf
         # (BM25F-style synonym handling); df for idf = df of the
         # matched token (min over matched expansions for determinism)
-        dstats = self.dictionary.select("token", "df")
-        postings = postings.join(F.broadcast(
-            dstats.join(qtoks.select("token").distinct(), "token", "left_semi")
-        ), "token")
+        # token IN-filter pushed into the dictionary scan (the
+        # broadcast semi-join alone reads the whole table)
+        dstats = self.dictionary.filter(
+            F.col("token").isin(all_toks)
+        ).select("token", "df")
+        postings = postings.join(F.broadcast(dstats), "token")
         per_group = postings.groupBy("qid", "doc_index", "gid").agg(
             F.sum("tf").alias("tf"),
             F.min("df").alias("df"),
