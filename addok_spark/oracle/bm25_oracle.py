@@ -272,9 +272,13 @@ def oracle_search(
         filters = getattr(q, "filters", None) or {}
         for d in sorted(candidates):
             doc = index.docs.iloc[d]
-            ok = all(
-                (doc[col] in vals) for col, vals in filters.items()
-            )
+            ok = True
+            for col, vals in filters.items():
+                vs = {str(v).strip() for v in vals if str(v).strip()}
+                if vs and not (
+                    doc[col] is not None and str(doc[col]) in vs
+                ):
+                    ok = False
             if not ok:
                 continue
             score = 0.0

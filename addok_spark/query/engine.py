@@ -941,13 +941,18 @@ class SearchEngine:
             F.first("text").alias("text"),
             F.first("importance").alias("importance"),
         )
-        # optional filters (≙ f| sets → predicate, addok/core.py:208-248)
+        # belt-and-braces filter predicate on top of the
+        # filter-constrained collection (≙ f| sets → predicate,
+        # addok/core.py:208-248) — values normalized exactly like the
+        # collection keys (strip + drop empties)
         fexprs = []
         for st in states.values():
             for col, vals in (st.query.filters or {}).items():
-                fexprs.append(
-                    (F.col("qid") != st.query.qid) | F.col(col).isin(vals)
-                )
+                vs = sorted({str(v).strip() for v in vals if str(v).strip()})
+                if vs:
+                    fexprs.append(
+                        (F.col("qid") != st.query.qid) | F.col(col).isin(vs)
+                    )
         for e in fexprs:
             per_doc = per_doc.filter(e)
 
