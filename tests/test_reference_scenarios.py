@@ -27,6 +27,7 @@ DOCS = [
     ("doc-long", "w99990 " + " ".join(f"filler{i}" for i in range(40)), 0.0),
     ("doc-lille-douai", "rue de Lille Douai", 0.0),
     ("doc-douai-lille", "rue de Douai Lille", 0.0),
+    ("doc-city-andresy", "Andrésy", 0.0),
 ]
 
 
@@ -79,9 +80,20 @@ def test_match_is_case_insensitive(setup):
 
 
 def test_match_with_and_without_accent(setup):
-    # test_search.py:21-30
-    assert _search(setup, "andrésy").iloc[0]["conv_id"] == "doc-andresy"
-    assert _search(setup, "andresy").iloc[0]["conv_id"] == "doc-andresy"
+    # test_search.py:21-30: accented and unaccented forms match the
+    # same docs (the exact-name city doc legitimately ranks first)
+    r1 = _search(setup, "andrésy")
+    r2 = _search(setup, "andresy")
+    assert set(r1["conv_id"]) >= {"doc-andresy", "doc-city-andresy"}
+    assert list(r1["conv_id"]) == list(r2["conv_id"])
+
+
+def test_exact_name_beats_containing_name(setup):
+    # test_search.py:33-37 (best_match): the doc whose whole label is
+    # the query outranks the doc merely containing it
+    res = _search(setup, "andresy")
+    assert res.iloc[0]["conv_id"] == "doc-city-andresy"
+    assert res.iloc[1]["conv_id"] == "doc-andresy"
 
 
 def test_word_order_priority(setup):
