@@ -386,10 +386,18 @@ def filter_token_rows(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     fields = [f for f in cfg.filter_fields if f in docs.columns]
     if not fields:
         return None
+    # values TRIMMED (empty-after-trim dropped) — the exact
+    # normalization the query side applies when building f| keys and
+    # the post-score predicate, so a value carrying stray whitespace
+    # can never silently fail to match any filter
     parts = [
-        docs.filter(F.col(f).isNotNull()).select(
+        docs.select(
+            "doc_index", F.trim(F.col(f).cast("string")).alias("__v")
+        )
+        .filter(F.col("__v").isNotNull() & (F.col("__v") != ""))
+        .select(
             "doc_index",
-            F.concat(F.lit(f"f|{f}|"), F.col(f).cast("string")).alias("token"),
+            F.concat(F.lit(f"f|{f}|"), F.col("__v")).alias("token"),
             F.lit(1).alias("tf"),
             F.lit(b"").alias("pos_bin"),
             F.lit(0.0).cast("float").alias("boost"),

@@ -89,8 +89,18 @@ def apply_actions(
         if "_seq" in changes.columns
         else (F.col("ts") if "ts" in changes.columns else F.lit(0))
     )
+    # final tiebreak: a deterministic payload digest, so two rows that
+    # tie on BOTH (_seq, _action) — e.g. duplicate 'index' actions with
+    # different text at the same _seq — still resolve identically
+    # across runs (never by partition luck); the ordering is total
+    payload_cols = [
+        c for c in changes.columns
+        if c not in ("conv_id", "turn_idx", "_seq")
+    ]
     wseq = _W.partitionBy("conv_id", "turn_idx").orderBy(
-        seq.desc(), F.col("_action").desc()
+        seq.desc(),
+        F.col("_action").desc(),
+        F.xxhash64(*[F.col(c).cast("string") for c in payload_cols]).desc(),
     )
     changes = (
         changes.withColumn("__rn", F.row_number().over(wseq))

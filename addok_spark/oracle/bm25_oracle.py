@@ -82,7 +82,11 @@ class OracleIndex:
                 continue
             for d, v in zip(corpus["doc_index"], corpus[fname]):
                 if v is not None and not (isinstance(v, float) and math.isnan(v)):
-                    self.fboost[f"f|{fname}|{v}"][int(d)] = 0.0
+                    # trim, drop empty — same normalization as
+                    # build.py filter_token_rows and the query side
+                    vv = str(v).strip()
+                    if vv:
+                        self.fboost[f"f|{fname}|{vv}"][int(d)] = 0.0
         self.n_docs = len(corpus)
         self.avgdl = float(self.dl.sum()) / max(self.n_docs, 1)
         # prefix table (non-digit tokens, autocomplete.py:111-131)
@@ -172,10 +176,14 @@ def oracle_search(
         qf = fold_str(q.q)
 
         def has_cream() -> bool:
-            # ≙ core.py:400-419 (mirror of SearchEngine._apply_cream)
+            # ≙ core.py:400-419 (mirror of SearchEngine._apply_cream):
+            # the metric is the reference result processors'
+            # str_distance (autocomplete ladder / compare_ngrams per
+            # query mode, results.py:60-104), not the tie-break key
+            ac = bool(getattr(q, "autocomplete", False))
             return any(
-                str_distance_key(
-                    qf, fold_str(index.docs.iloc[d]["text"] or "")
+                ref_string_score(
+                    qf, fold_str(index.docs.iloc[d]["text"] or ""), ac
                 ) >= cfg.match_threshold
                 for d in sorted(candidates)
             )
@@ -276,7 +284,7 @@ def oracle_search(
             for col, vals in filters.items():
                 vs = {str(v).strip() for v in vals if str(v).strip()}
                 if vs and not (
-                    doc[col] is not None and str(doc[col]) in vs
+                    doc[col] is not None and str(doc[col]).strip() in vs
                 ):
                     ok = False
             if not ok:

@@ -65,6 +65,7 @@ from ..functions.text import (
     make_compare_str_udf,
     make_fuzzy_str,
     make_ref_score_udf,
+    ref_string_score,
     str_distance_key,
 )
 from ..index.build import IndexPaths
@@ -462,13 +463,19 @@ class SearchEngine:
             )
             NEG = float("-1e300")
             thresholds: dict[str, float] = {}
+            rem_nb: dict[str, int] = {}
             for r in rem:
                 mine = got1[got1["qid"] == r["qid"]]
                 t = (
                     float(mine["prescore"].min()) if len(mine) >= topn else NEG
                 )
-                if r["max_ub"] > t:
+                # INCLUSIVE floor: a bucket whose ub ties the phase-1
+                # top-n floor can still hold a doc that wins the
+                # doc_index tiebreak at that exact prescore — only
+                # max_ub < t proves a qid's remaining buckets are dead
+                if r["max_ub"] >= t:
                     thresholds[r["qid"]] = t
+                    rem_nb[r["qid"]] = int(r["nb"])
                 else:
                     self.last_round_metrics["buckets_skipped"] += int(r["nb"])
             if not thresholds:
@@ -481,12 +488,25 @@ class SearchEngine:
             p2b = (
                 buck2.filter(F.col("rnb") > R)
                 .join(thr_df, "qid")
-                .filter(F.col("ub") > F.col("thr"))
+                .filter(F.col("ub") >= F.col("thr"))
                 .select("qid", "bucket")
-            )
-            got2 = self._conjunctive_topn(
-                hw.join(p2b, ["qid", "bucket"], "left_semi"), plan, topn
-            )
+            ).persist()
+            # per-qid skipped = remaining buckets minus decoded buckets
+            # (buck2 is persisted; this is a tiny metadata aggregation)
+            dec = {
+                r["qid"]: int(r["cnt"])
+                for r in p2b.groupBy("qid").agg(
+                    F.count(F.lit(1)).alias("cnt")
+                ).collect()
+            }
+            for qid, nb in rem_nb.items():
+                self.last_round_metrics["buckets_skipped"] += nb - dec.get(qid, 0)
+            try:
+                got2 = self._conjunctive_topn(
+                    hw.join(p2b, ["qid", "bucket"], "left_semi"), plan, topn
+                )
+            finally:
+                p2b.unpersist()
             # merge the two phases (disjoint bucket sets → disjoint
             # docs) under the same total order
             merged = pd.concat([got1, got2], ignore_index=True)
@@ -736,8 +756,15 @@ class SearchEngine:
         """Mark still-dry queries done when their bucket already holds
         a string match ≥ cfg.match_threshold (the reference's "cream"
         check, core.py:400-419). One tiny pbucket-pruned doc lookup
-        for ALL dry queries' candidates (≤ bucket_max each), compared
-        driver-side with the shared str_distance_key."""
+        for ALL dry queries' candidates (≤ bucket_max each).
+
+        The metric is the SAME str_distance the reference's result
+        processors would have attached (results.py:60-104): the
+        autocomplete equals/startswith/contains ladder for
+        autocomplete queries, bigram compare_ngrams otherwise — NOT
+        the compare_str tie-break key, whose 0.85 query-trigram-recall
+        term scores ~1.0 for any long turn merely CONTAINING the query
+        and would stop relaxation rounds the reference still runs."""
         need = {
             qid: st
             for qid, st in states.items()
@@ -746,7 +773,7 @@ class SearchEngine:
         if not need:
             return
         ids = sorted({d for st in need.values() for d in st.candidates})
-        shift = self.meta["doc_bucket_bits"] + self.meta["pbucket_shift"]
+        shift = self.meta["doc_bucket_bits"] + self.meta.get("pbucket_shift", 6)
         pbs = sorted({d >> shift for d in ids})
         rows = (
             self.docs.filter(F.col("pbucket").isin(pbs))
@@ -758,8 +785,9 @@ class SearchEngine:
         thr = self.cfg.match_threshold
         for qid, st in need.items():
             qf = fold_str(st.query.q)
+            ac = bool(st.query.autocomplete)
             if any(
-                str_distance_key(qf, folded.get(d, "")) >= thr
+                ref_string_score(qf, folded.get(d, ""), ac) >= thr
                 for d in sorted(st.candidates)
             ):
                 st.done = True
@@ -964,8 +992,11 @@ class SearchEngine:
             for col, vals in (st.query.filters or {}).items():
                 vs = sorted({str(v).strip() for v in vals if str(v).strip()})
                 if vs:
+                    # trim the doc-side value too — same normalization
+                    # as the f| index keys (build.py filter_token_rows)
                     fexprs.append(
-                        (F.col("qid") != st.query.qid) | F.col(col).isin(vs)
+                        (F.col("qid") != st.query.qid)
+                        | F.trim(F.col(col).cast("string")).isin(vs)
                     )
         for e in fexprs:
             per_doc = per_doc.filter(e)

@@ -172,3 +172,38 @@ def test_scan_mode_rank_identity(spark, index_paths, corpus_pdf, oracle):
             got_g[qid]["score"].to_numpy(), want_g[qid]["score"].to_numpy(),
             rtol=1e-9,
         )
+
+
+def test_filter_value_whitespace_normalized(spark, cfg, tmp_index_root):
+    """A doc whose filter-column value carries stray whitespace must
+    still match the filter: index keys, query keys and the post-score
+    predicate all trim values identically (build.py filter_token_rows
+    ↔ engine._plan_queries ↔ engine._score)."""
+    from addok_spark.index.build import build_index as _build
+
+    rows = []
+    for i in range(12):
+        rows.append(
+            {
+                "conv_id": f"conv-{i:02d}",
+                "turn_idx": 0,
+                "role": " user " if i == 0 else "assistant",
+                "text": "needle haystack" if i == 0 else f"misc{i:02d} haystack",
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=i),
+                "importance": 0.0,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    wcfg = EngineConfig(build_partitions=2, doc_bucket_bits=3,
+                        posting_block_size=8, build_pairs=False)
+    out = str(Path(tmp_index_root) / "filter_ws_test")
+    paths = _build(spark, spark.createDataFrame(pdf), wcfg, out)
+    eng = SearchEngine(spark, paths, wcfg)
+    q = Query(qid="ws1", q="needle haystack", k=10, filters={"role": ["user"]})
+    got = eng.search([q]).toPandas()
+    assert list(got["doc_index"]) == [0], "whitespace-padded value must match"
+    from addok_spark.oracle.bm25_oracle import OracleIndex as _OI
+
+    want = oracle_search(_OI(pdf, wcfg), [q], wcfg)
+    assert list(got["doc_index"]) == list(want["doc_index"])

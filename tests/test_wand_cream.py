@@ -143,3 +143,106 @@ def test_cream_reduces_rounds(spark, wand_setup):
     assert list(got["doc_index"]) == list(want["doc_index"])
     want_nc = oracle_search(oracle, q, cfg_nc)
     assert list(got_nc["doc_index"]) == list(want_nc["doc_index"])
+
+
+def test_wand_floor_tie_includes_tied_buckets(spark, tmp_index_root):
+    """A remaining bucket whose upper bound EQUALS the phase-1 top-n
+    floor must still be decoded: it can hold a doc that ties the floor
+    prescore and wins the doc_index tiebreak. Corpus: doc 8 is the
+    lone high-boost doc (bucket 1, ub 1.0); every other doc scores
+    exactly float32(0.5), so bucket 0's ub ties the floor and its
+    docs 0..3 must displace docs 9..12 in the final ranks."""
+    rows = []
+    for i in range(16):
+        text = "alpha" if i == 8 else f"alpha w{i:02d}"
+        rows.append(
+            {
+                "conv_id": f"conv-{i:02d}",
+                "turn_idx": 0,
+                "role": "user",
+                "text": text,
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=i),
+                "importance": 0.0,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    cfg = EngineConfig(
+        build_partitions=2,
+        doc_bucket_bits=3,   # 8 docs per bucket → 2 buckets
+        posting_block_size=8,
+        wand_bucket_batch=1,  # phase 1 decodes ONLY bucket 1 (ub 1.0)
+        build_pairs=False,
+        build_prefixes=False,
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = str(Path(tmp_index_root) / "wand_tie_test")
+    paths = build_index(spark, sdf, cfg, out)
+    engine = SearchEngine(spark, paths, cfg)
+    plan = pd.DataFrame(
+        [("t1", 0, "alpha", 1, False)],
+        columns=["qid", "gid", "token", "n_required", "is_scan"],
+    )
+    wand = engine._run_round(plan, topn=5, wand_qids=["t1"])
+    plain = engine._run_round(plan, topn=5, wand_qids=[])
+    assert list(plain["doc_index"]) == [8, 0, 1, 2, 3]
+    pd.testing.assert_frame_equal(
+        wand[["qid", "doc_index", "rn"]].reset_index(drop=True),
+        plain[["qid", "doc_index", "rn"]].reset_index(drop=True),
+        check_dtype=False,  # merged path re-ranks in pandas (int64)
+    )
+
+
+def test_cream_metric_not_fooled_by_containment(spark, tmp_index_root):
+    """Cream uses the reference's str_distance metric (bigram
+    compare_ngrams for non-autocomplete queries), NOT the compare_str
+    tie-break key: a long turn that merely CONTAINS the query scores
+    ~1.0 query-trigram recall under compare_str but far below
+    MATCH_THRESHOLD under compare_ngrams, so relaxation rounds the
+    reference would still run must not be skipped."""
+    rows = []
+    filler = " ".join(f"pad{j:02d}" for j in range(50))
+    for i in range(24):
+        if i == 0:
+            text = "zeta theta " + filler  # CONTAINS the query verbatim
+        else:
+            text = f"misc{i:02d} " + " ".join(
+                f"pad{(i + j) % 50:02d}" for j in range(10)
+            )
+        rows.append(
+            {
+                "conv_id": f"conv-{i:02d}",
+                "turn_idx": 0,
+                "role": "user",
+                "text": text,
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=i),
+                "importance": 0.0,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    cfg = EngineConfig(
+        build_partitions=2,
+        doc_bucket_bits=3,
+        posting_block_size=8,
+        build_pairs=False,
+        build_prefixes=False,
+    )
+    from addok_spark.functions.text import compare_ngrams, compare_str, fold_str
+
+    # the trap: compare_str says "match", compare_ngrams says "no"
+    label = fold_str(pdf["text"].iloc[0])
+    assert compare_str("zeta theta", label) >= cfg.match_threshold
+    assert compare_ngrams(label, "zeta theta") < cfg.match_threshold
+
+    sdf = spark.createDataFrame(pdf)
+    out = str(Path(tmp_index_root) / "cream_containment_test")
+    paths = build_index(spark, sdf, cfg, out)
+    engine = SearchEngine(spark, paths, cfg)
+    q = [Query(qid="cc1", q="zeta theta", k=10)]
+    got = engine.search(q).toPandas()
+    assert engine.last_metrics["cream_stops"] == 0
+    assert engine.last_metrics["rounds"] >= 2  # relaxation round ran
+    oracle = OracleIndex(pdf, cfg)
+    want = oracle_search(oracle, q, cfg)
+    assert list(got["doc_index"]) == list(want["doc_index"])
