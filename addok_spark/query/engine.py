@@ -96,31 +96,80 @@ def _unpack_block(docs_bin: pd.Series, tfs_bin: pd.Series, boosts_bin: pd.Series
     return pd.DataFrame({"doc_index": docs, "tf": tfs, "boost": boosts})
 
 
+def _head_per_sorted_run(topn: int):
+    """mapInPandas fn: rows arrive sorted by (qid, salt, np, d);
+    emit only the first ``topn`` rows of each (qid, salt) run.
+
+    Bounded-memory by construction: state is one (qid, salt, count)
+    triple carried across Arrow batches — no buffer ever holds a
+    group, so a corpus-sized match set for one qid streams through in
+    arrow-batch-sized slices (vs collect_list, which gathers the
+    whole group into a single non-spillable aggregation buffer)."""
+
+    def run(batches):
+        cur: tuple | None = None
+        cnt = 0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            qs = pdf["qid"].to_numpy()
+            ss = pdf["salt"].to_numpy()
+            change = np.empty(n, dtype=bool)
+            change[0] = cur is None or (qs[0], ss[0]) != cur
+            if n > 1:
+                change[1:] = (qs[1:] != qs[:-1]) | (ss[1:] != ss[:-1])
+            idx = np.arange(n, dtype=np.int64)
+            starts = np.maximum.accumulate(np.where(change, idx, 0))
+            pos = idx - starts
+            if not change[0]:
+                pos[starts == 0] += cnt  # run continuing from last batch
+            keep = pos < topn
+            cnt = int(pos[-1]) + 1
+            cur = (qs[-1], ss[-1])
+            out = pdf.loc[keep, ["qid", "np", "d"]]
+            if len(out):
+                yield out
+
+    return run
+
+
 def _topn_per_qid(df, score_col: str, id_col: str, topn: int,
                   two_level: bool = True):
     """Exact distributed top-n per qid by (score desc, id asc),
     without a per-qid window: with ``two_level``, level 1 takes the
-    top-n within each (qid, id-salt) slice and level 2 the top-n of
-    the ≤64·topn survivors — no reducer ever holds more than 64·topn
-    rows of one qid, however many docs match. Small inputs (the
-    common case, gated by the caller's decode-volume estimate) skip
-    straight to the single per-qid slice: one stage fewer. Identical
-    results either way. Returns (qid, id, rn, score)."""
-    key = F.struct(
-        (-F.col(score_col)).alias("np"), F.col(id_col).alias("d")
-    )
-    src = df.select("qid", key.alias("key"))
+    top-n within each (qid, id-salt) slice via an external SORT plus
+    a streaming per-run head (bounded memory, spill-safe — the same
+    sort-merge shape as the build-side block packer, build.py
+    ``build_blocks``), and level 2 merges the ≤64·topn survivors.
+    No task ever materializes a full (qid, salt) group, however many
+    docs match. Small inputs (the common case, gated by the caller's
+    decode-volume estimate) skip straight to the single per-qid
+    slice: one stage fewer. Identical results either way.
+    Returns (qid, id, rn, score)."""
     if two_level:
-        src = (
+        level1 = (
             df.select(
                 "qid",
                 F.pmod(F.col(id_col), F.lit(64)).alias("salt"),
-                key.alias("key"),
+                (-F.col(score_col)).cast("double").alias("np"),
+                F.col(id_col).cast("long").alias("d"),
             )
-            .groupBy("qid", "salt")
-            .agg(F.slice(F.array_sort(F.collect_list("key")), 1, topn).alias("top"))
-            .select("qid", F.explode("top").alias("key"))
+            .repartition("qid", "salt")
+            .sortWithinPartitions("qid", "salt", "np", "d")
+            .mapInPandas(
+                _head_per_sorted_run(topn), "qid string, np double, d long"
+            )
         )
+        src = level1.select(
+            "qid", F.struct(F.col("np"), F.col("d")).alias("key")
+        )
+    else:
+        key = F.struct(
+            (-F.col(score_col)).cast("double").alias("np"),
+            F.col(id_col).cast("long").alias("d"),
+        )
+        src = df.select("qid", key.alias("key"))
     return (
         src.groupBy("qid")
         .agg(F.slice(F.array_sort(F.collect_list("key")), 1, topn).alias("top"))

@@ -207,3 +207,51 @@ def test_filter_value_whitespace_normalized(spark, cfg, tmp_index_root):
 
     want = oracle_search(_OI(pdf, wcfg), [q], wcfg)
     assert list(got["doc_index"]) == list(want["doc_index"])
+
+
+def test_topn_two_level_bounded_head_rank_identity(spark):
+    """The level-1 streaming head (sort + per-run head in mapInPandas)
+    must return EXACTLY the same ranks as the single-level path, on a
+    corpus-sized match group with heavy score ties, and with Arrow
+    batches far smaller than a (qid, salt) run so the cross-batch
+    carry state is exercised."""
+    from addok_spark.query.engine import _topn_per_qid
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {
+            "qid": np.where(np.arange(n) % 3 == 0, "qa", "qb"),
+            "doc_index": np.arange(n, dtype=np.int64),
+            # few distinct scores → massive ties → tiebreak stress
+            "prescore": rng.integers(0, 5, n).astype(np.float64) / 4.0,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        two = (
+            _topn_per_qid(df, "prescore", "doc_index", 25, two_level=True)
+            .toPandas()
+            .sort_values(["qid", "rn"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    one = (
+        _topn_per_qid(df, "prescore", "doc_index", 25, two_level=False)
+        .toPandas()
+        .sort_values(["qid", "rn"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(two, one, check_dtype=False)
+    # cross-check against plain pandas
+    want = (
+        pdf.sort_values(["qid", "prescore", "doc_index"],
+                        ascending=[True, False, True])
+        .groupby("qid")
+        .head(25)
+        .reset_index(drop=True)
+    )
+    assert list(two["doc_index"]) == list(want["doc_index"])
