@@ -96,6 +96,26 @@ class OracleIndex:
                 continue
             for p in edge_ngrams_str(t, cfg.min_edge_ngram, cfg.max_edge_ngram):
                 self.prefixes[p].append((t, df))
+        # per-token max posting boost (float32 parity with the
+        # dictionary's max_boost column, dictionary_from_blocks)
+        self.max_boost = {
+            t: max(m.values()) if m else 0.0 for t, m in self.boost.items()
+        }
+        # co-occurrence pairs of NON-common word tokens (mirror of
+        # pairs_from_blocks: Zipf head dropped, sorted distinct pairs)
+        self.have_pairs = cfg.build_pairs
+        self.pairs: set[tuple[str, str]] = set()
+        if self.have_pairs:
+            per_doc: dict[int, list[str]] = defaultdict(list)
+            for t, m in self.tf.items():
+                if 0 < self.df[t] <= cfg.common_threshold:
+                    for d in m:
+                        per_doc[d].append(t)
+            for ts in per_doc.values():
+                ts.sort()
+                for i, a in enumerate(ts):
+                    for b in ts[i + 1:]:
+                        self.pairs.add((a, b))
 
     def postings(self, token: str) -> dict[int, float]:
         """doc → boost for word tokens AND f| filter keys."""
@@ -103,17 +123,59 @@ class OracleIndex:
             return self.fboost[token]
         return self.boost.get(token, {})
 
-    # -- expansion helpers (mirror SearchEngine) ---------------------------
-    def prefix_expansions(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
-        cands = sorted(self.prefixes.get(prefix, []), key=lambda x: (-x[1], x[0]))
-        return cands[:limit]
+    # -- expansion helpers (mirror SearchEngine._plan_queries) -------------
+    def noncommon(self, t: str) -> bool:
+        return 0 < self.df.get(t, 0) <= self.cfg.common_threshold
 
-    def fuzzy_expansions(self, token: str) -> list[tuple[str, int]]:
-        out = []
-        for n in make_fuzzy_str(token, self.cfg.fuzzy_key_map):
-            if n in self.df:
-                out.append((n, self.df[n]))
-        return out[:8]
+    def cooc(self, a: str, b: str) -> bool:
+        return a != b and (min(a, b), max(a, b)) in self.pairs
+
+    def prefix_candidates(self, prefix: str, cap: int = 100) -> list[str]:
+        """Raw df-desc candidates under a prefix (≙ SMEMBERS n|prefix
+        + the engine's _prefix_candidates_batch driver cap)."""
+        cands = sorted(self.prefixes.get(prefix, []), key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in cands[:cap]]
+
+    def prefix_expansions(
+        self, prefix: str, others: list[str]
+    ) -> list[tuple[str, int]]:
+        """≙ autocomplete.py:83-95 + the engine's planning block:
+        candidates co-occurring with every other meaningful token
+        (commons exempt — the pair table drops the Zipf head), ordered
+        by max posting score when the prefix is the only meaningful
+        token (order_by_max_score.lua), by frequency otherwise."""
+        cands = [c for c in self.prefix_candidates(prefix) if c != prefix]
+        if others and self.have_pairs:
+            cands = [
+                c for c in cands
+                if self.df.get(c, 0) > self.cfg.common_threshold
+                or all(self.cooc(c, o) for o in others)
+            ]
+        if not others:
+            cands.sort(
+                key=lambda c: (-self.max_boost.get(c, 0.0),
+                               -self.df.get(c, 0), c)
+            )
+        return [(c, self.df[c]) for c in cands[:10]]
+
+    def fuzzy_expansions(
+        self, token: str, others: list[str]
+    ) -> list[tuple[str, int]]:
+        """≙ try_fuzzy, fuzzy.py:70-117: neighbors in generation
+        order; with other meaningful tokens present only neighbors
+        co-occurring with ALL of them survive (SINTER over p| sets),
+        else plain dictionary presence."""
+        nbrs = make_fuzzy_str(token, self.cfg.fuzzy_key_map)
+        if others and self.have_pairs:
+            sel = [
+                n for n in nbrs
+                if self.df.get(n, 0) > 0
+                and (self.df[n] > self.cfg.common_threshold
+                     or all(self.cooc(n, o) for o in others))
+            ]
+        else:
+            sel = [n for n in nbrs if self.df.get(n, 0) > 0]
+        return [(n, self.df[n]) for n in sel[:8]]
 
 
 def oracle_search(
@@ -134,13 +196,14 @@ def oracle_search(
             last = gid == len(toks) - 1
             if df == 0 or (getattr(q, "autocomplete", False) and last):
                 exp: list[tuple[str, int]] = [(tok, df)] if df > 0 else []
-                have = {t for t, _ in exp}
                 if getattr(q, "autocomplete", False) and last:
-                    exp += [
-                        td for td in index.prefix_expansions(tok) if td[0] not in have
-                    ]
+                    others = [t for t in toks[:-1] if index.noncommon(t)]
+                    exp += index.prefix_expansions(tok, others)
                 if not exp:
-                    exp = index.fuzzy_expansions(tok)
+                    others_f = [
+                        t for t in toks if t != tok and index.noncommon(t)
+                    ]
+                    exp = index.fuzzy_expansions(tok, others_f)
                 if exp:
                     groups[gid] = [t for t, _ in exp]
                     group_dfs[gid] = min(d for _, d in exp)

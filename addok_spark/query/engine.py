@@ -250,53 +250,63 @@ class SearchEngine:
             self.pairs = None  # pairs deferred at build time
 
     # ------------------------------------------------------------------
-    def _token_stats(self, tokens: set[str]) -> dict[str, int]:
-        """df per token for the query batch's tokens (an IN-list
-        filter pushed into the token-sorted dictionary parquet ≙ the
-        reference's existence probe, addok/helpers/text.py:61-63)."""
+    def _token_stats(self, tokens: set[str]) -> dict[str, tuple[int, float]]:
+        """(df, max_boost) per token for the query batch's tokens (an
+        IN-list filter pushed into the token-sorted dictionary parquet
+        ≙ the reference's existence probe + ZREVRANGE max score,
+        addok/helpers/text.py:61-63, lua/order_by_max_score.lua)."""
         if not tokens:
             return {}
         rows = (
             self.dictionary.filter(F.col("token").isin(list(tokens)))
-            .select("token", "df")
+            .select("token", "df", "max_boost")
             .collect()
         )
-        return {r["token"]: r["df"] for r in rows}
+        return {
+            r["token"]: (r["df"], float(r["max_boost"] or 0.0)) for r in rows
+        }
 
-    def _prefix_expansions_batch(
-        self, prefixes: set[str], limit: int = 10
-    ) -> dict[str, list[tuple[str, int]]]:
-        """Autocomplete expansions for MANY prefixes in one job:
-        full tokens under each edge n-gram, highest-df first
-        (≙ order_by_frequency.lua); prefix → [(token, df)]."""
+    def _prefix_candidates_batch(
+        self, prefixes: set[str], cap: int = 100
+    ) -> dict[str, list[str]]:
+        """Raw full-token candidates under each edge n-gram for MANY
+        prefixes in one job (≙ SMEMBERS n|prefix, autocomplete.py:86),
+        highest-df first, capped at ``cap`` per prefix to bound the
+        driver collect. Per-query pair pruning and final ordering
+        (max-score vs frequency) happen afterwards in _plan_queries."""
         if not prefixes or self.prefixes is None:
             return {}
         w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("token"))
         rows = (
             self.prefixes.filter(F.col("prefix").isin(list(prefixes)))
             .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= limit)
+            .filter(F.col("rn") <= cap)
             .collect()
         )
-        out: dict[str, list[tuple[str, int]]] = {}
+        out: dict[str, list[str]] = {}
         for r in sorted(rows, key=lambda r: (r["prefix"], r["rn"])):
-            out.setdefault(r["prefix"], []).append((r["token"], r["df"]))
+            out.setdefault(r["prefix"], []).append(r["token"])
         return out
 
-    def _fuzzy_expansions_batch(
-        self, tokens: set[str]
-    ) -> dict[str, list[tuple[str, int]]]:
-        """Edit-1 neighborhoods for MANY tokens resolved against the
-        dictionary in one job; per token the neighbors keep generation
-        order (≙ addok/fuzzy.py:100 `neighbors.index` ordering)."""
-        if not tokens:
-            return {}
-        neigh = {t: make_fuzzy_str(t, self.cfg.fuzzy_key_map) for t in tokens}
-        present = self._token_stats({n for ns in neigh.values() for n in ns})
-        return {
-            t: [(n, present[n]) for n in ns if present.get(n, 0) > 0][:8]
-            for t, ns in neigh.items()
-        }
+    def _pairs_probe(self, checks: set[tuple[str, str]]) -> set[tuple[str, str]]:
+        """Which of the requested sorted (a, b) co-occurrence pairs
+        exist in the pair table — ONE job for the whole query batch,
+        IN-lists pushed into the token_a-sorted pairs parquet. The
+        distributed analog of the reference's SINTER over p| sets
+        (autocomplete.py:83-87, fuzzy.py:92-100)."""
+        if not checks or self.pairs is None:
+            return set()
+        a_list = sorted({a for a, _ in checks})
+        b_list = sorted({b for _, b in checks})
+        rows = (
+            self.pairs.filter(
+                F.col("token_a").isin(a_list) & F.col("token_b").isin(b_list)
+            )
+            .select("token_a", "token_b")
+            .collect()
+        )
+        got = {(r["token_a"], r["token_b"]) for r in rows}
+        return got & checks
 
     # ------------------------------------------------------------------
     def _plan_queries(self, queries: list[Query]) -> dict[str, _QState]:
@@ -326,16 +336,18 @@ class SearchEngine:
                     fk.append((FILTER_GID_BASE + fi, keys))
                     all_tokens.update(keys)
             fkeys[q.qid] = fk
-        stats = self._token_stats(all_tokens)
+        full_stats = self._token_stats(all_tokens)
+        dfs = {t: v[0] for t, v in full_stats.items()}
+        mbs = {t: v[1] for t, v in full_stats.items()}
 
-        # batch expansion lookups: ONE prefix job + ONE fuzzy job for
-        # the whole query set (was one Spark job per token)
+        # batch expansion lookups: ONE prefix job + ONE dictionary job
+        # + ONE pairs job for the whole query set
         want_prefix: set[str] = set()
         want_fuzzy: set[str] = set()
         for q in queries:
             toks = analyzed[q.qid]
             for gid, tok in enumerate(toks):
-                df = stats.get(tok, 0)
+                df = dfs.get(tok, 0)
                 last = gid == len(toks) - 1
                 if q.autocomplete and last:
                     want_prefix.add(tok)
@@ -343,8 +355,53 @@ class SearchEngine:
                         want_fuzzy.add(tok)
                 elif df == 0:
                     want_fuzzy.add(tok)
-        prefix_exp = self._prefix_expansions_batch(want_prefix)
-        fuzzy_exp = self._fuzzy_expansions_batch(want_fuzzy)
+        prefix_raw = self._prefix_candidates_batch(want_prefix)
+        fuzzy_neigh = {
+            t: make_fuzzy_str(t, cfg.fuzzy_key_map) for t in want_fuzzy
+        }
+        extra = {c for cs in prefix_raw.values() for c in cs}
+        extra.update(n for ns in fuzzy_neigh.values() for n in ns)
+        extra -= set(dfs)
+        if extra:
+            more = self._token_stats(extra)
+            dfs.update({t: v[0] for t, v in more.items()})
+            mbs.update({t: v[1] for t, v in more.items()})
+
+        def _noncommon(t: str) -> bool:
+            return 0 < dfs.get(t, 0) <= cfg.common_threshold
+
+        # pair checks: every (candidate, other-token) co-occurrence the
+        # batch could need, probed in ONE job. COMMON candidates are
+        # exempt from pruning — the distributed pair table drops the
+        # Zipf head by design (pairs_from_blocks), so it cannot attest
+        # them; the reference's p| sets include commons as members.
+        checks: set[tuple[str, str]] = set()
+        have_pairs = self.pairs is not None
+        if have_pairs:
+            for q in queries:
+                toks = analyzed[q.qid]
+                for gid, tok in enumerate(toks):
+                    last = gid == len(toks) - 1
+                    if q.autocomplete and last:
+                        others = [t for t in toks[:-1] if _noncommon(t)]
+                        for c in prefix_raw.get(tok, []):
+                            if _noncommon(c):
+                                for o in others:
+                                    if c != o:
+                                        checks.add((min(c, o), max(c, o)))
+                    if dfs.get(tok, 0) == 0:
+                        others_f = [
+                            t for t in toks if t != tok and _noncommon(t)
+                        ]
+                        for n in fuzzy_neigh.get(tok, []):
+                            if _noncommon(n):
+                                for o in others_f:
+                                    if n != o:
+                                        checks.add((min(n, o), max(n, o)))
+        pairset = self._pairs_probe(checks)
+
+        def _cooc(a: str, b: str) -> bool:
+            return a != b and (min(a, b), max(a, b)) in pairset
 
         for q in queries:
             toks = analyzed[q.qid]
@@ -352,18 +409,52 @@ class SearchEngine:
             group_df: dict[int, int] = {}
             meaningful: list[tuple[int, int, str]] = []  # (df, gid, token)
             for gid, tok in enumerate(toks):
-                df = stats.get(tok, 0)
+                df = dfs.get(tok, 0)
                 last = gid == len(toks) - 1
                 if df == 0 or (q.autocomplete and last):
                     exp: list[tuple[str, int]] = [(tok, df)] if df > 0 else []
-                    have = {t for t, _ in exp}
                     if q.autocomplete and last:
-                        exp += [
-                            td for td in prefix_exp.get(tok, [])
-                            if td[0] not in have
-                        ]
+                        # ≙ autocomplete(), autocomplete.py:83-95:
+                        # candidates = SINTER(p| sets of the other
+                        # meaningful tokens + n|prefix); ordered by
+                        # max posting score when the prefix is the
+                        # only meaningful token (order_by_max_score
+                        # .lua), by frequency otherwise
+                        others = [t for t in toks[:-1] if _noncommon(t)]
+                        cands = [c for c in prefix_raw.get(tok, []) if c != tok]
+                        if others and have_pairs:
+                            cands = [
+                                c for c in cands
+                                if dfs.get(c, 0) > cfg.common_threshold
+                                or all(_cooc(c, o) for o in others)
+                            ]
+                        if not others:
+                            cands.sort(
+                                key=lambda c: (-mbs.get(c, 0.0),
+                                               -dfs.get(c, 0), c)
+                            )
+                        exp += [(c, dfs[c]) for c in cands[:10]]
                     if not exp:
-                        exp = fuzzy_exp.get(tok, [])
+                        # ≙ try_fuzzy, fuzzy.py:70-117: neighbors kept
+                        # in generation order; when OTHER tokens exist
+                        # only neighbors co-occurring with ALL of them
+                        # survive (SINTER over p| sets, fuzzy.py:92-100
+                        # — no presence-only fallback), else plain
+                        # dictionary presence
+                        others_f = [
+                            t for t in toks if t != tok and _noncommon(t)
+                        ]
+                        nbrs = fuzzy_neigh.get(tok, [])
+                        if others_f and have_pairs:
+                            sel = [
+                                n for n in nbrs
+                                if dfs.get(n, 0) > 0
+                                and (dfs[n] > cfg.common_threshold
+                                     or all(_cooc(n, o) for o in others_f))
+                            ]
+                        else:
+                            sel = [n for n in nbrs if dfs.get(n, 0) > 0]
+                        exp = [(n, dfs[n]) for n in sel[:8]]
                     if exp:
                         groups[gid] = [t for t, _ in exp]
                         dfm = min(d for _, d in exp)
@@ -386,7 +477,7 @@ class SearchEngine:
                 # cost-model stat steering manual_scan probe choice;
                 # a selective filter can drive the probe,
                 # ≙ collectors.py:35-65 SCARD comparison)
-                group_df[gid] = min(stats.get(k, 0) for k in keys)
+                group_df[gid] = min(dfs.get(k, 0) for k in keys)
             states[q.qid] = _QState(
                 query=q,
                 groups=groups,
