@@ -19,6 +19,7 @@ from __future__ import annotations
 import datetime as dt
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -106,22 +107,112 @@ def _session_step(
         )
 
 
-class _NoState:
-    """Inert GroupState stand-in for batch execution (a batch group
-    sees ALL its rows in one call, so there is nothing to carry)."""
+def _fold_sorted_runs(gap_s: int, flush_open: bool):
+    """mapInPandas fn for BATCH execution: rows arrive sorted by
+    (user_id, ts, event_id) within the partition; fold them into
+    sessions with ONE (user, open-session) carry across Arrow batches.
 
-    hasTimedOut = False
-    exists = False
-    get = None
+    Bounded-memory by construction — no task ever materializes a
+    user's full history (the applyInPandas twin this replaces pulled
+    the whole group into one pandas frame, which a power user breaks
+    at scale). Per batch the fold is vectorized: gap/user breaks via
+    array compare, per-segment sums via ``np.add.reduceat``
+    (pairwise association — within ~1e-13 relative of the
+    event-at-a-time fold in _session_step, absorbed by the oracle's
+    6-dp rounding); the carry-continuing first segment folds
+    element-wise."""
+    gap_us = gap_s * _US
 
-    def update(self, *_):
-        pass
+    def _emit(rows: list[tuple[int, int, int, int, float]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+                "session_start": pd.to_datetime(
+                    [r[1] for r in rows], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [r[2] for r in rows], unit="us"
+                ),
+                "n_events": np.array([r[3] for r in rows], dtype=np.int64),
+                "sum_value": np.array([r[4] for r in rows], dtype=np.float64),
+            }
+        )
 
-    def remove(self):
-        pass
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: tuple[int, int, int, int, float] | None = None
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            uids = pdf["user_id"].to_numpy()
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            brk = np.empty(n, dtype=bool)
+            brk[0] = True
+            if n > 1:
+                brk[1:] = (uids[1:] != uids[:-1]) | (
+                    ts_us[1:] - ts_us[:-1] > gap_us
+                )
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], n)
+            seg_uid = uids[starts].astype(np.int64)
+            seg_start = ts_us[starts].copy()
+            seg_end = ts_us[ends - 1]
+            seg_n = (ends - starts).astype(np.int64)
+            seg_sum = np.add.reduceat(vals, starts)
+            head: list[tuple[int, int, int, int, float]] = []
+            if carry is not None:
+                if (
+                    int(seg_uid[0]) == carry[0]
+                    and int(ts_us[0]) - carry[2] <= gap_us
+                ):
+                    # first segment continues the carried session:
+                    # element-wise fold keeps float order identical
+                    s = carry[4]
+                    for v in vals[: ends[0]]:
+                        s += float(v)
+                    seg_start[0] = carry[1]
+                    seg_n[0] += carry[3]
+                    seg_sum[0] = s
+                else:
+                    # carry terminated — by a same-user gap (closed)
+                    # or by a user change (user's final open session)
+                    if int(seg_uid[0]) == carry[0] or flush_open:
+                        head.append(carry)
+            # segments followed by a SAME-user segment closed on a
+            # gap; a user-change boundary means the user's last
+            # session, emitted only under flush_open
+            k = len(starts)
+            if flush_open:
+                emit = np.ones(k - 1, dtype=bool)
+            else:
+                emit = seg_uid[1:] == seg_uid[:-1]
+            idx = np.flatnonzero(emit)
+            carry = (
+                int(seg_uid[-1]), int(seg_start[-1]), int(seg_end[-1]),
+                int(seg_n[-1]), float(seg_sum[-1]),
+            )
+            if head or len(idx):
+                body = pd.DataFrame(
+                    {
+                        "user_id": seg_uid[idx],
+                        "session_start": pd.to_datetime(
+                            seg_start[idx], unit="us"
+                        ),
+                        "session_end": pd.to_datetime(
+                            seg_end[idx], unit="us"
+                        ),
+                        "n_events": seg_n[idx],
+                        "sum_value": seg_sum[idx],
+                    }
+                )
+                yield pd.concat(
+                    [_emit(head), body], ignore_index=True
+                ) if head else body
+        if carry is not None and flush_open:
+            yield _emit([carry])
 
-    def setTimeoutDuration(self, *_):
-        pass
+    return run
 
 
 def stateful_sessionize(
@@ -131,23 +222,23 @@ def stateful_sessionize(
     session. On a STREAM: keyed state carries the open session across
     micro-batches (applyInPandasWithState) and sessions close on the
     inactivity timeout. On a BATCH DataFrame (where Spark forbids
-    applyInPandasWithState) the SAME fold runs under applyInPandas —
-    one call sees the whole group, so open sessions flush when
-    ``flush_open`` — which makes the batch result an exact twin of
-    the lag-window sessionizer oracle."""
+    applyInPandasWithState) the same semantics run as a sort-merge
+    streaming fold (``_fold_sorted_runs``) whose memory is bounded by
+    the Arrow batch size, never by a user's history; open sessions
+    flush when ``flush_open``, making the batch result an exact twin
+    of the lag-window sessionizer oracle."""
     src = events.select("user_id", "event_id", "ts", "value")
 
     if not events.isStreaming:
-        def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            key = (int(pdf["user_id"].iloc[0]),)
-            out = list(_session_step(key, [pdf], _NoState(), gap_s, flush_open))
-            if out:
-                return out[0]
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype=object) for f in OUT_SCHEMA.fields}
-            )
-
-        return src.groupBy("user_id").applyInPandas(batch_fn, OUT_SCHEMA)
+        # sort-merge streaming fold: repartition by user then sort
+        # each partition (external, spill-safe) so every user's
+        # events form one contiguous sorted run — the fold then
+        # carries a single open session across Arrow batches
+        return (
+            src.repartition("user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+            .mapInPandas(_fold_sorted_runs(gap_s, flush_open), OUT_SCHEMA)
+        )
 
     def step(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         yield from _session_step(key, pdfs, state, gap_s, flush_open)

@@ -97,3 +97,72 @@ def test_stream_state_spans_microbatches(spark, tmp_path):
     assert r["sum_value"] == pytest.approx(6.0)
     assert str(r["session_start"]).startswith("2026-01-01 00:00:00")
     assert str(r["session_end"]).startswith("2026-01-01 00:20:00")
+
+
+def test_batch_fold_bounded_across_arrow_batches(spark):
+    """Power-user shape: ONE user whose 50k-event history spans many
+    Arrow batches (maxRecordsPerBatch=1000) — the sort-merge fold must
+    carry the open session across batch boundaries and never needs
+    the whole group in memory. Results checked against a local
+    sequential fold."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    n = 50_000
+    rng = np.random.default_rng(7)
+    # ~1% of steps exceed the 1800s gap -> a few hundred sessions
+    steps = np.where(rng.random(n - 1) < 0.01, 2000, 60)
+    ts_s = np.concatenate([[0], np.cumsum(steps)]) + 1_700_000_000
+    pdf = pd.DataFrame(
+        {
+            "user_id": np.int64(42),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts_s, unit="s"),
+            "value": rng.random(n),
+        }
+    )
+    # local sequential reference fold
+    sessions = []
+    cur = None
+    for t, v in zip(ts_s, pdf["value"].to_numpy()):
+        if cur is None or t - cur[1] > 1800:
+            if cur is not None:
+                sessions.append(cur)
+            cur = [int(t), int(t), 1, float(v)]
+        else:
+            cur[1] = int(t)
+            cur[2] += 1
+            cur[3] += float(v)
+    sessions.append(cur)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+    try:
+        got = (
+            stateful_sessionize(
+                spark.createDataFrame(pdf), gap_s=1800, flush_open=True
+            )
+            .toPandas()
+            .sort_values("session_start")
+            .reset_index(drop=True)
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert len(got) == len(sessions) > 100
+    assert int(got["n_events"].sum()) == n
+    np.testing.assert_array_equal(
+        got["n_events"].to_numpy(), [s[2] for s in sessions]
+    )
+    # reduceat segment sums associate differently than the
+    # event-at-a-time fold: equal to ~1e-13 relative, which the
+    # oracle's round-to-6dp absorbs
+    np.testing.assert_allclose(
+        got["sum_value"].to_numpy(), [s[3] for s in sessions], rtol=1e-9
+    )
+    assert (
+        got["session_start"].astype("int64") // 10**9
+    ).tolist() == [s[0] for s in sessions]
