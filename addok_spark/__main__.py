@@ -66,8 +66,10 @@ def cmd_ngrams(args) -> None:
     b.paths.manifest.write_text(json.dumps(m))
     dictionary = spark.read.parquet(b.paths.dictionary)
     b._write(
-        prefixes_from_dictionary(dictionary, cfg),
-        b.paths.prefixes, "prefixes", sort_by=["prefix"],
+        prefixes_from_dictionary(dictionary, cfg)
+        .repartition("pfx_bucket")
+        .sortWithinPartitions("pfx_bucket", "prefix"),
+        b.paths.prefixes, "prefixes", partition_by="pfx_bucket",
     )
     print(json.dumps({"prefixes": b.metrics["stages"]["prefixes"]}))
 

@@ -112,12 +112,24 @@ class EngineConfig:
     # `addok ngrams` builds it as a post-pass)
     build_prefixes: bool = True
     build_pairs: bool = True
-    # CDC policy for the pairs table: re-derive after every batch
-    # (exact, but a full block-unpack pass — fine for hourly batches,
-    # heavy for high-frequency micro-batches at 100 TB) or invalidate
-    # (delete the dir; the relation round degrades gracefully to
-    # pairs=None until the next `addok_spark build`/pairs rebuild)
+    # CDC policy for the pairs table: re-derive the touched pbucket
+    # partitions after every batch (exact — the pairs table is
+    # pbucket-partitioned so the rebuild unpacks only touched
+    # partitions' blocks) or invalidate (delete the dir; the relation
+    # round degrades gracefully to pairs=None until the next
+    # `addok_spark build`/pairs rebuild)
     cdc_rebuild_pairs: bool = True
+    # prefix table partition count (hash of the FULL token): a CDC
+    # batch rewrites only the hash buckets holding changed tokens —
+    # O(min(changed_tokens, buckets)) partition dirs, never the whole
+    # table; within each bucket files stay prefix-sorted so query
+    # IN-lists still prune row groups
+    prefix_hash_buckets: int = 64
+    # new-doc batches above this route through the two-pass range id
+    # assigner (assign_doc_ids) instead of a single global window —
+    # a backfill-sized batch must not serialize id assignment
+    # through one task
+    cdc_backfill_threshold: int = 100_000
 
     @property
     def field_names(self) -> tuple[str, ...]:

@@ -87,6 +87,13 @@ class IndexPaths:
         return str(self.root / "dictionary")
 
     @property
+    def dict_partials(self) -> str:
+        # per-pbucket dictionary aggregates (pbucket-partitioned):
+        # CDC recomputes only touched partitions and the global
+        # dictionary folds these partials instead of all block stats
+        return str(self.root / "dict_partials")
+
+    @property
     def prefixes(self) -> str:
         return str(self.root / "prefixes")
 
@@ -515,7 +522,15 @@ def prefixes_from_dictionary(dictionary: DataFrame, cfg: EngineConfig) -> DataFr
                 edge_ngrams_col("token", cfg.min_edge_ngram, cfg.max_edge_ngram)
             ).alias("prefix"),
         )
-        .select("prefix", "token", "df")
+        # partition key = hash of the TOKEN: all of a token's prefix
+        # rows land in one bucket, so a CDC batch rewrites exactly
+        # the buckets of its changed tokens (incremental.py)
+        .select(
+            "prefix", "token", "df",
+            F.pmod(
+                F.xxhash64("token"), F.lit(cfg.prefix_hash_buckets)
+            ).cast("int").alias("pfx_bucket"),
+        )
     )
 
 
@@ -532,6 +547,7 @@ def pairs_from_blocks(
     commons = dictionary.filter(
         F.col("df") > cfg.common_threshold
     ).select("token")
+    shift = cfg.doc_bucket_bits + cfg.pbucket_shift
     tok_doc = (
         blocks_df.filter(~F.col("token").contains("|"))
         .join(F.broadcast(commons), "token", "left_anti")
@@ -543,6 +559,12 @@ def pairs_from_blocks(
     )
     return (
         per_doc.select(
+            # provenance partition key: the doc's pbucket — pairs are
+            # distinct per pbucket (the global pair set is the union
+            # over partitions; consumers dedupe in the driver set),
+            # which is what makes the CDC pair refresh O(touched
+            # partitions) instead of a full corpus unpack
+            F.shiftright("doc_index", shift).alias("pbucket"),
             F.explode(
                 F.flatten(
                     F.transform(
@@ -563,7 +585,7 @@ def pairs_from_blocks(
                 )
             ).alias("p")
         )
-        .select("p.token_a", "p.token_b")
+        .select("pbucket", "p.token_a", "p.token_b")
         .distinct()
     )
 
@@ -573,6 +595,32 @@ def dictionary_from_blocks(blocks: DataFrame) -> DataFrame:
     return blocks.groupBy("token").agg(
         F.sum("n").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.max("max_boost").alias("max_boost"),
+    )
+
+
+def dict_partials_from_blocks(blocks: DataFrame) -> DataFrame:
+    """Per-(pbucket, token) dictionary aggregates from block
+    metadata. All four measures are associative, so the global
+    dictionary is an exact re-aggregation of these partials — which
+    is what lets CDC refresh only touched pbucket partitions and
+    still keep global df/cf exact (the reference's deindex
+    invariant, tests/test_index_utils.py:94-167)."""
+    return blocks.groupBy("pbucket", "token").agg(
+        F.sum("n").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.max("max_boost").alias("max_boost"),
+    )
+
+
+def dictionary_from_partials(partials: DataFrame) -> DataFrame:
+    """Global dictionary = fold of the per-pbucket partials (2^shift×
+    fewer input rows than re-aggregating block stats)."""
+    return partials.groupBy("token").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("cf").cast("long").alias("cf"),
         F.max("max_tf").alias("max_tf"),
         F.max("max_boost").alias("max_boost"),
     )
@@ -692,13 +740,27 @@ class IndexBuilder:
                 blocks, self.paths.blocks, "blocks", partition_by="pbucket",
             )
 
-        # stage 4: dictionary derived purely from block stats (df = Σn,
-        # cf = Σsum_tf; ≙ ZCARD + zset max, addok/helpers/index.py:22-27,
-        # lua/order_by_max_score.lua) — re-derivable after any
-        # incremental bucket rewrite without re-reading text
-        if not (resume and self._stage_done("dictionary")):
-            dictionary = dictionary_from_blocks(
+        # stage 4a: per-pbucket dictionary partials from block stats
+        # (pbucket-partitioned; CDC refreshes only touched partitions)
+        if not (resume and self._stage_done("dict_partials")):
+            partials = dict_partials_from_blocks(
                 spark.read.parquet(self.paths.blocks)
+            )
+            self._write(
+                partials.repartition("pbucket")
+                .sortWithinPartitions("pbucket", "token"),
+                self.paths.dict_partials, "dict_partials",
+                partition_by="pbucket",
+            )
+
+        # stage 4b: global dictionary folded from the partials (df =
+        # Σn, cf = Σsum_tf; ≙ ZCARD + zset max,
+        # addok/helpers/index.py:22-27, lua/order_by_max_score.lua) —
+        # re-derivable after any incremental bucket rewrite without
+        # re-reading text or block payloads
+        if not (resume and self._stage_done("dictionary")):
+            dictionary = dictionary_from_partials(
+                spark.read.parquet(self.paths.dict_partials)
             )
             self._write(
                 dictionary, self.paths.dictionary, "dictionary", sort_by=["token"]
@@ -712,6 +774,7 @@ class IndexBuilder:
             sum_dl = docs_now.agg(F.sum("dl")).collect()[0][0] or 0
             meta = {
                 "n_docs": int(n_docs),
+                "sum_dl": int(sum_dl),
                 "avgdl": float(sum_dl) / max(n_docs, 1),
                 "bm25_k1": cfg.bm25_k1,
                 "bm25_b": cfg.bm25_b,
@@ -728,9 +791,14 @@ class IndexBuilder:
         # --- prefix table (edge n-grams over non-digit dictionary tokens;
         # a separate follow-on job like `addok ngrams`, autocomplete.py:111-131)
         if cfg.build_prefixes and not (resume and self._stage_done("prefixes")):
+            # token-hash-bucketed dirs, prefix-sorted files within:
+            # CDC rewrites only changed tokens' buckets, query
+            # IN-lists still prune row groups on prefix min/max
             self._write(
-                prefixes_from_dictionary(dictionary, cfg),
-                self.paths.prefixes, "prefixes", sort_by=["prefix"],
+                prefixes_from_dictionary(dictionary, cfg)
+                .repartition("pfx_bucket")
+                .sortWithinPartitions("pfx_bucket", "prefix"),
+                self.paths.prefixes, "prefixes", partition_by="pfx_bucket",
             )
 
         # --- pair (co-occurrence) table, meaningful tokens only
@@ -739,7 +807,11 @@ class IndexBuilder:
             pairs = pairs_from_blocks(
                 spark.read.parquet(self.paths.blocks), dictionary, cfg
             )
-            self._write(pairs, self.paths.pairs, "pairs", sort_by=["token_a"])
+            self._write(
+                pairs.repartition("pbucket")
+                .sortWithinPartitions("pbucket", "token_a", "token_b"),
+                self.paths.pairs, "pairs", partition_by="pbucket",
+            )
 
         # final metrics rollup
         meta = json.loads(self.paths.meta.read_text())

@@ -40,8 +40,10 @@ from pyspark.sql import functions as F
 from ..config import EngineConfig
 from .build import (
     IndexPaths,
+    assign_doc_ids,
     build_blocks,
-    dictionary_from_blocks,
+    dict_partials_from_blocks,
+    dictionary_from_partials,
     filter_token_rows,
     pairs_from_blocks,
     prefixes_from_dictionary,
@@ -130,14 +132,26 @@ def apply_actions(
     max_id = docs.agg(F.max("doc_index")).collect()[0][0]
     max_id = -1 if max_id is None else int(max_id)
     new_rows = upd.filter(F.col("doc_index").isNull()).drop("doc_index")
-    # small-batch id assignment via window (batches are micro-batches;
-    # the bulk path is build_index's two-pass assigner)
-    from pyspark.sql.window import Window
+    n_new = new_rows.count()
+    cached_ids = None
+    if n_new > cfg.cdc_backfill_threshold:
+        # backfill-sized batch: the two-pass range assigner (no
+        # global window — id assignment must not serialize through
+        # one task), offset past the existing id space
+        parts = max(1, min(cfg.build_partitions, n_new // 50_000 + 1))
+        assigned, cached_ids = assign_doc_ids(new_rows, parts)
+        new_rows = assigned.withColumn(
+            "doc_index", F.col("doc_index") + F.lit(max_id + 1)
+        )
+    else:
+        # micro-batch: one small window task is cheaper than the
+        # assigner's extra pass
+        from pyspark.sql.window import Window
 
-    w = Window.orderBy("conv_id", "turn_idx")
-    new_rows = new_rows.withColumn(
-        "doc_index", F.row_number().over(w).cast("long") + F.lit(max_id)
-    )
+        w = Window.orderBy("conv_id", "turn_idx")
+        new_rows = new_rows.withColumn(
+            "doc_index", F.row_number().over(w).cast("long") + F.lit(max_id)
+        )
     upserted = upd.filter(F.col("doc_index").isNotNull()).unionByName(new_rows)
 
     # touched pbuckets = buckets of deleted ∪ updated ∪ new doc ids
@@ -175,6 +189,18 @@ def apply_actions(
     )
     new_docs = survivors.unionByName(ups_cols)
 
+    # old stats of the touched doc partitions (partition-pruned read),
+    # materialized BEFORE the overwrite — lets n_docs / sum_dl update
+    # incrementally instead of re-scanning the whole docs table
+    old_stats = (
+        docs.filter(F.col("pbucket").isin(touched_pb))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
+        )
+        .collect()[0]
+    )
+
     token_doc = tokenize_docs(new_docs, cfg)
     dl = token_doc.groupBy("doc_index").agg(F.sum("tf").cast("int").alias("dl"))
     docs_part = _with_pbucket(
@@ -202,39 +228,134 @@ def apply_actions(
     for pb in set(touched_pb) - present:
         for base in (paths.docs, paths.blocks):
             shutil.rmtree(Path(base) / f"pbucket={pb}", ignore_errors=True)
+
+    new_stats = (
+        docs_part.filter(F.col("pbucket").isin(touched_pb))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
+        )
+        .collect()[0]
+    )
     docs_part.unpersist()
+    if cached_ids is not None:
+        cached_ids.unpersist()
 
-    # dictionary + prefixes re-derived from block metadata (cheap,
-    # reads block stats only — no text re-analysis)
-    dictionary = dictionary_from_blocks(spark.read.parquet(paths.blocks))
-    dictionary.write.mode("overwrite").parquet(paths.dictionary)
+    # --- dictionary: per-pbucket partials, touched partitions only --
+    # (O(touched) — untouched pbuckets' block files are never read;
+    # the global fold reads only the tiny partials table)
+    scratch = Path(paths.root) / "_cdc_scratch"
+    blocks_touched = spark.read.parquet(paths.blocks).filter(
+        F.col("pbucket").isin(touched_pb)
+    )
+    changed_tokens = None  # None → unknown → full prefix rewrite
+    if Path(paths.dict_partials).exists():
+        # tokens previously present in the touched partitions — must
+        # be materialized (scratch parquet) before the partials
+        # overwrite invalidates the read
+        old_tok_path = str(scratch / "old_tokens")
+        (
+            spark.read.parquet(paths.dict_partials)
+            .filter(F.col("pbucket").isin(touched_pb))
+            .select("token")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(old_tok_path)
+        )
+        dict_partials_from_blocks(blocks_touched).repartition(
+            "pbucket"
+        ).sortWithinPartitions("pbucket", "token").write.mode(
+            "overwrite"
+        ).partitionBy("pbucket").parquet(paths.dict_partials)
+        for pb in set(touched_pb) - present:
+            shutil.rmtree(
+                Path(paths.dict_partials) / f"pbucket={pb}",
+                ignore_errors=True,
+            )
+        changed_tokens = (
+            spark.read.parquet(old_tok_path)
+            .unionByName(
+                spark.read.parquet(paths.dict_partials)
+                .filter(F.col("pbucket").isin(touched_pb))
+                .select("token")
+            )
+            .distinct()
+        )
+    else:
+        # legacy index (pre-partials layout): one full derivation
+        # upgrades it; subsequent batches are incremental
+        dict_partials_from_blocks(
+            spark.read.parquet(paths.blocks)
+        ).repartition("pbucket").sortWithinPartitions(
+            "pbucket", "token"
+        ).write.mode("overwrite").partitionBy("pbucket").parquet(
+            paths.dict_partials
+        )
 
-    # pairs must not go stale (the relation round would use edges
-    # from deleted docs / miss new docs'): either re-derive them —
-    # exact, but a full block-unpack pass — or invalidate the dir so
-    # the engine degrades to pairs=None (cfg.cdc_rebuild_pairs)
+    new_dict = dictionary_from_partials(
+        spark.read.parquet(paths.dict_partials)
+    )
+    # tokens whose COMMON status flips this batch invalidate pair
+    # partitions beyond the touched set (the pair table excludes the
+    # Zipf head by global df) — detect them against the OLD
+    # dictionary before overwriting it
+    crossing: list[str] = []
+    if (
+        changed_tokens is not None
+        and Path(paths.pairs).exists()
+        and cfg.cdc_rebuild_pairs
+    ):
+        old_df = spark.read.parquet(paths.dictionary).select(
+            "token", F.col("df").alias("odf")
+        )
+        crossing = [
+            r["token"]
+            for r in changed_tokens.join(old_df, "token", "left")
+            .join(
+                new_dict.select("token", F.col("df").alias("ndf")),
+                "token",
+                "left",
+            )
+            .filter(
+                (F.coalesce(F.col("odf"), F.lit(0)) > cfg.common_threshold)
+                != (F.coalesce(F.col("ndf"), F.lit(0)) > cfg.common_threshold)
+            )
+            .select("token")
+            .collect()
+        ]
+    new_dict.repartitionByRange(
+        cfg.build_partitions, "token"
+    ).sortWithinPartitions("token").write.mode("overwrite").parquet(
+        paths.dictionary
+    )
+    dict_disk = spark.read.parquet(paths.dictionary)
+
+    # --- prefixes: rewrite only the hash buckets of changed tokens --
+    if Path(paths.prefixes).exists():
+        _refresh_prefixes(spark, paths, dict_disk, changed_tokens, scratch, cfg)
+
+    # --- pairs: rebuild touched partitions (+ partitions holding a
+    # common-threshold-crossing token), never the whole corpus ------
     if Path(paths.pairs).exists():
         if cfg.cdc_rebuild_pairs:
-            # derived from blocks only (no self-read) → plain overwrite
-            pairs_from_blocks(
-                spark.read.parquet(paths.blocks),
-                spark.read.parquet(paths.dictionary),
-                cfg,
-            ).write.mode("overwrite").parquet(paths.pairs)
+            _refresh_pairs(
+                spark, paths, dict_disk, touched_pb, crossing, cfg
+            )
         else:
-            import shutil as _sh
+            shutil.rmtree(paths.pairs, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)
 
-            _sh.rmtree(paths.pairs, ignore_errors=True)
-    prefixes_from_dictionary(
-        spark.read.parquet(paths.dictionary), cfg
-    ).write.mode("overwrite").parquet(paths.prefixes)
-
-    # refresh meta (n_docs / avgdl) + lineage record
-    docs_now = spark.read.parquet(paths.docs)
-    n_docs = docs_now.count()
-    sum_dl = docs_now.agg(F.sum("dl")).collect()[0][0] or 0
+    # refresh meta (n_docs / avgdl) incrementally + lineage record
     meta = json.loads(paths.meta.read_text())
+    if "sum_dl" in meta:
+        n_docs = meta["n_docs"] - int(old_stats["cnt"]) + int(new_stats["cnt"])
+        sum_dl = meta["sum_dl"] - int(old_stats["sdl"]) + int(new_stats["sdl"])
+    else:  # legacy meta: one full single-column scan re-baselines it
+        docs_now = spark.read.parquet(paths.docs)
+        n_docs = docs_now.count()
+        sum_dl = int(docs_now.agg(F.sum("dl")).collect()[0][0] or 0)
     meta["n_docs"] = int(n_docs)
+    meta["sum_dl"] = int(sum_dl)
     meta["avgdl"] = float(sum_dl) / max(n_docs, 1)
     n_up = upserted.count()
     n_del = deletes.count()
@@ -243,6 +364,149 @@ def apply_actions(
     )
     paths.meta.write_text(json.dumps(meta, indent=2))
     return {"upserts": n_up, "deletes": n_del, "touched_pbuckets": touched_pb}
+
+
+def _refresh_prefixes(
+    spark: SparkSession,
+    paths: IndexPaths,
+    dict_disk: DataFrame,
+    changed_tokens: DataFrame | None,
+    scratch: Path,
+    cfg: EngineConfig,
+) -> None:
+    """Rewrite only the prefix hash buckets containing changed
+    tokens: keep-rows (bucket members minus changed tokens) union the
+    changed tokens' freshly derived rows, staged through scratch to
+    break the read-from/overwrite-to-same-path cycle."""
+    import shutil
+
+    legacy = not any(
+        p.name.startswith("pfx_bucket=")
+        for p in Path(paths.prefixes).iterdir()
+        if p.is_dir()
+    )
+    if legacy or changed_tokens is None:
+        shutil.rmtree(paths.prefixes, ignore_errors=True)
+        prefixes_from_dictionary(dict_disk, cfg).repartition(
+            "pfx_bucket"
+        ).sortWithinPartitions("pfx_bucket", "prefix").write.mode(
+            "overwrite"
+        ).partitionBy("pfx_bucket").parquet(paths.prefixes)
+        return
+    buckets = [
+        r["b"]
+        for r in changed_tokens.select(
+            F.pmod(F.xxhash64("token"), F.lit(cfg.prefix_hash_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not buckets:
+        return
+    keep = (
+        spark.read.parquet(paths.prefixes)
+        .filter(F.col("pfx_bucket").isin(buckets))
+        .join(changed_tokens, "token", "left_anti")
+    )
+    fresh = prefixes_from_dictionary(
+        dict_disk.join(changed_tokens, "token", "left_semi"), cfg
+    )
+    staged = str(scratch / "prefixes")
+    keep.select("prefix", "token", "df", "pfx_bucket").unionByName(
+        fresh.select("prefix", "token", "df", "pfx_bucket")
+    ).write.mode("overwrite").parquet(staged)
+    try:
+        merged = spark.read.parquet(staged)
+        # a bucket whose every token vanished gets no rows in
+        # `merged` — dynamic overwrite leaves its old dir; drop it
+        written = {
+            r["pfx_bucket"]
+            for r in merged.select("pfx_bucket").distinct().collect()
+        }
+    except Exception:  # zero-row staged write has no readable schema
+        written = set()
+    if written:
+        merged.repartition("pfx_bucket").sortWithinPartitions(
+            "pfx_bucket", "prefix"
+        ).write.mode("overwrite").partitionBy("pfx_bucket").parquet(
+            paths.prefixes
+        )
+    for b in set(buckets) - written:
+        shutil.rmtree(
+            Path(paths.prefixes) / f"pfx_bucket={b}", ignore_errors=True
+        )
+
+
+def _refresh_pairs(
+    spark: SparkSession,
+    paths: IndexPaths,
+    dict_disk: DataFrame,
+    touched_pb: list[int],
+    crossing: list[str],
+    cfg: EngineConfig,
+) -> None:
+    """Rebuild the pair table's touched pbucket partitions (plus any
+    partition holding a token that crossed the common threshold this
+    batch) from those partitions' blocks only. The written-partition
+    set comes from the NEW data before the write — a partition
+    rebuilt to zero pairs gets its stale dir dropped (a read-back
+    check cannot see this: dynamic overwrite skips partitions with
+    no rows and leaves the old files answering)."""
+    import shutil
+
+    legacy = not any(
+        p.name.startswith("pbucket=")
+        for p in Path(paths.pairs).iterdir()
+        if p.is_dir()
+    )
+    rebuild = set(touched_pb)
+    if not legacy and crossing:
+        rebuild.update(
+            r["pbucket"]
+            for r in spark.read.parquet(paths.dict_partials)
+            .filter(F.col("token").isin(crossing))
+            .select("pbucket")
+            .distinct()
+            .collect()
+        )
+    if legacy:
+        shutil.rmtree(paths.pairs, ignore_errors=True)
+        src = spark.read.parquet(paths.blocks)
+    else:
+        src = spark.read.parquet(paths.blocks).filter(
+            F.col("pbucket").isin(sorted(rebuild))
+        )
+    from pyspark import StorageLevel
+
+    # persist is SAFE here (unlike prefixes): the lineage reads only
+    # blocks + dictionary, neither of which this function overwrites
+    new_pairs = pairs_from_blocks(src, dict_disk, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    written = {
+        r["pbucket"] for r in new_pairs.select("pbucket").distinct().collect()
+    }
+    if written:
+        new_pairs.repartition("pbucket").sortWithinPartitions(
+            "pbucket", "token_a", "token_b"
+        ).write.mode("overwrite").partitionBy("pbucket").parquet(paths.pairs)
+    new_pairs.unpersist()
+    if not legacy:
+        for pb in rebuild - written:
+            shutil.rmtree(
+                Path(paths.pairs) / f"pbucket={pb}", ignore_errors=True
+            )
+    # a pair table emptied of every partition has no readable schema
+    # left — drop the dir; the engine treats a missing pairs dir as
+    # pairs=None (expansion pruning degrades to dictionary presence,
+    # which is exact here: with zero co-occurring non-common pairs no
+    # multi-token expansion could match anyway)
+    if Path(paths.pairs).exists() and not any(
+        q.name.startswith("pbucket=") for q in Path(paths.pairs).iterdir()
+    ):
+        shutil.rmtree(paths.pairs, ignore_errors=True)
 
 
 def stream_transcripts(

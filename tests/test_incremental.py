@@ -194,3 +194,182 @@ def test_streaming_foreachbatch(spark, cfg, built, tmp_path):
     eng = SearchEngine(spark, built, cfg)
     res = eng.search([Query(qid="s", q="streaming ingestion", k=3)]).toPandas()
     assert list(res["conv_id"])[0] == "conv-z"
+
+
+def _bigger_corpus(spark, n=24):
+    rows = [
+        (f"conv-{i:03d}", 0, "user", f"alpha tok{i:03d} omega", None, 0.1)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double"
+    )
+
+
+def _pb_files(base, skip_pb):
+    """(path, mtime_ns, size) of every parquet file NOT under the
+    given pbucket partitions."""
+    out = {}
+    for p in Path(base).rglob("*.parquet"):
+        if not any(f"pbucket={pb}" in p.parts for pb in skip_pb):
+            st = p.stat()
+            out[str(p)] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_cdc_leaves_untouched_pbuckets_alone(spark, cfg, tmp_path):
+    """Verdict #4 done-criterion: a CDC batch must not re-read or
+    rewrite untouched pbuckets — asserted via (a) unchanged file
+    mtimes for docs/blocks/dict_partials outside the touched set and
+    (b) the partials read plan carrying a pbucket partition filter —
+    while global df/cf stay EXACTLY consistent (full-recompute
+    comparison)."""
+    from addok_spark.index.build import dictionary_from_blocks
+
+    out = str(tmp_path / "idx_untouched")
+    paths = build_index(spark, _bigger_corpus(spark), cfg, out)
+    # update one doc -> its pbucket only
+    changes = spark.createDataFrame(
+        [("conv-001", 0, "user", "alpha tok001 REVISED omega", None, 0.1)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double",
+    )
+    # plan check: the old-partials read used by apply_actions prunes
+    # partitions (same read shape as incremental.py builds)
+    plan = (
+        spark.read.parquet(paths.dict_partials)
+        .filter(F.col("pbucket").isin([0]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "pbucket" in plan
+
+    m0 = apply_actions(spark, paths, changes, cfg)
+    touched = m0["touched_pbuckets"]
+    assert len(touched) == 1
+    before = {
+        base: _pb_files(getattr(paths, base), touched)
+        for base in ("docs", "blocks", "dict_partials")
+    }
+    # second batch touching the same pbucket again
+    changes2 = spark.createDataFrame(
+        [("conv-001", 0, "user", "alpha tok001 AGAIN omega", None, 0.1)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double",
+    )
+    m1 = apply_actions(spark, paths, changes2, cfg)
+    assert m1["touched_pbuckets"] == touched
+    for base, files in before.items():
+        assert _pb_files(getattr(paths, base), touched) == files, (
+            f"untouched {base} partitions were rewritten"
+        )
+    # exactness: dictionary == full recompute from blocks
+    got = {
+        (r["token"], r["df"], r["cf"])
+        for r in spark.read.parquet(paths.dictionary).collect()
+    }
+    want = {
+        (r["token"], r["df"], r["cf"])
+        for r in dictionary_from_blocks(
+            spark.read.parquet(paths.blocks)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_common_threshold_crossing_rebuilds_pairs_exactly(spark, tmp_path):
+    """A token whose df crosses the common threshold must drop out of
+    (or enter) the pair table in ALL partitions, not only the touched
+    ones — the CDC pair refresh widens to partitions holding the
+    crossing token."""
+    from addok_spark.index.build import pairs_from_blocks
+
+    cfg2 = EngineConfig(
+        fields=(FieldSpec("text", 1.0),),
+        build_partitions=4,
+        doc_bucket_bits=2,
+        pbucket_shift=1,
+        posting_block_size=2,
+        common_threshold=2,
+    )
+    # zulu df=2 (non-common) spread over two pbuckets; each doc pairs
+    # zulu with a rare local token
+    rows = [
+        (f"conv-{i:03d}", 0, "user", txt, None, 0.1)
+        for i, txt in enumerate(
+            ["zulu first0", "first1 only", "first2 only", "first3 only",
+             "first4 only", "first5 only", "first6 only", "first7 only",
+             "zulu ninth8", "ninth9 only"]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double",
+    )
+    out = str(tmp_path / "idx_cross")
+    paths = build_index(spark, df, cfg2, out)
+    pairs0 = {
+        (r["token_a"], r["token_b"])
+        for r in spark.read.parquet(paths.pairs).collect()
+    }
+    assert ("first0", "zulu") in pairs0 and ("ninth8", "zulu") in pairs0
+    # add a third zulu doc (new pbucket) -> df=3 > threshold -> common
+    changes = spark.createDataFrame(
+        [("conv-100", 0, "user", "zulu extra", None, 0.1)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double",
+    )
+    apply_actions(spark, paths, changes, cfg2)
+    got = (
+        {
+            (r["token_a"], r["token_b"])
+            for r in spark.read.parquet(paths.pairs).collect()
+        }
+        if Path(paths.pairs).exists()
+        else set()
+    )
+    want = {
+        (r["token_a"], r["token_b"])
+        for r in pairs_from_blocks(
+            spark.read.parquet(paths.blocks),
+            spark.read.parquet(paths.dictionary),
+            cfg2,
+        ).collect()
+    }
+    assert got == want
+    assert not any("zulu" in p for p in got)
+
+
+def test_backfill_batch_routes_through_range_assigner(spark, cfg, built):
+    """Verdict #8: new-doc batches above cdc_backfill_threshold use
+    the two-pass assigner — ids stay dense, appended after the old
+    max, in (conv_id, turn_idx) order."""
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, cdc_backfill_threshold=10)
+    docs0 = spark.read.parquet(built.docs)
+    max0 = docs0.agg(F.max("doc_index")).collect()[0][0]
+    rows = [
+        (f"conv-z{i:04d}", j, "user", f"backfill text {i} {j}", None, 0.0)
+        for i in range(20)
+        for j in range(3)
+    ]
+    changes = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double",
+    )
+    m = apply_actions(spark, built, changes, cfg2)
+    assert m["upserts"] == 60
+    new = (
+        spark.read.parquet(built.docs)
+        .filter(F.col("doc_index") > max0)
+        .orderBy("doc_index")
+        .select("conv_id", "turn_idx", "doc_index")
+        .collect()
+    )
+    ids = [r["doc_index"] for r in new]
+    assert ids == list(range(max0 + 1, max0 + 61))
+    keys = [(r["conv_id"], r["turn_idx"]) for r in new]
+    assert keys == sorted(keys)
