@@ -146,3 +146,156 @@ def test_does_not_fail_without_usable_tokens(setup):
     # test_search.py:598-599
     engine, _, _ = setup
     assert len(engine.search([Query(qid="x", q="./.$*", k=5)]).toPandas()) == 0
+
+
+# ---------------------------------------------------------------------------
+# round-3 ports: fuzzy / synonym / autocomplete / commons / filter families
+# (reference tests/test_search.py:58-140, 231-260, 417-524 portable subset)
+# ---------------------------------------------------------------------------
+
+def _mk(spark, tmp_index_root, name, texts_roles, **cfg_kw):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"doc-{i}" for i in range(len(texts_roles))],
+            "turn_idx": 0,
+            "role": [r for _, r in texts_roles],
+            "text": [t for t, _ in texts_roles],
+            "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+            "importance": 0.0,
+        }
+    )
+    base = dict(
+        scorer="reference",
+        fields=(FieldSpec("text", 1.0),),
+        build_partitions=2,
+        doc_bucket_bits=4,
+        posting_block_size=16,
+        min_score=0.0,
+    )
+    base.update(cfg_kw)
+    cfg = EngineConfig(**base)
+    out = str(Path(tmp_index_root) / name)
+    paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
+    return SearchEngine(spark, paths, cfg), OracleIndex(pdf, cfg), cfg
+
+
+def _q(env, q, **kw):
+    engine, oracle, cfg = env
+    query = Query(qid="s", q=q, k=10, **kw)
+    got = engine.search([query]).toPandas()
+    want = oracle_search(oracle, [query], cfg)
+    g = list(got["doc_index"]) if "doc_index" in got.columns else []
+    w = list(want["doc_index"]) if "doc_index" in want.columns else []
+    assert g == w, f"engine/oracle diverge for {q!r}:\n{got}\n{want}"
+    return got
+
+
+@pytest.fixture(scope="module")
+def fuzzy_env(spark, tmp_index_root):
+    # FUZZY_KEY_MAP=None → full-alphabet edit-1 (test_search.py:58-62)
+    return _mk(
+        spark, tmp_index_root, "ref_fuzzy",
+        [("Andrésy", "user")], fuzzy_key_map=None,
+    )
+
+
+def test_should_be_fuzzy_of_1_by_default(fuzzy_env):
+    # test_search.py:58-62
+    assert len(_q(fuzzy_env, "antresy")) == 1
+    assert len(_q(fuzzy_env, "antresu")) == 0
+
+
+def test_fuzzy_should_work_with_inversion(fuzzy_env):
+    # test_search.py:65-67
+    assert len(_q(fuzzy_env, "andreys")) == 1
+
+
+def test_fuzzy_should_match_with_removal(fuzzy_env):
+    # test_search.py:70-72
+    assert len(_q(fuzzy_env, "andressy")) == 1
+
+
+def test_synonyms_should_be_replaced(spark, tmp_index_root):
+    # test_search.py:97-101
+    env = _mk(
+        spark, tmp_index_root, "ref_syn",
+        [("boulevard des Fleurs", "user")],
+        synonyms={"bd": "boulevard"},
+    )
+    assert len(_q(env, "bd")) == 1
+
+
+@pytest.fixture(scope="module")
+def ac_env(spark, tmp_index_root):
+    return _mk(
+        spark, tmp_index_root, "ref_ac",
+        [("rue de Wambrechies Bondues", "user")],
+    )
+
+
+def test_should_do_autocomplete_on_last_term(ac_env):
+    # test_search.py:92-95: a not-found non-last token is dropped;
+    # only the LAST token autocompletes
+    assert len(_q(ac_env, "avenue wambre", autocomplete=True)) == 1
+    assert len(_q(ac_env, "wambre avenue", autocomplete=True)) == 0
+
+
+MONNAIE_DOCS = [
+    ("rue de la monnaie Vitry", "user"),
+    ("rue de la monnaie Paris", "user"),
+    ("rue de la monnaie Condom", "user"),
+    ("la monnaye Saint-Loup", "user"),
+    ("la monnaie ville", "tool"),
+]
+
+
+@pytest.fixture(scope="module")
+def commons_env(spark, tmp_index_root):
+    # COMMON_THRESHOLD=2 / INTERSECT_LIMIT=2 / BUCKET_MAX=3
+    # (test_search.py:103-116)
+    return _mk(
+        spark, tmp_index_root, "ref_commons", MONNAIE_DOCS,
+        common_threshold=2, intersect_limit=2, bucket_max=3,
+    )
+
+
+def test_should_return_results_if_only_common_terms(commons_env):
+    # test_search.py:103-116: all query tokens common → the
+    # only-commons fallback still returns the exact-phrase docs
+    got = _q(commons_env, "rue de la monnaie")
+    ids = set(got["conv_id"])
+    assert {"doc-0", "doc-1", "doc-2"} <= ids
+    assert "doc-3" not in ids
+
+
+def test_should_brute_force_if_common_terms_above_limit(spark, tmp_index_root):
+    # test_search.py:121-134: same answers when df > INTERSECT_LIMIT
+    # forces the scan path vs the plain intersect path
+    env = _mk(
+        spark, tmp_index_root, "ref_commons_scan", MONNAIE_DOCS,
+        common_threshold=2, intersect_limit=100_000, bucket_max=3,
+    )
+    got = _q(env, "rue de la monnaie")
+    ids = set(got["conv_id"])
+    assert {"doc-0", "doc-1", "doc-2"} <= ids
+    assert "doc-3" not in ids
+
+
+def test_should_use_filter_if_only_common_terms(commons_env):
+    # test_search.py:137-150: filter constrains collection even when
+    # every word token is common
+    got = _q(commons_env, "la monnaie", filters={"role": ["tool"]})
+    assert set(got["conv_id"]) == {"doc-4"}
+
+
+def test_found_term_is_autocompleted_if_missing_results(spark, tmp_index_root):
+    # test_search.py:237-241: "mont" is IN the index but also
+    # autocompletes to "montagne" — both docs come back
+    env = _mk(
+        spark, tmp_index_root, "ref_ac_found",
+        [("rue de la montagne Vitry", "user"), ("rue du mont Vitry", "user")],
+        common_threshold=3,
+    )
+    got = _q(env, "rue mont", autocomplete=True)
+    assert set(got["conv_id"]) == {"doc-0", "doc-1"}
