@@ -49,7 +49,7 @@ from pyspark.sql import types as T
 
 from ..config import EngineConfig
 from ..functions.text import edge_ngrams_col
-from .compress import pack_deltas, pack_f32, varint_encode
+from .compress import pack_deltas, pack_f32, varint_encode, varint_encode_offsets
 
 BLOCK_SCHEMA = T.ArrayType(
     T.StructType(
@@ -417,18 +417,265 @@ def filter_token_rows(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     return out
 
 
+def _pa_block_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("token", pa.string()),
+            ("bucket", pa.int64()),
+            ("block_id", pa.int32()),
+            ("n", pa.int32()),
+            ("sum_tf", pa.int64()),
+            ("max_tf", pa.int32()),
+            ("max_boost", pa.float32()),
+            ("min_doc", pa.int64()),
+            ("max_doc", pa.int64()),
+            ("docs_bin", pa.binary()),
+            ("tfs_bin", pa.binary()),
+            ("boosts_bin", pa.binary()),
+            ("pos_bin", pa.binary()),
+        ]
+    )
+
+
+def _binary_view(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 value offsets rebased to 0, uint8 data window) of a
+    pyarrow Binary/String array — null entries read as 0-length."""
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    if bufs[2] is None:
+        return off - off[0], np.empty(0, dtype=np.uint8)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
+    return off - off[0], data
+
+
+def _binary_from(data, offsets: np.ndarray):
+    """Zero-copy pyarrow binary array over one flat buffer: value i =
+    data[offsets[i]:offsets[i+1]] — no per-value bytes slicing."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(data)],
+    )
+
+
+def _pack_sorted_window(
+    schema, token_col, k, carry_token, first_offset,
+    g1, g2, bucket, docs, tfs, boosts, pos_off, pos_data,
+    block_size, final,
+):
+    """Vectorized pack of one window of (token,bucket,doc)-sorted
+    posting rows (numpy views over the Arrow batch, prepended with any
+    carried rows). Emits one RecordBatch of block rows; unless
+    ``final``, the trailing incomplete block is returned as the new
+    carry (posting blocks are independently decodable — each block's
+    first doc delta is absolute — so complete blocks are emitted even
+    when their run continues into the next batch).
+
+    ``k`` = carried row count (always the head of run 0);
+    ``first_offset`` = block_id offset for run 0 (continuation)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(docs)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = (
+            (g1[1:] != g1[:-1])
+            | (g2[1:] != g2[:-1])
+            | (bucket[1:] != bucket[:-1])
+        )
+    run_starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    pos = np.arange(n, dtype=np.int64) - run_starts[run_id]
+    starts = np.flatnonzero(change | (pos % block_size == 0))
+    bids = (pos[starts] // block_size).astype(np.int32)
+    if first_offset:
+        bids[run_id[starts] == 0] += np.int32(first_offset)
+
+    carry = None
+    cut = n
+    m = len(starts)
+    if not final:
+        lr = int(run_starts[-1])
+        tok_last = carry_token if lr < k else token_col[lr - k].as_py()
+        key = (int(g1[-1]), int(g2[-1]), int(bucket[-1]))
+        if n - starts[-1] < block_size:  # trailing block incomplete
+            cut = int(starts[-1])
+            m -= 1
+            carry = {
+                "key": key, "token": tok_last, "bid": int(bids[-1]),
+                "docs": docs[cut:].copy(), "tfs": tfs[cut:].copy(),
+                "boosts": boosts[cut:].copy(),
+                "pos_off": (pos_off[cut:] - pos_off[cut]).copy(),
+                "pos_data": pos_data[pos_off[cut] : pos_off[n]].copy(),
+            }
+        else:  # complete — emit it, carry only the continuation point
+            carry = {
+                "key": key, "token": tok_last, "bid": int(bids[-1]) + 1,
+                "docs": docs[:0], "tfs": tfs[:0], "boosts": boosts[:0],
+                "pos_off": np.zeros(1, dtype=np.int64),
+                "pos_data": pos_data[:0],
+            }
+    if m == 0 or cut == 0:
+        return None, carry
+    starts = starts[:m]
+    ends = np.append(starts[1:], cut)
+
+    tfs_w = tfs[:cut]
+    boosts_w = boosts[:cut].astype(np.float32, copy=False)
+    d = docs[:cut].astype(np.uint64)
+    deltas = d.copy()
+    if cut > 1:
+        deltas[1:] = d[1:] - d[:-1]
+    deltas[starts] = d[starts]
+    bounds = np.append(starts, cut)
+    dbuf, dcum = varint_encode_offsets(deltas)
+    tbuf, tcum = varint_encode_offsets(tfs_w.astype(np.uint64))
+
+    idx = starts - k
+    if idx[0] < 0:  # first block starts in the carried region
+        tok = pa.concat_arrays(
+            [
+                pa.array([carry_token], type=pa.string()),
+                pc.take(token_col, pa.array(idx[1:], type=pa.int64())),
+            ]
+        )
+    else:
+        tok = pc.take(token_col, pa.array(idx, type=pa.int64()))
+
+    rb = pa.RecordBatch.from_arrays(
+        [
+            tok,
+            pa.array(bucket[starts], type=pa.int64()),
+            pa.array(bids[:m], type=pa.int32()),
+            pa.array((ends - starts).astype(np.int32), type=pa.int32()),
+            pa.array(np.add.reduceat(tfs_w.astype(np.int64), starts), type=pa.int64()),
+            pa.array(np.maximum.reduceat(tfs_w, starts).astype(np.int32), type=pa.int32()),
+            pa.array(np.maximum.reduceat(boosts_w, starts), type=pa.float32()),
+            pa.array(docs[starts].astype(np.int64), type=pa.int64()),
+            pa.array(docs[ends - 1].astype(np.int64), type=pa.int64()),
+            _binary_from(dbuf, dcum[bounds]),
+            _binary_from(tbuf, tcum[bounds]),
+            _binary_from(boosts_w.tobytes(), 4 * bounds),
+            _binary_from(pos_data[: pos_off[cut]], pos_off[bounds]),
+        ],
+        schema=schema,
+    )
+    return rb, carry
+
+
+def _flush_carry(schema, carry, block_size):
+    """Emit the carried partial block as its own one-block batch."""
+    import pyarrow as pa
+
+    k = len(carry["docs"])
+    if k == 0:
+        return None
+    key = carry["key"]
+    rb, _ = _pack_sorted_window(
+        schema, pa.array([], type=pa.string()), k, carry["token"],
+        carry["bid"],
+        np.full(k, key[0], dtype=np.int64),
+        np.full(k, key[1], dtype=np.int64),
+        np.full(k, key[2], dtype=np.int64),
+        carry["docs"], carry["tfs"], carry["boosts"],
+        carry["pos_off"], carry["pos_data"],
+        block_size, final=True,
+    )
+    return rb
+
+
+def _make_arrow_packer(block_size: int):
+    """mapInArrow fn factory: walk sorted posting runs, emit packed
+    block rows. Fully vectorized — run boundaries from the two int64
+    hash columns, per-block aggregates via np.*.reduceat, binary
+    payloads sliced zero-copy from one flat encode per batch. No
+    pandas, no per-row Python objects (a 64M-row mapInPandas crossing
+    boxes every token string; this path crosses Arrow buffers only)."""
+
+    def pack(batches):
+        carry = None
+        schema = _pa_block_schema()
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cols = dict(zip(batch.schema.names, batch.columns))
+            g1 = cols["g1"].to_numpy()
+            g2 = cols["g2"].to_numpy()
+            bucket = cols["bucket"].to_numpy()
+            docs = cols["doc_index"].to_numpy()
+            tfs = cols["tf"].to_numpy()
+            boosts = cols["boost"].to_numpy()
+            pos_off, pos_data = _binary_view(cols["pos_bin"])
+            token_col = cols["token"]
+            k = 0
+            first_offset = 0
+            carry_token = None
+            if carry is not None:
+                if carry["key"] == (int(g1[0]), int(g2[0]), int(bucket[0])):
+                    k = len(carry["docs"])
+                    first_offset = carry["bid"]
+                    carry_token = carry["token"]
+                    if k:
+                        key = carry["key"]
+                        g1 = np.concatenate([np.full(k, key[0], dtype=g1.dtype), g1])
+                        g2 = np.concatenate([np.full(k, key[1], dtype=g2.dtype), g2])
+                        bucket = np.concatenate(
+                            [np.full(k, key[2], dtype=bucket.dtype), bucket]
+                        )
+                        docs = np.concatenate([carry["docs"], docs])
+                        tfs = np.concatenate([carry["tfs"], tfs])
+                        boosts = np.concatenate([carry["boosts"], boosts])
+                        clen = carry["pos_off"][-1]
+                        pos_data = np.concatenate([carry["pos_data"], pos_data])
+                        pos_off = np.concatenate(
+                            [carry["pos_off"][:-1], pos_off + clen]
+                        )
+                else:
+                    rb = _flush_carry(schema, carry, block_size)
+                    if rb is not None:
+                        yield rb
+                carry = None
+            rb, carry = _pack_sorted_window(
+                schema, token_col, k, carry_token, first_offset,
+                g1, g2, bucket, docs, tfs, boosts, pos_off, pos_data,
+                block_size, final=False,
+            )
+            if rb is not None:
+                yield rb
+        if carry is not None:
+            rb = _flush_carry(schema, carry, block_size)
+            if rb is not None:
+                yield rb
+
+    return pack
+
+
 def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
     """(doc_index, token, tf, pos_bin, boost) -> packed block rows.
 
     External **sort-merge** posting assembly (north_star): one shuffle
-    keyed (token, bucket) + Spark's spill-safe external sort -- no
+    keyed (token, bucket) + Spark's spill-safe external sort — no
     collect_list hash-agg (which anti-scales under per-task agg
-    memory pressure at high thread counts). A streaming mapInPandas
-    packer walks each sorted run; complete groups are packed straight
-    from numpy slices (zero per-element boxing), only the single
-    group spanning a batch boundary is carried. Task memory is
-    bounded by one (token,bucket) group <= 2^bits postings no matter
-    how hot the token -- the doc-range bucket IS the salt.
+    memory pressure at high thread counts). A vectorized mapInArrow
+    packer walks each sorted run (see _make_arrow_packer); only a
+    trailing incomplete block is carried across Arrow batches. Task
+    memory is bounded by one (token,bucket) group <= 2^bits postings
+    no matter how hot the token — the doc-range bucket IS the salt.
+
+    Run boundaries are detected on two independent JVM-computed
+    xxhash64 columns added AFTER the sort (order-preserving project,
+    zero extra shuffle bytes) — the Python side never compares token
+    strings. A boundary is missed only if two DISTINCT tokens adjacent
+    in sort order collide on both hashes AND share a bucket (~2^-128
+    per adjacency).
     """
     block_size = cfg.posting_block_size
     pshift = cfg.pbucket_shift
@@ -438,73 +685,12 @@ def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
         )
         .repartition(cfg.build_partitions, "token", "bucket")
         .sortWithinPartitions("token", "bucket", "doc_index")
+        .withColumn("g1", F.xxhash64("token"))
+        .withColumn("g2", F.xxhash64(F.lit(1), "token"))
     )
-
-    def stream_pack(batches):
-        carry = None  # (token, bucket, [docs...], [tfs...], [boosts...], [pos...])
-
-        def flush_carry(c):
-            return _pack_group(
-                c[0], c[1],
-                np.concatenate(c[2]), np.concatenate(c[3]),
-                np.concatenate(c[4]).astype(np.float32),
-                np.concatenate(c[5]), block_size,
-            )
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            toks = pdf["token"].to_numpy()
-            bucks = pdf["bucket"].to_numpy()
-            docs_v = pdf["doc_index"].to_numpy()
-            tfs_v = pdf["tf"].to_numpy()
-            boosts_v = pdf["boost"].to_numpy()
-            pos_v = pdf["pos_bin"].to_numpy()
-            change = np.empty(len(pdf), dtype=bool)
-            change[0] = True
-            if len(pdf) > 1:
-                change[1:] = (toks[1:] != toks[:-1]) | (bucks[1:] != bucks[:-1])
-            bounds = np.flatnonzero(change).tolist() + [len(pdf)]
-            rows_out = []
-            n_groups = len(bounds) - 1
-            for gi in range(n_groups):
-                lo, hi = bounds[gi], bounds[gi + 1]
-                last = gi == n_groups - 1
-                if gi == 0 and carry is not None:
-                    if (carry[0], carry[1]) == (toks[lo], bucks[lo]):
-                        carry[2].append(docs_v[lo:hi])
-                        carry[3].append(tfs_v[lo:hi])
-                        carry[4].append(boosts_v[lo:hi])
-                        carry[5].append(pos_v[lo:hi])
-                        if last:
-                            break  # group may continue into next batch
-                        rows_out.extend(flush_carry(carry))
-                        carry = None
-                        continue
-                    rows_out.extend(flush_carry(carry))
-                    carry = None
-                if last:
-                    # may continue into the next Arrow batch -> carry
-                    carry = [toks[lo], bucks[lo], [docs_v[lo:hi]],
-                             [tfs_v[lo:hi]], [boosts_v[lo:hi]], [pos_v[lo:hi]]]
-                    break
-                rows_out.extend(
-                    _pack_group(
-                        toks[lo], bucks[lo], docs_v[lo:hi], tfs_v[lo:hi],
-                        boosts_v[lo:hi].astype(np.float32), pos_v[lo:hi],
-                        block_size,
-                    )
-                )
-            if rows_out:
-                yield pd.DataFrame(rows_out)
-        if carry is not None:
-            out = flush_carry(carry)
-            if out:
-                yield pd.DataFrame(out)
-
-    return arranged.mapInPandas(stream_pack, schema=BLOCK_ROW_SCHEMA).withColumn(
-        "pbucket", F.shiftright("bucket", pshift)
-    )
+    return arranged.mapInArrow(
+        _make_arrow_packer(block_size), BLOCK_ROW_SCHEMA
+    ).withColumn("pbucket", F.shiftright("bucket", pshift))
 
 
 def prefixes_from_dictionary(dictionary: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -518,15 +704,20 @@ def prefixes_from_dictionary(dictionary: DataFrame, cfg: EngineConfig) -> DataFr
         .select(
             "token",
             "df",
+            "max_boost",
             F.explode(
                 edge_ngrams_col("token", cfg.min_edge_ngram, cfg.max_edge_ngram)
             ).alias("prefix"),
         )
-        # partition key = hash of the TOKEN: all of a token's prefix
-        # rows land in one bucket, so a CDC batch rewrites exactly
-        # the buckets of its changed tokens (incremental.py)
+        # df AND max_boost denormalized per candidate (≙ ZCARD +
+        # ZREVRANGE max used by order_by_frequency / order_by_max_
+        # score.lua) so autocomplete planning needs no second
+        # dictionary probe; partition key = hash of the TOKEN: all of
+        # a token's prefix rows land in one bucket, so a CDC batch
+        # rewrites exactly the buckets of its changed tokens
+        # (incremental.py)
         .select(
-            "prefix", "token", "df",
+            "prefix", "token", "df", "max_boost",
             F.pmod(
                 F.xxhash64("token"), F.lit(cfg.prefix_hash_buckets)
             ).cast("int").alias("pfx_bucket"),
@@ -747,8 +938,9 @@ class IndexBuilder:
                 spark.read.parquet(self.paths.blocks)
             )
             self._write(
-                partials.repartition("pbucket")
-                .sortWithinPartitions("pbucket", "token"),
+                partials.repartitionByRange(
+                    cfg.build_partitions, "pbucket", "token"
+                ).sortWithinPartitions("pbucket", "token"),
                 self.paths.dict_partials, "dict_partials",
                 partition_by="pbucket",
             )
@@ -796,7 +988,9 @@ class IndexBuilder:
             # IN-lists still prune row groups on prefix min/max
             self._write(
                 prefixes_from_dictionary(dictionary, cfg)
-                .repartition("pfx_bucket")
+                .repartitionByRange(
+                    cfg.build_partitions, "pfx_bucket", "prefix"
+                )
                 .sortWithinPartitions("pfx_bucket", "prefix"),
                 self.paths.prefixes, "prefixes", partition_by="pfx_bucket",
             )
@@ -808,8 +1002,9 @@ class IndexBuilder:
                 spark.read.parquet(self.paths.blocks), dictionary, cfg
             )
             self._write(
-                pairs.repartition("pbucket")
-                .sortWithinPartitions("pbucket", "token_a", "token_b"),
+                pairs.repartitionByRange(
+                    cfg.build_partitions, "pbucket", "token_a", "token_b"
+                ).sortWithinPartitions("pbucket", "token_a", "token_b"),
                 self.paths.pairs, "pairs", partition_by="pbucket",
             )
 

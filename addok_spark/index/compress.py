@@ -16,11 +16,15 @@ import numpy as np
 _SHIFTS = np.arange(10, dtype=np.uint64) * np.uint64(7)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized over byte lanes)."""
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array (vectorized over byte lanes);
+    also return the int64 cumulative byte offsets (length n+1, starting
+    at 0) so callers can slice the buffer at any value boundary — the
+    block packer encodes a whole Arrow batch in one call and cuts the
+    result at posting-block boundaries."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # number of 7-bit groups per value
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -38,7 +42,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[mask] >> _SHIFTS[j]) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] - 1) > j
         out[starts[mask] + j] = byte | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out.tobytes(), np.concatenate((np.zeros(1, dtype=np.int64), ends))
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized over byte lanes)."""
+    return varint_encode_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

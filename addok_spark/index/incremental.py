@@ -262,8 +262,8 @@ def apply_actions(
             .write.mode("overwrite")
             .parquet(old_tok_path)
         )
-        dict_partials_from_blocks(blocks_touched).repartition(
-            "pbucket"
+        dict_partials_from_blocks(blocks_touched).repartitionByRange(
+            cfg.build_partitions, "pbucket", "token"
         ).sortWithinPartitions("pbucket", "token").write.mode(
             "overwrite"
         ).partitionBy("pbucket").parquet(paths.dict_partials)
@@ -286,7 +286,9 @@ def apply_actions(
         # upgrades it; subsequent batches are incremental
         dict_partials_from_blocks(
             spark.read.parquet(paths.blocks)
-        ).repartition("pbucket").sortWithinPartitions(
+        ).repartitionByRange(
+            cfg.build_partitions, "pbucket", "token"
+        ).sortWithinPartitions(
             "pbucket", "token"
         ).write.mode("overwrite").partitionBy("pbucket").parquet(
             paths.dict_partials
@@ -387,8 +389,8 @@ def _refresh_prefixes(
     )
     if legacy or changed_tokens is None:
         shutil.rmtree(paths.prefixes, ignore_errors=True)
-        prefixes_from_dictionary(dict_disk, cfg).repartition(
-            "pfx_bucket"
+        prefixes_from_dictionary(dict_disk, cfg).repartitionByRange(
+            cfg.build_partitions, "pfx_bucket", "prefix"
         ).sortWithinPartitions("pfx_bucket", "prefix").write.mode(
             "overwrite"
         ).partitionBy("pfx_bucket").parquet(paths.prefixes)
@@ -414,8 +416,8 @@ def _refresh_prefixes(
         dict_disk.join(changed_tokens, "token", "left_semi"), cfg
     )
     staged = str(scratch / "prefixes")
-    keep.select("prefix", "token", "df", "pfx_bucket").unionByName(
-        fresh.select("prefix", "token", "df", "pfx_bucket")
+    keep.select("prefix", "token", "df", "max_boost", "pfx_bucket").unionByName(
+        fresh.select("prefix", "token", "df", "max_boost", "pfx_bucket")
     ).write.mode("overwrite").parquet(staged)
     try:
         merged = spark.read.parquet(staged)
@@ -428,7 +430,9 @@ def _refresh_prefixes(
     except Exception:  # zero-row staged write has no readable schema
         written = set()
     if written:
-        merged.repartition("pfx_bucket").sortWithinPartitions(
+        merged.repartitionByRange(
+            cfg.build_partitions, "pfx_bucket", "prefix"
+        ).sortWithinPartitions(
             "pfx_bucket", "prefix"
         ).write.mode("overwrite").partitionBy("pfx_bucket").parquet(
             paths.prefixes
@@ -489,7 +493,9 @@ def _refresh_pairs(
         r["pbucket"] for r in new_pairs.select("pbucket").distinct().collect()
     }
     if written:
-        new_pairs.repartition("pbucket").sortWithinPartitions(
+        new_pairs.repartitionByRange(
+            cfg.build_partitions, "pbucket", "token_a", "token_b"
+        ).sortWithinPartitions(
             "pbucket", "token_a", "token_b"
         ).write.mode("overwrite").partitionBy("pbucket").parquet(paths.pairs)
     new_pairs.unpersist()

@@ -51,6 +51,15 @@ def build_session(
         # count even for ~1GB intermediates (default 128MB splits cap
         # the analyze/pack map sides at a handful of tasks)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # task-side file commit (v2): the v1 job-commit rename pass is
+        # driver-serial and O(files) — it was the measured serial floor
+        # of partitioned-table writes. Safe here: every write is an
+        # overwrite into a stage dir gated by the build manifest, so a
+        # failed job's partial files are replaced on retry/resume.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
