@@ -65,6 +65,10 @@ class EngineConfig:
     # --- collection strategy thresholds (default.py:17-33) ---
     bucket_min: int = 10
     bucket_max: int = 100
+    # cap on OR-values per filter field (≙ MAX_FILTER_VALUES,
+    # reference default.py:27, core.py:160-176: first N uniques in
+    # appearance order, then sorted)
+    max_filter_values: int = 10
     common_threshold: int = 10_000
     intersect_limit: int = 100_000
     scan_limit: int = 500  # manual_scan probe size, lua/manual_scan.lua

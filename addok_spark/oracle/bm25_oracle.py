@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import EngineConfig
-from ..query.engine import FILTER_GID_BASE
+from ..query.engine import FILTER_GID_BASE, normalize_filter_values
 from ..functions.text import (
     analyze_str,
     edge_ngrams_str,
@@ -226,7 +226,7 @@ def oracle_search(
         for fi, (fcol, vals) in enumerate(
             sorted((getattr(q, "filters", None) or {}).items())
         ):
-            vs = sorted({str(v).strip() for v in vals if str(v).strip()})
+            vs = normalize_filter_values(vals, cfg.max_filter_values)
             if vs:
                 gid = FILTER_GID_BASE + fi
                 keys = [f"f|{fcol}|{v}" for v in vs]
@@ -237,6 +237,9 @@ def oracle_search(
         candidates: set[int] = set()
         done = False
         qf = fold_str(q.q)
+        # per-query bucket limit = max(k, BUCKET_MAX) (reference
+        # core.py:339 / issue #422)
+        bucket_limit = max(cfg.bucket_max, int(getattr(q, "k", 0) or 0))
 
         def has_cream() -> bool:
             # ≙ core.py:400-419 (mirror of SearchEngine._apply_cream):
@@ -282,7 +285,18 @@ def oracle_search(
                         pre += float(per_gid[gid])
                     hits.append((-pre, d))
             hits.sort()
-            return [d for _, d in hits[: cfg.bucket_max]]
+            return [d for _, d in hits[:bucket_limit]]
+
+        def removal_order() -> list[int]:
+            # ≙ collectors.py:127-131 (mirror of engine removal_order)
+            return sorted(
+                order,
+                key=lambda g: (
+                    1 if groups[g][0].isdigit() else 0,
+                    group_dfs.get(g, 0),
+                ),
+                reverse=True,
+            )
 
         for round_no in (1, 3, 4):
             if done:
@@ -290,24 +304,39 @@ def oracle_search(
             if round_no >= 3 and candidates and has_cream():
                 done = True
                 break
+            variants: list[list[int]] = []
             if round_no == 1:
                 # meaningful conjunction or commons fallback (mirror
                 # of the engine's merged round 1)
                 gids = order if order else [
                     g for g in sorted(groups) if g < FILTER_GID_BASE
                 ]
+                if gids:
+                    variants = [gids]
             elif round_no == 3 and len(order) > 1:
-                gids = order[:-1]
-            elif round_no == 4 and len(order) > 2:
-                gids = order[:-2]
-            else:
-                continue
-            if not gids:
-                continue
-            ordered = run_gids(gids + filter_gids)
-            room = cfg.bucket_max - len(candidates)
-            candidates.update(ordered[:room])
-            if len(candidates) >= cfg.bucket_min:
+                # remove-1 relaxation (collectors.py:115-137 mirror)
+                n_tok = len([g for g in groups if g < FILTER_GID_BASE])
+                smt = math.ceil(2.0 / 3.0 * n_tok)
+                if not candidates or len(order) - 1 > smt:
+                    variants = [
+                        [g for g in order if g != r] for r in removal_order()
+                    ]
+            elif round_no == 4 and len(order) > 3 and not candidates:
+                rm = removal_order()
+                for i, a in enumerate(rm):
+                    for b2 in rm[i + 1:]:
+                        variants.append(
+                            [g for g in order if g not in (a, b2)]
+                        )
+            for gids in variants:
+                if not gids:
+                    continue
+                room = max(0, bucket_limit - len(candidates))
+                if room == 0:
+                    break
+                ordered = run_gids(gids + filter_gids)
+                candidates.update(ordered[:room])
+            if variants and len(candidates) >= cfg.bucket_min:
                 done = True
 
         # round 5: relation extrapolation (Q13, collectors.py:151-214)
@@ -333,7 +362,7 @@ def oracle_search(
                 if len(candidates) >= cfg.bucket_min:
                     break
                 ordered = run_gids(list(clique) + filter_gids, use_scan=False)
-                room = cfg.bucket_max - len(candidates)
+                room = max(0, bucket_limit - len(candidates))
                 candidates.update(ordered[:room])
 
         # --- scoring over FULL group set (same expression tree) ----------
@@ -345,7 +374,7 @@ def oracle_search(
             doc = index.docs.iloc[d]
             ok = True
             for col, vals in filters.items():
-                vs = {str(v).strip() for v in vals if str(v).strip()}
+                vs = set(normalize_filter_values(vals, cfg.max_filter_values))
                 if vs and not (
                     doc[col] is not None and str(doc[col]).strip() in vs
                 ):

@@ -216,6 +216,17 @@ class Query:
 FILTER_GID_BASE = 1_000_000
 
 
+def normalize_filter_values(vals, cap: int) -> list[str]:
+    """≙ _normalize_filter_values (reference core.py:160-176): strip,
+    drop empties, dedup PRESERVING appearance order, take the first
+    ``cap`` uniques, then sort. Shared by engine and oracle so the
+    f|field|value keys agree for any input."""
+    uniq = list(
+        dict.fromkeys(s for s in (str(v).strip() for v in (vals or [])) if s)
+    )
+    return sorted(uniq[:cap])
+
+
 @dataclass
 class _QState:
     query: Query
@@ -268,12 +279,14 @@ class SearchEngine:
 
     def _prefix_candidates_batch(
         self, prefixes: set[str], cap: int = 100
-    ) -> dict[str, list[str]]:
+    ) -> dict[str, list[tuple[str, int, float]]]:
         """Raw full-token candidates under each edge n-gram for MANY
         prefixes in one job (≙ SMEMBERS n|prefix, autocomplete.py:86),
         highest-df first, capped at ``cap`` per prefix to bound the
-        driver collect. Per-query pair pruning and final ordering
-        (max-score vs frequency) happen afterwards in _plan_queries."""
+        driver collect; each candidate carries its denormalized
+        (df, max_boost) so planning needs no second dictionary probe.
+        Per-query pair pruning and final ordering (max-score vs
+        frequency) happen afterwards in _plan_queries."""
         if not prefixes or self.prefixes is None:
             return {}
         w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("token"))
@@ -283,9 +296,16 @@ class SearchEngine:
             .filter(F.col("rn") <= cap)
             .collect()
         )
-        out: dict[str, list[str]] = {}
+        has_mb = "max_boost" in self.prefixes.columns
+        out: dict[str, list[tuple[str, int, float | None]]] = {}
         for r in sorted(rows, key=lambda r: (r["prefix"], r["rn"])):
-            out.setdefault(r["prefix"], []).append(r["token"])
+            out.setdefault(r["prefix"], []).append(
+                (
+                    r["token"],
+                    r["df"],
+                    float(r["max_boost"] or 0.0) if has_mb else None,
+                )
+            )
         return out
 
     def _pairs_probe(self, checks: set[tuple[str, str]]) -> set[tuple[str, str]]:
@@ -330,7 +350,7 @@ class SearchEngine:
             # sorted like _normalize_filter_values (core.py:160-176)
             fk: list[tuple[int, list[str]]] = []
             for fi, (fcol, vals) in enumerate(sorted((q.filters or {}).items())):
-                vs = sorted({str(v).strip() for v in vals if str(v).strip()})
+                vs = normalize_filter_values(vals, cfg.max_filter_values)
                 if vs:
                     keys = [f"f|{fcol}|{v}" for v in vs]
                     fk.append((FILTER_GID_BASE + fi, keys))
@@ -355,13 +375,23 @@ class SearchEngine:
                         want_fuzzy.add(tok)
                 elif df == 0:
                     want_fuzzy.add(tok)
-        prefix_raw = self._prefix_candidates_batch(want_prefix)
+        prefix_full = self._prefix_candidates_batch(want_prefix)
+        for cs in prefix_full.values():
+            for c, cdf, cmb in cs:
+                dfs.setdefault(c, cdf)
+                if cmb is not None:
+                    mbs.setdefault(c, cmb)
+        prefix_raw = {p: [c for c, _, _ in cs] for p, cs in prefix_full.items()}
         fuzzy_neigh = {
             t: make_fuzzy_str(t, cfg.fuzzy_key_map) for t in want_fuzzy
         }
-        extra = {c for cs in prefix_raw.values() for c in cs}
-        extra.update(n for ns in fuzzy_neigh.values() for n in ns)
-        extra -= set(dfs)
+        # only fuzzy neighbors still need a dictionary probe (they
+        # are generated, not read from a stats-bearing table); a
+        # legacy prefixes table without max_boost re-probes candidates
+        extra = {n for ns in fuzzy_neigh.values() for n in ns} - set(dfs)
+        extra.update(
+            c for cs in prefix_full.values() for c, _, mb in cs if mb is None
+        )
         if extra:
             more = self._token_stats(extra)
             dfs.update({t: v[0] for t, v in more.items()})
@@ -777,13 +807,31 @@ class SearchEngine:
             "queries": len(queries),
         }
 
-        def round_plan(round_no: int) -> tuple[pd.DataFrame, list[str]]:
+        def removal_order(st: _QState) -> list[int]:
+            # ≙ the reducing collector's sorter (collectors.py:127-131):
+            # digit tokens first, then highest df first; stable on ties
+            return sorted(
+                st.meaningful_order,
+                key=lambda g: (
+                    1 if st.groups[g][0].isdigit() else 0,
+                    st.group_df.get(g, 0),
+                ),
+                reverse=True,
+            )
+
+        def round_plan(
+            round_no: int,
+        ) -> tuple[pd.DataFrame, list[str], dict[str, list[str]]]:
+            import math as _math
+
             rows = []
             wand_qids: list[str] = []
+            vq_order: dict[str, list[str]] = {}
             for qid, st in states.items():
                 if st.done:
                     continue
                 order = st.meaningful_order
+                variants: list[tuple[str, list[int]]] = []
                 if round_no == 1:
                     # meaningful conjunction; queries with NO
                     # meaningful tokens take the commons fallback
@@ -793,43 +841,76 @@ class SearchEngine:
                     gids = order if order else [
                         g for g in sorted(st.groups) if g < FILTER_GID_BASE
                     ]
+                    if gids:
+                        variants = [(qid, gids)]
                 elif round_no == 3 and len(order) > 1:
-                    gids = order[:-1]  # drop highest-df
-                elif round_no == 4 and len(order) > 2:
-                    gids = order[:-2]
-                else:
-                    continue
-                if not gids:
-                    continue
-                # filter groups are required in EVERY round (the
-                # reference appends f| keys to every intersect,
-                # core.py:337-352) and are never relaxation-dropped
-                gids = gids + st.filter_gids
-                # scan mode iff EVERY required group is too frequent
-                # (≙ only_commons → manual_scan, collectors.py:35-65)
-                gdf = st.group_df
-                scan_gid = -1
-                if all(gdf.get(g, 0) > self.cfg.intersect_limit for g in gids):
-                    scan_gid = min(gids, key=lambda g: (gdf.get(g, 0), g))
-                elif (
-                    cfg.wand_enabled
-                    and all(gdf.get(g, 0) > cfg.wand_min_df for g in gids)
-                    and sum(gdf.get(g, 0) for g in gids) > cfg.wand_min_postings
-                ):
-                    # every group frequent AND the decode volume large
-                    # enough to outweigh the two-phase scheduling cost
-                    # → the case block-max skipping is for
-                    wand_qids.append(qid)
-                for gid in gids:
-                    for tok in st.groups[gid]:
-                        rows.append(
-                            (qid, gid, tok, len(gids), gid == scan_gid,
-                             gdf.get(gid, 0))
-                        )
+                    # ≙ extend_results_reducing_tokens remove-1
+                    # (collectors.py:115-137): try removing EACH
+                    # meaningful token (not just the last-by-order),
+                    # gated on empty bucket or margin over the
+                    # 2/3-of-tokens should_match_threshold
+                    # (search.py:25)
+                    n_tok = len(
+                        [g for g in st.groups if g < FILTER_GID_BASE]
+                    )
+                    smt = _math.ceil(2.0 / 3.0 * n_tok)
+                    if not st.candidates or len(order) - 1 > smt:
+                        variants = [
+                            (f"{qid}\x00r1.{i}",
+                             [g for g in order if g != r])
+                            for i, r in enumerate(removal_order(st))
+                        ]
+                elif round_no == 4 and len(order) > 3 and not st.candidates:
+                    # ≙ remove-2 (collectors.py:139-148): bucket still
+                    # EMPTY and >3 meaningful — all unordered pairs in
+                    # removal order (the reference's ordered-pair
+                    # product yields the same key sets twice)
+                    rm = removal_order(st)
+                    vi = 0
+                    for i, a in enumerate(rm):
+                        for b2 in rm[i + 1:]:
+                            variants.append(
+                                (f"{qid}\x00r2.{vi}",
+                                 [g for g in order if g not in (a, b2)])
+                            )
+                            vi += 1
+                for vq, gids in variants:
+                    if not gids:
+                        continue
+                    # filter groups are required in EVERY round (the
+                    # reference appends f| keys to every intersect,
+                    # core.py:337-352) and are never relaxation-dropped
+                    gids = gids + st.filter_gids
+                    # scan mode iff EVERY required group is too frequent
+                    # (≙ only_commons → manual_scan, collectors.py:35-65)
+                    gdf = st.group_df
+                    scan_gid = -1
+                    if all(
+                        gdf.get(g, 0) > self.cfg.intersect_limit for g in gids
+                    ):
+                        scan_gid = min(gids, key=lambda g: (gdf.get(g, 0), g))
+                    elif (
+                        cfg.wand_enabled
+                        and all(gdf.get(g, 0) > cfg.wand_min_df for g in gids)
+                        and sum(gdf.get(g, 0) for g in gids)
+                        > cfg.wand_min_postings
+                    ):
+                        # every group frequent AND the decode volume
+                        # large enough to outweigh the two-phase
+                        # scheduling cost → the case block-max
+                        # skipping is for
+                        wand_qids.append(vq)
+                    vq_order.setdefault(qid, []).append(vq)
+                    for gid in gids:
+                        for tok in st.groups[gid]:
+                            rows.append(
+                                (vq, gid, tok, len(gids), gid == scan_gid,
+                                 gdf.get(gid, 0))
+                            )
             return pd.DataFrame(
                 rows,
                 columns=["qid", "gid", "token", "n_required", "is_scan", "gdf"],
-            ), wand_qids
+            ), wand_qids, vq_order
 
         import time as _time
 
@@ -844,12 +925,20 @@ class SearchEngine:
                 # that already holds a ≥ match_threshold string match
                 # stops relaxing instead of paying more rounds
                 self._apply_cream(states)
-            plan, wand_qids = round_plan(round_no)
+            plan, wand_qids, vq_order = round_plan(round_no)
             if plan.empty:
                 continue
             self.last_metrics["rounds"] += 1
             _tr = _time.time()
-            got = self._run_round(plan, cfg.bucket_max, wand_qids)
+            # per-query bucket limit = max(k, BUCKET_MAX) (≙ intersect
+            # limit, reference core.py:339 / issue #422: limit >
+            # BUCKET_MAX must still fill) — the round top-n takes the
+            # batch max; per-qid room below trims to each query's own
+            round_topn = max(
+                cfg.bucket_max,
+                max((st.query.k for st in states.values()), default=0),
+            )
+            got = self._run_round(plan, round_topn, wand_qids)
             self.last_trace.append(
                 {
                     "stage": f"collect_round_{round_no}",
@@ -864,11 +953,23 @@ class SearchEngine:
             self.last_metrics["buckets_skipped"] += self.last_round_metrics[
                 "buckets_skipped"
             ]
-            for qid, grp in got.groupby("qid"):
+            by_vq = {
+                vq: grp.sort_values("rn")["doc_index"].tolist()
+                for vq, grp in got.groupby("qid")
+            }
+            for qid, vqs in vq_order.items():
                 st = states[qid]
-                room = cfg.bucket_max - len(st.candidates)
-                ordered = grp.sort_values("rn")["doc_index"]
-                st.candidates.update(ordered.head(room).tolist())
+                for vq in vqs:
+                    # variants accumulate in removal order until the
+                    # bucket overflows (≙ add_to_bucket loop +
+                    # bucket_overflow break, collectors.py:132-137)
+                    room = max(
+                        0,
+                        max(cfg.bucket_max, st.query.k) - len(st.candidates),
+                    )
+                    if room == 0:
+                        break
+                    st.candidates.update(by_vq.get(vq, [])[:room])
                 if len(st.candidates) >= cfg.bucket_min:
                     st.done = True
             if all(st.done for st in states.values()):
@@ -998,7 +1099,10 @@ class SearchEngine:
                 plan_rows,
                 columns=["qid", "gid", "token", "n_required", "is_scan", "gdf"],
             ),
-            cfg.bucket_max,
+            max(
+                cfg.bucket_max,
+                max((st.query.k for st in dry.values()), default=0),
+            ),
         )
         by_vq = {
             vq: grp.sort_values("rn")["doc_index"].tolist()
@@ -1008,7 +1112,10 @@ class SearchEngine:
             for vq in clique_order.get(qid, []):
                 if len(st.candidates) >= cfg.bucket_min:
                     break
-                room = cfg.bucket_max - len(st.candidates)
+                room = max(
+                    0,
+                    max(cfg.bucket_max, st.query.k) - len(st.candidates),
+                )
                 st.candidates.update(by_vq.get(vq, [])[:room])
 
     # ------------------------------------------------------------------
@@ -1130,7 +1237,7 @@ class SearchEngine:
         fexprs = []
         for st in states.values():
             for col, vals in (st.query.filters or {}).items():
-                vs = sorted({str(v).strip() for v in vals if str(v).strip()})
+                vs = normalize_filter_values(vals, self.cfg.max_filter_values)
                 if vs:
                     # trim the doc-side value too — same normalization
                     # as the f| index keys (build.py filter_token_rows)

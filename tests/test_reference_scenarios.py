@@ -154,13 +154,14 @@ def test_does_not_fail_without_usable_tokens(setup):
 # ---------------------------------------------------------------------------
 
 def _mk(spark, tmp_index_root, name, texts_roles, **cfg_kw):
+    rows = [tr if len(tr) == 3 else (*tr, None) for tr in texts_roles]
     pdf = pd.DataFrame(
         {
-            "conv_id": [f"doc-{i}" for i in range(len(texts_roles))],
+            "conv_id": [f"doc-{i}" for i in range(len(rows))],
             "turn_idx": 0,
-            "role": [r for _, r in texts_roles],
-            "text": [t for t, _ in texts_roles],
-            "tool": None,
+            "role": [r for _, r, _ in rows],
+            "text": [t for t, _, _ in rows],
+            "tool": [tl for _, _, tl in rows],
             "ts": pd.Timestamp("2026-01-01"),
             "importance": 0.0,
         }
@@ -182,7 +183,8 @@ def _mk(spark, tmp_index_root, name, texts_roles, **cfg_kw):
 
 def _q(env, q, **kw):
     engine, oracle, cfg = env
-    query = Query(qid="s", q=q, k=10, **kw)
+    kw.setdefault("k", 10)
+    query = Query(qid="s", q=q, **kw)
     got = engine.search([query]).toPandas()
     want = oracle_search(oracle, [query], cfg)
     g = list(got["doc_index"]) if "doc_index" in got.columns else []
@@ -299,3 +301,148 @@ def test_found_term_is_autocompleted_if_missing_results(spark, tmp_index_root):
     )
     got = _q(env, "rue mont", autocomplete=True)
     assert set(got["conv_id"]) == {"doc-0", "doc-1"}
+
+
+# ---------------------------------------------------------------------------
+# round-3 ports, second batch: best-match / autocomplete / filter /
+# bucket-limit / token-reducing families
+# ---------------------------------------------------------------------------
+
+
+def test_should_give_priority_to_best_match2(spark, tmp_index_root):
+    # test_search.py:40-45: both docs index (rue, andresy), but only
+    # doc-0's NAME (= the label string distance compares against)
+    # holds "andresy" — the other has it in the secondary field.
+    # Faithful port: text = name (boost 4, label), tool = city
+    # (boost 1, indexed but NOT in the label) — reference
+    # default.py:128-136 FIELDS + labels.py name-only default label
+    env = _mk(
+        spark, tmp_index_root, "ref_best2",
+        [("rue d'Andrésy", "user", "Conflans"),
+         ("rue de Conflans", "user", "Andrésy")],
+        fields=(FieldSpec("text", 4.0), FieldSpec("tool", 1.0)),
+    )
+    got = _q(env, "rue andresy")
+    assert len(got) == 2
+    assert got.iloc[0]["conv_id"] == "doc-0"
+
+
+def test_not_found_term_is_autocompleted(spark, tmp_index_root):
+    # test_search.py:234-238: "mon" is NOT an indexed token but
+    # autocompletes to "monnaie"
+    env = _mk(
+        spark, tmp_index_root, "ref_ac_notfound",
+        [("rue de la monnaie Vitry", "user")],
+        common_threshold=3,
+    )
+    assert len(_q(env, "rue de la mon", autocomplete=True)) == 1
+
+
+def test_found_term_is_not_autocompleted_if_enough_results(spark, tmp_index_root):
+    # test_search.py:249-259: with enough exact "mont" docs for the
+    # wanted k, the "montagne" expansion never reaches the top-k
+    env = _mk(
+        spark, tmp_index_root, "ref_ac_enough",
+        [
+            ("rue de la montagne Vitry", "user"),
+            ("rue du mont Vitry", "user"),
+            ("rue du mont Paris", "user"),
+            ("rue du mont Lille", "user"),
+        ],
+        common_threshold=3,
+    )
+    got = _q(env, "rue mont", autocomplete=True, k=2)
+    assert len(got) == 2
+    assert "doc-0" not in set(got["conv_id"])
+
+
+FILTER_DOCS = [
+    ("rue de Paris", "user", "bash"),
+    ("avenue de Paris", "user", "python"),
+    ("Paris", "tool", "bash"),
+    ("Paris Grenelle", "user", "browser"),
+]
+
+
+@pytest.fixture(scope="module")
+def filter_env(spark, tmp_index_root):
+    return _mk(spark, tmp_index_root, "ref_filters", FILTER_DOCS)
+
+
+def test_search_can_be_filtered(filter_env):
+    # test_search.py:341-348 (type= → role=)
+    got = _q(filter_env, "paris", filters={"role": ["tool"]})
+    assert set(got["conv_id"]) == {"doc-2"}
+
+
+def test_search_supports_multi_value_filter(filter_env):
+    # test_search.py:350-358: OR within one filter field
+    got = _q(filter_env, "paris", filters={"tool": ["bash", "python"]})
+    assert set(got["conv_id"]) == {"doc-0", "doc-1", "doc-2"}
+
+
+def test_search_multi_filter_combination_with_other_filters(filter_env):
+    # test_search.py:361-369: OR within a field, AND across fields
+    got = _q(
+        filter_env, "paris",
+        filters={"tool": ["bash", "python"], "role": ["user"]},
+    )
+    assert set(got["conv_id"]) == {"doc-0", "doc-1"}
+
+
+def test_multifilter_with_duplicate_values(filter_env):
+    # test_search.py:372-380
+    got = _q(filter_env, "paris", filters={"tool": ["bash", "bash", "python"]})
+    assert set(got["conv_id"]) == {"doc-0", "doc-1", "doc-2"}
+
+
+def test_multifilter_respects_max_values(filter_env):
+    # test_search.py:383-400 + core.py:160-176: only the FIRST 10
+    # unique values count — "browser" arrives 11th and is dropped, so
+    # doc-3 must NOT match even though its value was requested
+    vals = ["bash"] + [f"nope{i}" for i in range(9)] + ["browser", "python"]
+    got = _q(filter_env, "paris", filters={"tool": vals})
+    assert set(got["conv_id"]) == {"doc-0", "doc-2"}
+
+
+def test_multifilter_case_sensitivity(spark, tmp_index_root):
+    # test_search.py:403-414: filter values are case-sensitive
+    env = _mk(
+        spark, tmp_index_root, "ref_filter_case",
+        [("rue de Paris", "user", "Bash"), ("Paris", "user", "bash")],
+    )
+    got = _q(env, "paris", filters={"tool": ["Bash"]})
+    assert set(got["conv_id"]) == {"doc-0"}
+
+
+def test_bucket_respects_limit(spark, tmp_index_root):
+    # test_search.py:620-634 (issue #422): wanted > BUCKET_MAX must
+    # still fill — the bucket limit is max(k, BUCKET_MAX),
+    # core.py:339 — with and without autocomplete
+    env = _mk(
+        spark, tmp_index_root, "ref_bucket_limit",
+        [("allee des acacias", "user") for _ in range(12)],
+        bucket_max=5,
+    )
+    assert len(_q(env, "allee des acacias", k=12)) == 12
+    assert len(_q(env, "allee des acacias", k=12, autocomplete=True)) == 12
+
+
+def test_extend_results_reducing_tokens_should_remove_two_tokens(
+    spark, tmp_index_root
+):
+    # test_search.py:678-689: "plage" and "cyprie" are both absent
+    # from the target doc — only the remove-2 pass (all pairs,
+    # collectors.py:139-148) can surface it
+    env = _mk(
+        spark, tmp_index_root, "ref_reduce2",
+        [
+            ("quai jules verne saint cyprien", "user"),
+            ("allee des cyprie larmor plage", "user"),
+            ("rue jules verne chatelaillon plage", "user"),
+            ("quai saint truc la plage", "user"),
+        ],
+    )
+    got = _q(env, "quai jules verne saint cyprie plage")
+    assert len(got) >= 1
+    assert got.iloc[0]["conv_id"] == "doc-0"

@@ -27,7 +27,7 @@ def _skewed_corpus() -> pd.DataFrame:
     fillers = ["x1", "x2", "x3", "x4", "x5", "x6", "x7", "x8"]
     for i in range(96):
         if i == 0:
-            text = "gamma delta"         # unique doc (cream target)
+            text = "gamma delta eps zeta eta theta"  # unique doc (cream target)
         elif i < 8:
             text = "alpha beta"          # 2 tokens → boost 0.5 each
         else:
@@ -91,12 +91,15 @@ def test_wand_end_to_end_rank_identity(spark, wand_setup):
     import dataclasses
 
     pdf, cfg_full, paths = wand_setup
-    # skipping engages once matches exceed bucket_max (the top-n floor
-    # must be a real lower bound); 95 docs match, so shrink the bucket
+    # skipping engages once matches exceed the bucket limit
+    # max(k, bucket_max) (the top-n floor must be a real lower
+    # bound); 95 docs match, so shrink the bucket AND keep k within
+    # it — k > bucket_max legitimately raises the collection limit
+    # (reference core.py:339) and with it the skip floor
     cfg = dataclasses.replace(cfg_full, bucket_max=5, bucket_min=2)
     engine = SearchEngine(spark, paths, cfg)
     oracle = OracleIndex(pdf, cfg)
-    queries = [Query(qid="we1", q="alpha beta", k=10)]
+    queries = [Query(qid="we1", q="alpha beta", k=5)]
     got = engine.search(queries).toPandas()
     want = oracle_search(oracle, queries, cfg)
     assert list(got["doc_index"]) == list(want["doc_index"])
@@ -123,9 +126,12 @@ def test_cream_reduces_rounds(spark, wand_setup):
     pdf, cfg, paths = wand_setup
     oracle = OracleIndex(pdf, cfg)
     engine = SearchEngine(spark, paths, cfg)
-    # 'gamma delta' matches exactly ONE doc (dry: 1 < bucket_min=10)
-    # whose text IS the query → cream stops before round 3
-    q = [Query(qid="cr1", q="gamma delta", k=10)]
+    # the query matches exactly ONE doc (dry: 1 < bucket_min=10)
+    # whose text IS the query → cream stops before round 3. Six
+    # meaningful tokens so the remove-1 margin condition
+    # (len(meaningful)-1 > ceil(2/3·len(tokens)), collectors.py:123)
+    # holds and the relaxation round WOULD run without cream
+    q = [Query(qid="cr1", q="gamma delta eps zeta eta theta", k=10)]
     got = engine.search(q).toPandas()
     with_cream = dict(engine.last_metrics)
     assert with_cream["cream_stops"] >= 1
@@ -204,7 +210,9 @@ def test_cream_metric_not_fooled_by_containment(spark, tmp_index_root):
     filler = " ".join(f"pad{j:02d}" for j in range(50))
     for i in range(24):
         if i == 0:
-            text = "zeta theta " + filler  # CONTAINS the query verbatim
+            text = (
+                "zeta theta iota kappa lambda mu " + filler
+            )  # CONTAINS the query verbatim
         else:
             text = f"misc{i:02d} " + " ".join(
                 f"pad{(i + j) % 50:02d}" for j in range(10)
@@ -232,14 +240,17 @@ def test_cream_metric_not_fooled_by_containment(spark, tmp_index_root):
 
     # the trap: compare_str says "match", compare_ngrams says "no"
     label = fold_str(pdf["text"].iloc[0])
-    assert compare_str("zeta theta", label) >= cfg.match_threshold
-    assert compare_ngrams(label, "zeta theta") < cfg.match_threshold
+    QUERY = "zeta theta iota kappa lambda mu"  # 6 meaningful tokens so
+    # the remove-1 margin condition holds (collectors.py:123) and the
+    # relaxation round is applicable at all
+    assert compare_str(QUERY, label) >= cfg.match_threshold
+    assert compare_ngrams(label, QUERY) < cfg.match_threshold
 
     sdf = spark.createDataFrame(pdf)
     out = str(Path(tmp_index_root) / "cream_containment_test")
     paths = build_index(spark, sdf, cfg, out)
     engine = SearchEngine(spark, paths, cfg)
-    q = [Query(qid="cc1", q="zeta theta", k=10)]
+    q = [Query(qid="cc1", q=QUERY, k=10)]
     got = engine.search(q).toPandas()
     assert engine.last_metrics["cream_stops"] == 0
     assert engine.last_metrics["rounds"] >= 2  # relaxation round ran
