@@ -10,6 +10,7 @@ Local:
     python -m addok_spark build  --input corpus.parquet --index /idx
     python -m addok_spark ngrams --index /idx           # post-pass
     python -m addok_spark search --index /idx -q "rue des lilas" -k 10
+    python -m addok_spark shell  --index /idx           # interactive REPL
     python -m addok_spark actions --index /idx --input changes.parquet
     python -m addok_spark info   --index /idx           # ≙ shell DBINFO
 """
@@ -67,7 +68,7 @@ def cmd_ngrams(args) -> None:
     dictionary = spark.read.parquet(b.paths.dictionary)
     b._write(
         prefixes_from_dictionary(dictionary, cfg)
-        .repartition("pfx_bucket")
+        .repartitionByRange(cfg.build_partitions, "pfx_bucket", "prefix")
         .sortWithinPartitions("pfx_bucket", "prefix"),
         b.paths.prefixes, "prefixes", partition_by="pfx_bucket",
     )
@@ -136,6 +137,14 @@ def cmd_explain(args) -> None:
     ))
 
 
+def cmd_shell(args) -> None:
+    """Interactive REPL (≙ `addok shell`, addok/shell.py)."""
+    from .shell import Shell
+
+    spark = _spark(args)
+    Shell(spark, args.index, _cfg(args)).loop()
+
+
 def cmd_actions(args) -> None:
     from .index.incremental import apply_actions
 
@@ -198,6 +207,11 @@ def main(argv=None) -> None:
     e.add_argument("--filters", help='JSON, e.g. {"role": ["user"]}')
     e.add_argument("--synonyms")
     e.set_defaults(fn=cmd_explain)
+
+    sh = sub.add_parser("shell")
+    sh.add_argument("--index", required=True)
+    sh.add_argument("--synonyms")
+    sh.set_defaults(fn=cmd_shell)
 
     a = sub.add_parser("actions")
     a.add_argument("--input", required=True)

@@ -1,0 +1,82 @@
+"""Shell REPL command dispatch (≙ reference addok/shell.py surface)
+driven non-interactively against a tiny index."""
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from addok_spark.config import EngineConfig, FieldSpec
+from addok_spark.index.build import build_index
+from addok_spark.shell import Shell
+
+
+@pytest.fixture(scope="module")
+def shell(spark, tmp_index_root):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["doc-0", "doc-1", "doc-2"],
+            "turn_idx": 0,
+            "role": ["user", "tool", "user"],
+            "text": [
+                "rue des lilas",
+                "avenue des lilas",
+                "boulevard du montparnasse",
+            ],
+            "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+            "importance": 0.0,
+        }
+    )
+    cfg = EngineConfig(
+        fields=(FieldSpec("text", 1.0),),
+        build_partitions=2,
+        doc_bucket_bits=4,
+        posting_block_size=16,
+    )
+    out = str(Path(tmp_index_root) / "shell_idx")
+    build_index(spark, spark.createDataFrame(pdf), cfg, out)
+    return Shell(spark, out, cfg)
+
+
+def test_shell_search_default(shell):
+    out = shell.dispatch("rue des lilas")
+    assert "doc-0" in out and "hits in" in out
+
+
+def test_shell_explain(shell):
+    out = shell.dispatch("EXPLAIN rue des lilas")
+    assert "group" in out and "plan_queries" in out
+
+
+def test_shell_tokenize_fuzzy_freq(shell):
+    assert "tokens: ['rue', 'des', 'lilas']" in shell.dispatch(
+        "TOKENIZE Rue des Lilas!"
+    )
+    assert "ilas" in shell.dispatch("FUZZY lilas")
+    assert "lilas: df=2" in shell.dispatch("FREQ lilas")
+
+
+def test_shell_state_commands(shell):
+    assert shell.dispatch("AUTOCOMPLETE on") == "autocomplete: on"
+    out = shell.dispatch("montparnas")  # prefix only works with ac on
+    assert "doc-2" in out
+    assert shell.dispatch("AUTOCOMPLETE off") == "autocomplete: off"
+    assert 'filters: {"role": ["tool"]}' in shell.dispatch(
+        'FILTERS {"role": ["tool"]}'
+    )
+    out = shell.dispatch("lilas")
+    assert "doc-1" in out and "doc-0" not in out
+    shell.dispatch("FILTERS off")
+    assert shell.dispatch("K 5") == "k: 5"
+
+
+def test_shell_dbinfo_help_errors(shell):
+    out = shell.dispatch("DBINFO")
+    assert '"n_postings"' in out and '"n_docs"' in out
+    assert "SEARCH" in shell.dispatch("HELP") or "search" in shell.dispatch("HELP")
+    with pytest.raises(EOFError):
+        shell.dispatch("QUIT")
+    # bad JSON must not kill the loop (loop() catches; dispatch raises)
+    with pytest.raises(Exception):
+        shell.dispatch("FILTERS {bad json")
