@@ -248,19 +248,33 @@ def _wand_at_scale(corpus_path: str, work: Path, n_turns: int,
         )
         idx = str(work / "idx_wand_skew")
         build_index(spark, skewed, bcfg, idx, resume=False)
-        # pick the query from the index itself: the 4 highest-df word
-        # tokens — guaranteed to clear wand_min_df on every group and
-        # the posting-volume gate, with a large conjunction to rank
-        top = (
-            spark.read.parquet(idx + "/dictionary")
-            .filter(~F.col("token").contains("|"))
+        # pick the query from the index itself. WAND's regime: every
+        # group df > wand_min_df but NOT every group beyond
+        # intersect_limit (an all-commons query correctly routes to
+        # manual_scan instead, ≙ the reference's only_commons path).
+        # The synthetic templates put exactly one mid-df token per
+        # turn (mid-df tokens never co-occur), so the evidence query
+        # = the highest-df token INSIDE the band (anchors the
+        # conjunction to ~its df matches) + the two highest-df tokens
+        # overall (co-occur with everything)
+        qcfg = EngineConfig()
+        dic = spark.read.parquet(idx + "/dictionary").filter(
+            ~F.col("token").contains("|")
+        )
+        band = (
+            dic.filter(
+                (F.col("df") > qcfg.wand_min_df)
+                & (F.col("df") <= qcfg.intersect_limit)
+            )
             .orderBy(F.desc("df"))
-            .limit(4)
+            .limit(1)
             .collect()
         )
+        head = dic.orderBy(F.desc("df")).limit(2).collect()
+        top = band + head
         q = " ".join(r["token"] for r in top)
         sum_df = int(sum(r["df"] for r in top))
-        gate = 500_000
+        gate = min(500_000, int(sum_df * 0.8))
         base = dict(common_threshold=10_000)
         ranks = {}
         times = {}
