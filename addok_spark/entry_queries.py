@@ -523,6 +523,43 @@ WHERE a.id < b.id
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clusters: connected components (large-star /
+    small-star) over the MinHash-LSH candidate pairs. cluster_id =
+    min doc_id of the component; only docs that hit at least one
+    candidate pair appear."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {SQL_SHINGLES},
+ab(hid, a, b) AS (VALUES (0,3557,127),(1,3041,9111),(2,2503,51787),(3,1987,303773),
+  (4,1597,917113),(5,1229,2531381),(6,919,7247237),(7,613,19300907)),
+base AS (SELECT id, ('0x' || substr(md5(shingle), 1, 12))::bigint AS base FROM sh),
+h AS (SELECT id, hid, (a * base + b) % 2305843009213693951 AS hv FROM base, ab),
+sig AS (SELECT id, hid, min(hv) AS minhash FROM h GROUP BY id, hid),
+banded AS (SELECT id, (hid // 2)::int AS band,
+             md5(string_agg(minhash::varchar, ',' ORDER BY minhash)) AS band_key
+           FROM sig GROUP BY id, band),
+e AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.id < b.id),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION ALL SELECT id_b, id_a FROM e),
+walk(n, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+  UNION
+  SELECT w.n, s.v FROM walk w JOIN sym s ON s.u = w.r
+)
+SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n ORDER BY doc_id
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     planes = ann.make_planes(N_PLANES, EMB_DIM)
     return dedup.embedding_near_dup_pairs(
@@ -936,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_near_dup": q_embedding_near_dup,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
@@ -974,6 +1012,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "minhash_signatures": SQL_MINHASH,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "embedding_near_dup": _sql_embedding_near_dup(),
     "simhash": SQL_SIMHASH,
     "lang_id": SQL_LANG_ID,

@@ -725,37 +725,18 @@ def prefixes_from_dictionary(dictionary: DataFrame, cfg: EngineConfig) -> DataFr
     )
 
 
-def pairs_from_blocks(
-    blocks_df: DataFrame, dictionary: DataFrame, cfg: EngineConfig
-) -> DataFrame:
-    """Co-occurrence pairs derived from posting BLOCKS (no text
-    re-analysis): unpack doc ids per token, drop COMMON tokens (the
-    Zipf head is small by construction → broadcast anti-join), regroup
-    per doc, expand pairs with a codegen nested transform — no
-    self-join shuffle at all (≙ PairsIndexer skipping commons,
-    addok/pairs.py:6-16). Reused by the bulk build AND the CDC path
-    so the relation round never sees stale edges."""
-    commons = dictionary.filter(
-        F.col("df") > cfg.common_threshold
-    ).select("token")
-    shift = cfg.doc_bucket_bits + cfg.pbucket_shift
-    tok_doc = (
-        blocks_df.filter(~F.col("token").contains("|"))
-        .join(F.broadcast(commons), "token", "left_anti")
-        .select("token", _unpack_docs_udf(F.col("docs_bin")).alias("ds"))
-        .select("token", F.explode("ds").alias("doc_index"))
-    )
-    per_doc = tok_doc.groupBy("doc_index").agg(
-        F.array_sort(F.collect_set("token")).alias("toks")
-    )
+def _expand_pairs(per_doc: DataFrame) -> DataFrame:
+    """(pbucket, toks sorted-distinct array) → distinct (pbucket,
+    token_a, token_b) with token_a < token_b, via a codegen nested
+    transform — no self-join shuffle at all (≙ PairsIndexer,
+    addok/pairs.py:6-16). pbucket is the provenance partition key:
+    pairs are distinct per pbucket (the global pair set is the union
+    over partitions; consumers dedupe in the driver set), which is
+    what makes the CDC pair refresh O(touched partitions) instead of
+    a full corpus unpack."""
     return (
         per_doc.select(
-            # provenance partition key: the doc's pbucket — pairs are
-            # distinct per pbucket (the global pair set is the union
-            # over partitions; consumers dedupe in the driver set),
-            # which is what makes the CDC pair refresh O(touched
-            # partitions) instead of a full corpus unpack
-            F.shiftright("doc_index", shift).alias("pbucket"),
+            "pbucket",
             F.explode(
                 F.flatten(
                     F.transform(
@@ -779,6 +760,65 @@ def pairs_from_blocks(
         .select("pbucket", "p.token_a", "p.token_b")
         .distinct()
     )
+
+
+def pairs_from_blocks(
+    blocks_df: DataFrame, dictionary: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """Co-occurrence pairs derived from posting BLOCKS (no text
+    re-analysis): unpack doc ids per token, drop COMMON tokens (the
+    Zipf head is small by construction → broadcast anti-join), regroup
+    per doc, expand pairs (≙ PairsIndexer skipping commons,
+    addok/pairs.py:6-16). This is the CDC path — after an incremental
+    rewrite the blocks table is the truth and the analyzed scratch is
+    stale; the bulk build uses ``pairs_from_analyzed`` (same result,
+    one less shuffle)."""
+    commons = dictionary.filter(
+        F.col("df") > cfg.common_threshold
+    ).select("token")
+    shift = cfg.doc_bucket_bits + cfg.pbucket_shift
+    tok_doc = (
+        blocks_df.filter(~F.col("token").contains("|"))
+        .join(F.broadcast(commons), "token", "left_anti")
+        .select("token", _unpack_docs_udf(F.col("docs_bin")).alias("ds"))
+        .select("token", F.explode("ds").alias("doc_index"))
+    )
+    per_doc = tok_doc.groupBy("doc_index").agg(
+        F.array_sort(F.collect_set("token")).alias("toks")
+    ).select(F.shiftright("doc_index", shift).alias("pbucket"), "toks")
+    return _expand_pairs(per_doc)
+
+
+def pairs_from_analyzed(
+    analyzed: DataFrame, dictionary: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """Bulk-build pairs derivation: the analyzed scratch already holds
+    each doc's distinct tokens (``__an.toks``, one struct per distinct
+    token), so the per-doc token set needs NO block unpack and NO
+    regroup-by-doc shuffle — just an in-row projection. Commons (the
+    Zipf head: bounded by tokens with df > COMMON_THRESHOLD, i.e. a
+    stopword-sized set even at full corpus scale) are removed with a
+    constant-folded literal array via ``array_except``. Produces the
+    identical pair set to ``pairs_from_blocks`` (asserted in
+    tests/test_index_build.py)."""
+    commons = [
+        r["token"]
+        for r in dictionary.filter(F.col("df") > cfg.common_threshold)
+        .select("token")
+        .collect()
+    ]
+    shift = cfg.doc_bucket_bits + cfg.pbucket_shift
+    # direct array-struct field extraction (NOT a lambda transform):
+    # GetArrayStructFields is what nested-schema pruning understands —
+    # a transform() lambda forces the scan to read the full token
+    # structs incl. position binaries (measured 4× slower)
+    toks = F.array_sort(F.col("__an.toks").getField("token"))
+    if commons:
+        toks = F.array_except(toks, F.array(*[F.lit(c) for c in commons]))
+    per_doc = analyzed.select(
+        F.shiftright("doc_index", shift).alias("pbucket"), toks.alias("toks")
+    )
+    return _expand_pairs(per_doc)
 
 
 def dictionary_from_blocks(blocks: DataFrame) -> DataFrame:
@@ -998,9 +1038,10 @@ class IndexBuilder:
         # --- pair (co-occurrence) table, meaningful tokens only
         # (reference PairsIndexer skips commons, addok/pairs.py:6-16)
         if cfg.build_pairs and not (resume and self._stage_done("pairs")):
-            pairs = pairs_from_blocks(
-                spark.read.parquet(self.paths.blocks), dictionary, cfg
-            )
+            # bulk path reads per-doc token sets straight from the
+            # analyzed scratch (no block unpack / regroup shuffle);
+            # CDC uses pairs_from_blocks on touched pbuckets
+            pairs = pairs_from_analyzed(analyzed, dictionary, cfg)
             self._write(
                 pairs.repartitionByRange(
                     cfg.build_partitions, "pbucket", "token_a", "token_b"

@@ -297,3 +297,102 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge set via
+    alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    scalable dedup-clustering primitive: O(log n) rounds regardless of
+    component diameter, each round two shuffles (a min-aggregate and a
+    join), no driver-side graph state. Label-propagation by contrast
+    needs O(diameter) rounds and an adversarial duplicate *chain*
+    (a→b→c→…, each adjacent pair near-dup) makes diameter O(n).
+
+    large-star: every node's strictly-larger neighbors re-attach to
+    min(Γ(u) ∪ {u}); small-star: the smaller-or-equal neighborhood
+    collapses onto its min. Both preserve connectivity; the fixpoint
+    is a forest of depth-1 stars rooted at each component's min id.
+
+    Lineage is truncated per round with ``localCheckpoint`` (iterative
+    plans otherwise grow exponentially and re-execute from the source
+    each round); convergence is detected by an (edge-count,
+    Σxxhash64(a,b)) signature — set equality up to a 2^-64 collision,
+    computed in the same job that materializes the round.
+
+    Returns (id, cluster_id): one row per node appearing in ``edges``,
+    cluster_id = min node id of its component.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: Σ of int64 hashes overflows long
+            # under ANSI mode
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def _large(adj: DataFrame) -> DataFrame:
+        m = adj.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+        # m <= u < v, so (m, v) is already canonical a < b
+        return (
+            adj.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small(adj: DataFrame) -> DataFrame:
+        sm = adj.filter(F.col("v") < F.col("u"))
+        m = sm.groupBy("u").agg(F.min("v").alias("m"))
+        link = (
+            sm.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        )
+        root = m.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        return (
+            link.unionByName(root)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        adj = e.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        e2 = _large(adj)
+        adj2 = e2.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionByName(e2.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        e = _small(adj2).localCheckpoint(eager=True)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: e is (component_min, member) stars
+    return (
+        e.select(F.col("b").alias("id"), F.col("a").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("a").alias("id"), F.col("a").alias("cluster_id"))
+        )
+        .distinct()
+    )

@@ -148,6 +148,35 @@ def test_pairs_table(spark, built):
         assert a < b  # canonical ordering, no dup orientation
 
 
+def test_pairs_from_analyzed_equals_pairs_from_blocks(spark, built, tiny_cfg):
+    """The bulk-path derivation (per-doc token sets read straight from
+    the analyzed scratch) must produce the identical pair set to the
+    CDC-path block-unpack derivation — including commons exclusion
+    (threshold lowered so the tiny corpus actually has a Zipf head)."""
+    from dataclasses import replace
+
+    from addok_spark.index.build import pairs_from_analyzed, pairs_from_blocks
+
+    analyzed = spark.read.parquet(str(Path(built.root) / "_analyzed"))
+    blocks = spark.read.parquet(built.blocks)
+    dictionary = spark.read.parquet(built.dictionary)
+    for thr in (tiny_cfg.common_threshold, 2):  # no commons / with commons
+        cfg = replace(tiny_cfg, common_threshold=thr)
+        a = {
+            (r.pbucket, r.token_a, r.token_b)
+            for r in pairs_from_analyzed(analyzed, dictionary, cfg).collect()
+        }
+        b = {
+            (r.pbucket, r.token_a, r.token_b)
+            for r in pairs_from_blocks(blocks, dictionary, cfg).collect()
+        }
+        assert a == b and a
+    # the thr=2 run actually excluded the Zipf head (df("des")=3 > 2)
+    assert not any(
+        t in ("des", "rue") for _, ta, tb in a for t in (ta, tb)
+    )
+
+
 def test_resume_skips_completed_stages(spark, tiny_corpus, tiny_cfg, built):
     manifest = json.loads(built.manifest.read_text())
     before = manifest["stages"]["blocks"]
