@@ -49,7 +49,13 @@ from pyspark.sql import types as T
 
 from ..config import EngineConfig
 from ..functions.text import edge_ngrams_col
-from .compress import pack_deltas, pack_f32, varint_encode, varint_encode_offsets
+from .compress import (
+    pack_deltas,
+    pack_f32,
+    varint_decode,
+    varint_encode,
+    varint_encode_offsets,
+)
 
 BLOCK_SCHEMA = T.ArrayType(
     T.StructType(
@@ -330,9 +336,15 @@ def tokenize_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+# packer output is keyed by the two token hashes, NOT the token
+# string: the string never travels the posting shuffle or the Arrow
+# crossing (measured: serializing 40M token strings into Python was
+# ~55% of the block stage's CPU); build_blocks joins the strings back
+# onto the ~1000x-smaller block rows afterward
 BLOCK_ROW_SCHEMA = T.StructType(
     [
-        T.StructField("token", T.StringType()),
+        T.StructField("g1", T.LongType()),
+        T.StructField("g2", T.LongType()),
         T.StructField("bucket", T.LongType()),
     ]
     + list(BLOCK_SCHEMA.elementType.fields)
@@ -422,7 +434,8 @@ def _pa_block_schema():
 
     return pa.schema(
         [
-            ("token", pa.string()),
+            ("g1", pa.int64()),
+            ("g2", pa.int64()),
             ("bucket", pa.int64()),
             ("block_id", pa.int32()),
             ("n", pa.int32()),
@@ -465,22 +478,21 @@ def _binary_from(data, offsets: np.ndarray):
 
 
 def _pack_sorted_window(
-    schema, token_col, k, carry_token, first_offset,
+    schema, k, first_offset,
     g1, g2, bucket, docs, tfs, boosts, pos_off, pos_data,
     block_size, final,
 ):
-    """Vectorized pack of one window of (token,bucket,doc)-sorted
+    """Vectorized pack of one window of (hash,bucket,doc)-sorted
     posting rows (numpy views over the Arrow batch, prepended with any
-    carried rows). Emits one RecordBatch of block rows; unless
-    ``final``, the trailing incomplete block is returned as the new
-    carry (posting blocks are independently decodable — each block's
-    first doc delta is absolute — so complete blocks are emitted even
-    when their run continues into the next batch).
+    carried rows). Emits one RecordBatch of hash-keyed block rows;
+    unless ``final``, the trailing incomplete block is returned as the
+    new carry (posting blocks are independently decodable — each
+    block's first doc delta is absolute — so complete blocks are
+    emitted even when their run continues into the next batch).
 
     ``k`` = carried row count (always the head of run 0);
     ``first_offset`` = block_id offset for run 0 (continuation)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     n = len(docs)
     change = np.empty(n, dtype=bool)
@@ -503,14 +515,12 @@ def _pack_sorted_window(
     cut = n
     m = len(starts)
     if not final:
-        lr = int(run_starts[-1])
-        tok_last = carry_token if lr < k else token_col[lr - k].as_py()
         key = (int(g1[-1]), int(g2[-1]), int(bucket[-1]))
         if n - starts[-1] < block_size:  # trailing block incomplete
             cut = int(starts[-1])
             m -= 1
             carry = {
-                "key": key, "token": tok_last, "bid": int(bids[-1]),
+                "key": key, "bid": int(bids[-1]),
                 "docs": docs[cut:].copy(), "tfs": tfs[cut:].copy(),
                 "boosts": boosts[cut:].copy(),
                 "pos_off": (pos_off[cut:] - pos_off[cut]).copy(),
@@ -518,7 +528,7 @@ def _pack_sorted_window(
             }
         else:  # complete — emit it, carry only the continuation point
             carry = {
-                "key": key, "token": tok_last, "bid": int(bids[-1]) + 1,
+                "key": key, "bid": int(bids[-1]) + 1,
                 "docs": docs[:0], "tfs": tfs[:0], "boosts": boosts[:0],
                 "pos_off": np.zeros(1, dtype=np.int64),
                 "pos_data": pos_data[:0],
@@ -539,20 +549,10 @@ def _pack_sorted_window(
     dbuf, dcum = varint_encode_offsets(deltas)
     tbuf, tcum = varint_encode_offsets(tfs_w.astype(np.uint64))
 
-    idx = starts - k
-    if idx[0] < 0:  # first block starts in the carried region
-        tok = pa.concat_arrays(
-            [
-                pa.array([carry_token], type=pa.string()),
-                pc.take(token_col, pa.array(idx[1:], type=pa.int64())),
-            ]
-        )
-    else:
-        tok = pc.take(token_col, pa.array(idx, type=pa.int64()))
-
     rb = pa.RecordBatch.from_arrays(
         [
-            tok,
+            pa.array(g1[starts], type=pa.int64()),
+            pa.array(g2[starts], type=pa.int64()),
             pa.array(bucket[starts], type=pa.int64()),
             pa.array(bids[:m], type=pa.int32()),
             pa.array((ends - starts).astype(np.int32), type=pa.int32()),
@@ -573,14 +573,12 @@ def _pack_sorted_window(
 
 def _flush_carry(schema, carry, block_size):
     """Emit the carried partial block as its own one-block batch."""
-    import pyarrow as pa
-
     k = len(carry["docs"])
     if k == 0:
         return None
     key = carry["key"]
     rb, _ = _pack_sorted_window(
-        schema, pa.array([], type=pa.string()), k, carry["token"],
+        schema, k,
         carry["bid"],
         np.full(k, key[0], dtype=np.int64),
         np.full(k, key[1], dtype=np.int64),
@@ -614,15 +612,12 @@ def _make_arrow_packer(block_size: int):
             tfs = cols["tf"].to_numpy()
             boosts = cols["boost"].to_numpy()
             pos_off, pos_data = _binary_view(cols["pos_bin"])
-            token_col = cols["token"]
             k = 0
             first_offset = 0
-            carry_token = None
             if carry is not None:
                 if carry["key"] == (int(g1[0]), int(g2[0]), int(bucket[0])):
                     k = len(carry["docs"])
                     first_offset = carry["bid"]
-                    carry_token = carry["token"]
                     if k:
                         key = carry["key"]
                         g1 = np.concatenate([np.full(k, key[0], dtype=g1.dtype), g1])
@@ -644,7 +639,7 @@ def _make_arrow_packer(block_size: int):
                         yield rb
                 carry = None
             rb, carry = _pack_sorted_window(
-                schema, token_col, k, carry_token, first_offset,
+                schema, k, first_offset,
                 g1, g2, bucket, docs, tfs, boosts, pos_off, pos_data,
                 block_size, final=False,
             )
@@ -658,11 +653,13 @@ def _make_arrow_packer(block_size: int):
     return pack
 
 
-def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
+def build_blocks(
+    token_doc: DataFrame, cfg: EngineConfig, tokens: DataFrame | None = None
+) -> DataFrame:
     """(doc_index, token, tf, pos_bin, boost) -> packed block rows.
 
     External **sort-merge** posting assembly (north_star): one shuffle
-    keyed (token, bucket) + Spark's spill-safe external sort — no
+    keyed (token-hash, bucket) + Spark's spill-safe external sort — no
     collect_list hash-agg (which anti-scales under per-task agg
     memory pressure at high thread counts). A vectorized mapInArrow
     packer walks each sorted run (see _make_arrow_packer); only a
@@ -670,12 +667,18 @@ def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
     memory is bounded by one (token,bucket) group <= 2^bits postings
     no matter how hot the token — the doc-range bucket IS the salt.
 
-    Run boundaries are detected on two independent JVM-computed
-    xxhash64 columns added AFTER the sort (order-preserving project,
-    zero extra shuffle bytes) — the Python side never compares token
-    strings. A boundary is missed only if two DISTINCT tokens adjacent
-    in sort order collide on both hashes AND share a bucket (~2^-128
-    per adjacency).
+    The token STRING never enters the shuffle or the Arrow crossing:
+    rows are keyed by two independent JVM-computed xxhash64 columns
+    (long sort beats string sort; serializing 40M strings into Python
+    was ~55% of the stage's CPU). The packer emits hash-keyed block
+    rows; token strings are joined back onto the ~1000x-smaller block
+    table from ``tokens`` (a cheap distinct-token source — pass the
+    nested-pruned analyzed scan; defaults to token_doc itself), then
+    rows are re-sorted by token within partitions so parquet row
+    groups keep tight token min/max for IN-list pruning. Two distinct
+    tokens colliding on BOTH 64-bit hashes (≈2^-128 birthday-paired
+    over the vocabulary) would merge runs — same risk class the run
+    detection always had.
     """
     block_size = cfg.posting_block_size
     pshift = cfg.pbucket_shift
@@ -683,14 +686,326 @@ def build_blocks(token_doc: DataFrame, cfg: EngineConfig) -> DataFrame:
         token_doc.withColumn(
             "bucket", F.shiftright("doc_index", cfg.doc_bucket_bits)
         )
-        .repartition(cfg.build_partitions, "token", "bucket")
-        .sortWithinPartitions("token", "bucket", "doc_index")
         .withColumn("g1", F.xxhash64("token"))
         .withColumn("g2", F.xxhash64(F.lit(1), "token"))
+        .drop("token")
+        .repartition(cfg.build_partitions, "g1", "bucket")
+        .sortWithinPartitions("g1", "g2", "bucket", "doc_index")
     )
-    return arranged.mapInArrow(
-        _make_arrow_packer(block_size), BLOCK_ROW_SCHEMA
-    ).withColumn("pbucket", F.shiftright("bucket", pshift))
+    packed = arranged.mapInArrow(_make_arrow_packer(block_size), BLOCK_ROW_SCHEMA)
+    tok_src = tokens if tokens is not None else token_doc.select("token")
+    tok_map = tok_src.distinct().select(
+        "token",
+        F.xxhash64("token").alias("g1"),
+        F.xxhash64(F.lit(1), "token").alias("g2"),
+    )
+    return (
+        packed.join(tok_map, ["g1", "g2"])
+        .drop("g1", "g2")
+        .select("token", *[f.name for f in BLOCK_ROW_SCHEMA.fields[2:]])
+        .withColumn("pbucket", F.shiftright("bucket", pshift))
+        .sortWithinPartitions("token", "bucket", "block_id")
+    )
+
+
+# spark-side schemas for the local-pack path: per-partition RUN rows
+# (no block_id — chunking happens at merge) and the final token-keyed
+# block rows
+RUN_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+    + [f for f in BLOCK_SCHEMA.elementType.fields if f.name != "block_id"]
+)
+TOKEN_BLOCK_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+    + list(BLOCK_SCHEMA.elementType.fields)
+)
+
+
+def _pa_token_block_schema():
+    import pyarrow as pa
+
+    return pa.schema([("token", pa.string())] + list(_pa_block_schema())[2:])
+
+
+def _make_local_run_packer(doc_bucket_bits: int, filter_fields: list[str]):
+    """mapInArrow fn factory for the MAP side of the local-pack block
+    build: consumes nested analyzed doc rows (doc_index, toks
+    list<struct>, filter columns) straight off the columnar parquet
+    scan — the cheap Arrow path; measured ~4.5x cheaper per posting
+    than crossing exploded rows out of a row pipeline — and emits one
+    RUN row per (token, bucket) per batch: all of the batch's postings
+    for that key, doc-sorted and payload-packed. Filter-set tokens
+    (``f|field|value``, tf=1, no positions) are synthesized here with
+    the same trim semantics as ``filter_token_rows``. Run rows are
+    ~100-1000x fewer than posting rows, so the posting shuffle and
+    the reduce-side Arrow crossing shrink by the same factor."""
+
+    def pack(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        hash_schema = _pa_block_schema()
+        run_schema = _pa_run_schema()
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            cols = dict(zip(b.schema.names, b.columns))
+            docs = cols["doc_index"].to_numpy()
+            toks = cols["toks"]
+            counts = pc.list_value_length(toks).fill_null(0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = toks.flatten()
+            tok_arrs = [flat.field("token")]
+            doc_parts = [np.repeat(docs, counts)]
+            tf_parts = [
+                flat.field("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            ]
+            boost_parts = [
+                flat.field("boost").to_numpy(zero_copy_only=False).astype(np.float32)
+            ]
+            pos_arrs = [flat.field("pos_bin")]
+            for f in filter_fields:
+                # parity with filter_token_rows: cast→trim(spaces)→
+                # drop null/empty
+                sv = pc.ascii_trim(cols[f].cast(pa.string()), " ")
+                keep = pc.and_kleene(pc.is_valid(sv), pc.not_equal(sv, ""))
+                idx = np.flatnonzero(
+                    keep.to_numpy(zero_copy_only=False) == True  # noqa: E712
+                )
+                if idx.size == 0:
+                    continue
+                fvals = sv.take(pa.array(idx))
+                tok_arrs.append(
+                    pc.binary_join_element_wise(
+                        pa.scalar(f"f|{f}|"), fvals, pa.scalar("")
+                    )
+                )
+                doc_parts.append(docs[idx])
+                tf_parts.append(np.ones(idx.size, dtype=np.int64))
+                boost_parts.append(np.zeros(idx.size, dtype=np.float32))
+                pos_arrs.append(
+                    pa.array([b""] * idx.size, type=pa.binary())
+                )
+            tok_all = pa.concat_arrays(
+                [a.cast(pa.string()) for a in tok_arrs]
+            )
+            if len(tok_all) == 0:
+                continue
+            enc = tok_all.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dic = enc.dictionary
+            doc_all = np.concatenate(doc_parts)
+            tf_all = np.concatenate(tf_parts)
+            boost_all = np.concatenate(boost_parts)
+            pos_all = pa.concat_arrays([a.cast(pa.binary()) for a in pos_arrs])
+            order = np.lexsort((doc_all, codes))
+            docs_s = doc_all[order]
+            pos_off, pos_data = _binary_view(pos_all.take(pa.array(order)))
+            rb, _ = _pack_sorted_window(
+                hash_schema, 0, 0,
+                codes[order], codes[order],
+                docs_s >> np.int64(doc_bucket_bits),
+                docs_s, tf_all[order], boost_all[order],
+                pos_off, pos_data,
+                1 << 30, final=True,  # block_size ∞ → one row per run
+            )
+            if rb is None:
+                continue
+            tok_out = dic.take(rb.column("g1"))
+            yield pa.RecordBatch.from_arrays(
+                [tok_out.cast(pa.string()), rb.column("bucket")]
+                + [rb.column(i) for i in range(4, rb.num_columns)],
+                schema=run_schema,
+            )
+
+    return pack
+
+
+def _pa_run_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [("token", pa.string())]
+        + [f for f in _pa_block_schema() if f.name not in ("g1", "g2", "block_id")]
+    )
+
+
+def _one_chunk(col):
+    """ChunkedArray | Array → single contiguous Array (pyarrow's
+    combine_chunks return type differs across versions)."""
+    if hasattr(col, "num_chunks"):  # ChunkedArray
+        col = col.combine_chunks()
+        if hasattr(col, "num_chunks"):  # older pyarrow: still chunked
+            col = col.chunk(0)
+    return col
+
+
+def _make_run_merge_packer(block_size: int):
+    """mapInArrow fn factory for the REDUCE side of the local-pack
+    block build: consumes RUN rows sorted by (token, bucket, min_doc)
+    within partitions, decodes each (token, bucket) group's runs
+    (fully vectorized: segmented-cumsum delta decode, varint
+    continuation-bit scan for per-posting position byte boundaries),
+    re-sorts postings by doc (input partitions need not cover
+    contiguous doc ranges — file splits/merges can interleave), and
+    re-chunks through the SAME `_pack_sorted_window` machinery the
+    exploded path uses — so the final block rows are bit-identical to
+    `build_blocks` output (asserted in tests). Groups are buffered to
+    completion before decode (memory bound: one (token,bucket) group
+    ≤ 2^doc_bucket_bits postings)."""
+    inner = _make_arrow_packer(block_size)
+
+    def merge(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = _pa_token_block_schema()
+        gid_tokens: list[str] = []
+
+        def decode(t: "pa.Table"):
+            """Complete-group run rows → one doc-sorted posting batch."""
+            tok = _one_chunk(t.column("token"))
+            bucket = t.column("bucket").to_numpy()
+            n = t.column("n").to_numpy().astype(np.int64)
+            # group boundaries over sorted (token, bucket) rows
+            nr = len(n)
+            change = np.ones(nr, dtype=bool)
+            if nr > 1:
+                neq_tok = pc.not_equal(
+                    tok.slice(1), tok.slice(0, nr - 1)
+                ).to_numpy(zero_copy_only=False)
+                change[1:] = neq_tok | (bucket[1:] != bucket[:-1])
+            gstarts = np.flatnonzero(change)
+            gid0 = len(gid_tokens)
+            for i in gstarts:
+                gid_tokens.append(tok[int(i)].as_py())
+            gid_runs = gid0 + np.cumsum(change) - 1
+            # --- payload decode (all runs at once) ---
+            doff, ddata = _binary_view(_one_chunk(t.column("docs_bin")))
+            d = varint_decode(ddata)
+            ends = np.cumsum(n)
+            starts = ends - n
+            c = np.cumsum(d, dtype=np.uint64)
+            base = c[starts] - d[starts]
+            docs = (c - np.repeat(base, n)).astype(np.int64)
+            toff, tdata = _binary_view(_one_chunk(t.column("tfs_bin")))
+            tfs = varint_decode(tdata).astype(np.int64)
+            boff, bdata = _binary_view(_one_chunk(t.column("boosts_bin")))
+            boosts = np.frombuffer(bdata.tobytes(), dtype=np.float32)
+            poff, pdata = _binary_view(_one_chunk(t.column("pos_bin")))
+            # per-posting position byte boundaries from varint
+            # continuation bits. tf == #positions for word tokens;
+            # filter (f|) runs carry tf=1 with EMPTY positions, so
+            # zero their effective varint count first.
+            eff_tf = tfs.copy()
+            # poff is per-RUN (nr+1 offsets); starts/ends index POSTINGS
+            empty_runs = np.flatnonzero(np.diff(poff) == 0)
+            for i in empty_runs:
+                eff_tf[starts[i]:ends[i]] = 0
+            vends = np.concatenate(
+                (
+                    np.zeros(1, dtype=np.int64),
+                    np.flatnonzero((pdata & 0x80) == 0) + 1,
+                )
+            )
+            idx = np.cumsum(eff_tf)
+            pend_b = vends[idx]  # per-posting END byte; starts are
+            # the previous posting's end (streams are contiguous), so
+            # offsets = [0] ++ pend_b
+            # posting-level group / bucket columns
+            gid_post = np.repeat(gid_runs, n)
+            bucket_post = np.repeat(bucket, n)
+            # doc re-sort within groups (stable; handles interleaved
+            # doc ranges from non-contiguous map partitions)
+            order = np.lexsort((docs, gid_post))
+            # rebuild contiguous per-posting pos buffers in doc order
+            pos_sorted = _binary_from(
+                pdata,
+                np.concatenate((np.zeros(1, dtype=np.int64), pend_b)),
+            ).take(pa.array(order))
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(gid_post[order], type=pa.int64()),
+                    pa.array(gid_post[order], type=pa.int64()),
+                    pa.array(bucket_post[order], type=pa.int64()),
+                    pa.array(docs[order], type=pa.int64()),
+                    pa.array(tfs[order], type=pa.int32()),
+                    pa.array(boosts[order], type=pa.float32()),
+                    pos_sorted,
+                ],
+                names=["g1", "g2", "bucket", "doc_index", "tf", "boost", "pos_bin"],
+            )
+
+        def posting_batches():
+            buf = None
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                t = pa.table(rb)
+                if buf is not None:
+                    t = pa.concat_tables([buf, t]).combine_chunks()
+                nr = t.num_rows
+                tok = _one_chunk(t.column("token"))
+                bucket = t.column("bucket").to_numpy()
+                last_start = 0
+                if nr > 1:
+                    neq = pc.not_equal(
+                        tok.slice(1), tok.slice(0, nr - 1)
+                    ).to_numpy(zero_copy_only=False)
+                    bounds = np.flatnonzero(neq | (bucket[1:] != bucket[:-1])) + 1
+                    last_start = int(bounds[-1]) if len(bounds) else 0
+                if last_start > 0:
+                    yield decode(t.slice(0, last_start))
+                buf = t.slice(last_start)
+            if buf is not None and buf.num_rows:
+                yield decode(buf)
+
+        for rb in inner(posting_batches()):
+            toks = pa.array(gid_tokens, type=pa.string()).take(rb.column("g1"))
+            yield pa.RecordBatch.from_arrays(
+                [toks, rb.column("bucket")]
+                + [rb.column(i) for i in range(3, rb.num_columns)],
+                schema=out_schema,
+            )
+
+    return merge
+
+
+def build_blocks_from_analyzed(analyzed: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Bulk-path block build: LOCAL PACK then MERGE (the classic
+    local-index/merge shape). The map side crosses nested analyzed doc
+    rows into Python straight off the columnar parquet scan and packs
+    per-batch (token, bucket) runs; only compressed run rows travel
+    the shuffle (~3x fewer bytes, ~100x fewer rows than raw postings);
+    the reduce side decodes, doc-sorts, and re-chunks groups into
+    block rows BIT-IDENTICAL to `build_blocks` (equivalence asserted
+    in tests/test_index_build.py; golden posting-state tests cover the
+    full build). `build_blocks` remains the path for CDC micro-batches
+    where inputs are already exploded posting rows."""
+    filter_fields = [f for f in cfg.filter_fields if f in analyzed.columns]
+    src = analyzed.select(
+        "doc_index", F.col("__an.toks").alias("toks"), *filter_fields
+    )
+    runs = src.mapInArrow(
+        _make_local_run_packer(cfg.doc_bucket_bits, filter_fields),
+        RUN_ROW_SCHEMA,
+    )
+    return (
+        runs.repartition(cfg.build_partitions, "token", "bucket")
+        .sortWithinPartitions("token", "bucket", "min_doc")
+        .mapInArrow(
+            _make_run_merge_packer(cfg.posting_block_size),
+            TOKEN_BLOCK_ROW_SCHEMA,
+        )
+        .withColumn("pbucket", F.shiftright("bucket", cfg.pbucket_shift))
+    )
 
 
 def prefixes_from_dictionary(dictionary: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -948,22 +1263,11 @@ class IndexBuilder:
                 self.paths.docs, "docs", partition_by="pbucket",
             )
 
-        # stage 3: posting blocks (doc-range bucketing = order-preserving salt)
+        # stage 3: posting blocks — local pack + merge off the
+        # columnar scan (doc-range bucketing = order-preserving salt;
+        # filter-set postings synthesized inside the local packer)
         if not (resume and self._stage_done("blocks")):
-            token_doc = analyzed.select(
-                "doc_index", F.explode("__an.toks").alias("tk")
-            ).select(
-                "doc_index",
-                F.col("tk.token").alias("token"),
-                F.col("tk.tf").alias("tf"),
-                F.col("tk.pos_bin").alias("pos_bin"),
-                F.col("tk.boost").alias("boost"),
-            )
-            # filter-set postings ride the same shuffle + pack pass
-            frows = filter_token_rows(analyzed, cfg)
-            if frows is not None:
-                token_doc = token_doc.unionByName(frows)
-            blocks = build_blocks(token_doc, cfg)
+            blocks = build_blocks_from_analyzed(analyzed, cfg)
             # pack output is (token,bucket)-sorted within partitions
             # already — write as-is; parquet row-group stats still give
             # token min/max pruning per file

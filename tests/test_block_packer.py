@@ -104,6 +104,16 @@ def _reference_blocks(rows):
     return out
 
 
+def _resolve_tokens(got_rows, rows):
+    """The packer emits (g1, g2) hash keys instead of token strings
+    (the join back happens in build_blocks); map them back here so the
+    comparison with _pack_group's token-keyed reference rows holds."""
+    lut = {(_hash(r[0], 1), _hash(r[0], 2)): r[0] for r in rows}
+    for g in got_rows:
+        g["token"] = lut[(g.pop("g1"), g.pop("g2"))]
+    return got_rows
+
+
 @pytest.mark.parametrize(
     "label,sizes_fn",
     [
@@ -120,6 +130,7 @@ def test_packer_matches_pack_group(label, sizes_fn):
     got = []
     for rb in packer(iter(_to_batches(rows, sizes_fn(len(rows))))):
         got.extend(rb.to_pylist())
+    got = _resolve_tokens(got, rows)
     assert len(got) == len(ref)
     for g, r in zip(got, ref):
         for key, rv in r.items():
@@ -137,6 +148,7 @@ def test_empty_and_single_posting():
     got = []
     for rb in packer(iter(_to_batches(rows, [1]))):
         got.extend(rb.to_pylist())
+    got = _resolve_tokens(got, rows)
     ref = _reference_blocks(rows)
     assert got == [
         {k: (pytest.approx(v) if isinstance(v, float) else v) for k, v in ref[0].items()}

@@ -177,6 +177,49 @@ def test_pairs_from_analyzed_equals_pairs_from_blocks(spark, built, tiny_cfg):
     )
 
 
+def test_local_pack_blocks_equal_exploded_path(spark, built, tiny_cfg):
+    """The local-pack+merge bulk path must emit block rows
+    BIT-IDENTICAL to the exploded sort-merge path (`build_blocks`) —
+    same grouping, same chunking, same payload bytes — including f|
+    filter postings, multi-block runs (block_size=2) and multi-bucket
+    salting (doc_bucket_bits=2)."""
+    from pyspark.sql import functions as F
+
+    from addok_spark.index.build import (
+        build_blocks,
+        build_blocks_from_analyzed,
+        filter_token_rows,
+    )
+
+    analyzed = spark.read.parquet(str(Path(built.root) / "_analyzed"))
+    token_doc = analyzed.select(
+        "doc_index", F.explode("__an.toks").alias("tk")
+    ).select(
+        "doc_index",
+        F.col("tk.token").alias("token"),
+        F.col("tk.tf").alias("tf"),
+        F.col("tk.pos_bin").alias("pos_bin"),
+        F.col("tk.boost").alias("boost"),
+    )
+    frows = filter_token_rows(analyzed, tiny_cfg)
+    if frows is not None:
+        token_doc = token_doc.unionByName(frows)
+
+    def key(r):
+        return (r.token, r.bucket, r.block_id)
+
+    old = {key(r): r.asDict() for r in build_blocks(token_doc, tiny_cfg).collect()}
+    new = {
+        key(r): r.asDict()
+        for r in build_blocks_from_analyzed(analyzed, tiny_cfg).collect()
+    }
+    assert set(old) == set(new)
+    assert any(r["token"].startswith("f|") for r in new.values())
+    assert max(r["block_id"] for r in new.values()) > 0  # multi-block runs
+    for k, r in old.items():
+        assert new[k] == r, k
+
+
 def test_resume_skips_completed_stages(spark, tiny_corpus, tiny_cfg, built):
     manifest = json.loads(built.manifest.read_text())
     before = manifest["stages"]["blocks"]
