@@ -693,6 +693,38 @@ FROM documents
 """
 
 
+def q_collocations_pmi(spark, sf_dir):
+    """Top-50 adjacent-bigram collocations by PMI (min count 5)."""
+    return textstats.collocations_pmi(
+        _docs(spark, sf_dir), "doc_id", "text", min_count=5, top_k=50
+    )
+
+
+SQL_COLLOCATIONS_PMI = """
+WITH ts AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+uni AS (SELECT w, count(*)::bigint AS c FROM ts GROUP BY w),
+big AS (SELECT a.w AS w1, b.w AS w2
+        FROM ts a JOIN ts b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+bc AS (SELECT w1, w2, count(*)::bigint AS c_ab FROM big GROUP BY w1, w2),
+tu AS (SELECT sum(c)::double AS u FROM uni),
+tb AS (SELECT sum(c_ab)::double AS bt FROM bc)
+SELECT w1 || ' ' || w2 AS bigram, c_ab,
+       round(ln((c_ab::double * u * u) / (bt * ua.c::double * ub.c)), 6) AS pmi
+FROM bc, tu, tb
+JOIN uni ua ON ua.w = bc.w1
+JOIN uni ub ON ub.w = bc.w2
+WHERE c_ab >= 5
+ORDER BY pmi DESC, bigram
+LIMIT 50
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=3)
 
@@ -980,6 +1012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "collocations_pmi": q_collocations_pmi,
     "cosine_topk": q_cosine_topk,
     "lsh_buckets": q_lsh_buckets,
     "events_hourly": q_events_hourly,
@@ -1019,6 +1052,7 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
+    "collocations_pmi": SQL_COLLOCATIONS_PMI,
     "cosine_topk": SQL_COSINE_TOPK,
     "lsh_buckets": _sql_lsh_buckets(),
     "events_hourly": SQL_EVENTS_HOURLY,

@@ -215,7 +215,12 @@ def _varint_len(values: np.ndarray) -> np.ndarray:
 
 
 def make_doc_tokens_udf(cfg: EngineConfig, field_names: list[str]):
-    """Per-DOCUMENT analysis + aggregation in ONE Arrow batch pass.
+    """Per-DOCUMENT analysis + aggregation in ONE Arrow batch pass —
+    the readable REFERENCE twin of the vectorized ``_make_doc_analyzer``
+    the build actually runs (equivalence-tested in
+    tests/test_index_build.py; also used by small CDC batches via
+    the pandas-UDF path where batch sizes don't justify the
+    vectorized machinery... kept primarily as executable spec).
 
     Since every (doc, token) pair lives in exactly one input row, the
     tf/positions/boost aggregation is a per-row computation — doing
@@ -302,19 +307,190 @@ def make_doc_tokens_udf(cfg: EngineConfig, field_names: list[str]):
     return F.pandas_udf(run, DOC_TOKENS_TYPE)
 
 
+def _expand_synonyms(flat, rows, syn: dict[str, str]):
+    """Inline, order-preserving synonym expansion over a flat Arrow
+    token array (+ parallel row-id array). Applied on the DICTIONARY
+    (unique values), not per token — a batch has thousands of uniques
+    vs millions of tokens. Same semantics as ``synonymize_tokens``:
+    each hit is replaced by its (possibly multi-word) target, in
+    place."""
+    import pyarrow as pa
+
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pylist()
+    exp = [syn[u].split(" ") if u in syn else [u] for u in uniq]
+    if all(len(e) == 1 and e[0] == u for e, u in zip(exp, uniq)):
+        return flat, rows
+    rep_counts = np.array([len(e) for e in exp], dtype=np.int64)
+    vals = pa.array([t for e in exp for t in e], type=pa.string())
+    val_starts = np.concatenate(([0], np.cumsum(rep_counts)))
+    per_tok = rep_counts[codes]
+    out_rows = np.repeat(rows, per_tok)
+    base = np.repeat(val_starts[codes], per_tok)
+    within = np.arange(len(out_rows), dtype=np.int64) - np.repeat(
+        np.cumsum(per_tok) - per_tok, per_tok
+    )
+    return vals.take(pa.array(base + within)), out_rows
+
+
+def _make_doc_analyzer(cfg: EngineConfig, fields: list[tuple[str, float]]):
+    """mapInArrow analyzer: the fully-vectorized twin of
+    ``make_doc_tokens_udf`` (kept as the readable reference — their
+    outputs are equivalence-tested). Tokens are split JVM→Arrow→C++
+    (``split_pattern_regex``), synonym-expanded on unique values only,
+    aggregated per (doc, token) with one lexsort + reduceat, positions
+    delta+varint-encoded in ONE flat pass, and the nested ``__an``
+    output column is assembled as native Arrow buffers — no per-token
+    Python objects in OR out (the list-of-dicts return path of the
+    pandas UDF was most of the stage's CPU). Struct order within a doc
+    is dictionary-code order, not first-occurrence order — no consumer
+    depends on it (blocks and pairs both re-sort)."""
+    from ..functions.text import fold_series
+
+    syn = dict(cfg.synonyms)
+    db, iw = cfg.default_boost, cfg.importance_weight
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            n_rows = b.num_rows
+            if n_rows == 0:
+                continue
+            names = list(b.schema.names)
+            if "importance" in names:
+                imp = np.nan_to_num(
+                    b.column("importance").to_numpy(zero_copy_only=False)
+                    .astype(np.float64),
+                    nan=0.0,
+                )
+            else:
+                imp = np.zeros(n_rows)
+            row_parts, tok_parts, w_parts, pos_parts = [], [], [], []
+            pos_base = np.zeros(n_rows, dtype=np.int64)
+            for fname, fboost in fields:
+                folded = fold_series(b.column(fname).to_pandas())
+                sp = pc.split_pattern_regex(
+                    pa.array(folded, type=pa.string()), "[^a-z0-9_]+"
+                )
+                counts = pc.list_value_length(sp).fill_null(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                flat = _one_chunk(sp.flatten())
+                rows0 = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+                ne = np.flatnonzero(
+                    pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+                )
+                flat = flat.take(pa.array(ne))
+                rows0 = rows0[ne]
+                if syn and len(rows0):
+                    flat, rows0 = _expand_synonyms(flat, rows0, syn)
+                counts_f = np.bincount(rows0, minlength=n_rows)
+                w_row = np.zeros(n_rows)
+                nz = counts_f > 0
+                w_row[nz] = db / counts_f[nz] * fboost
+                starts_f = np.cumsum(counts_f) - counts_f
+                pos_in = np.arange(len(rows0), dtype=np.int64) - np.repeat(
+                    starts_f, counts_f
+                )
+                row_parts.append(rows0)
+                tok_parts.append(flat)
+                w_parts.append(w_row[rows0])
+                pos_parts.append(pos_base[rows0] + pos_in)
+                pos_base = pos_base + counts_f
+            rows_all = np.concatenate(row_parts)
+            dl = pos_base.astype(np.int32)
+            if len(rows_all) == 0:
+                empty_struct = pa.array(
+                    [],
+                    type=pa.struct(
+                        [
+                            ("token", pa.string()),
+                            ("tf", pa.int32()),
+                            ("pos_bin", pa.binary()),
+                            ("boost", pa.float32()),
+                        ]
+                    ),
+                )
+                toks_list = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n_rows + 1, dtype=np.int32)),
+                    empty_struct,
+                )
+                an = pa.StructArray.from_arrays(
+                    [toks_list, pa.array(dl, type=pa.int32())],
+                    names=["toks", "dl"],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    list(b.columns) + [an], names=names + ["__an"]
+                )
+                continue
+            tok_all = pa.concat_arrays(
+                [t.cast(pa.string()) for t in tok_parts]
+            )
+            w_all = np.concatenate(w_parts)
+            pos_all = np.concatenate(pos_parts)
+            enc = tok_all.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dic = enc.dictionary
+            order = np.lexsort((pos_all, codes, rows_all))
+            r_s = rows_all[order]
+            c_s = codes[order]
+            w_s = w_all[order]
+            p_s = pos_all[order]
+            change = np.ones(len(r_s), dtype=bool)
+            if len(r_s) > 1:
+                change[1:] = (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])
+            gstarts = np.flatnonzero(change)
+            gends = np.append(gstarts[1:], len(r_s))
+            g_row = r_s[gstarts]
+            tf = (gends - gstarts).astype(np.int32)
+            boost = (
+                np.maximum.reduceat(w_s, gstarts) + imp[g_row] * iw
+            ).astype(np.float32)
+            deltas = p_s.copy()
+            deltas[1:] -= p_s[:-1]
+            deltas[gstarts] = p_s[gstarts]
+            buf, bcum = varint_encode_offsets(deltas.astype(np.uint64))
+            pos_offsets = np.concatenate(
+                (np.zeros(1, dtype=np.int64), bcum[gends])
+            )
+            per_doc = np.bincount(g_row, minlength=n_rows)
+            offsets = np.concatenate(
+                (np.zeros(1, dtype=np.int64), np.cumsum(per_doc))
+            ).astype(np.int32)
+            struct = pa.StructArray.from_arrays(
+                [
+                    dic.take(pa.array(c_s[gstarts])).cast(pa.string()),
+                    pa.array(tf, type=pa.int32()),
+                    _binary_from(np.frombuffer(buf, dtype=np.uint8), pos_offsets),
+                    pa.array(boost, type=pa.float32()),
+                ],
+                names=["token", "tf", "pos_bin", "boost"],
+            )
+            toks_list = pa.ListArray.from_arrays(pa.array(offsets), struct)
+            an = pa.StructArray.from_arrays(
+                [toks_list, pa.array(dl, type=pa.int32())],
+                names=["toks", "dl"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [an], names=names + ["__an"]
+            )
+
+    return run
+
+
 def analyze_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """docs → docs + ``__an`` struct (toks array + dl). One UDF pass,
-    no shuffle."""
-    field_cols = [f.name for f in cfg.fields if f.name in docs.columns]
-    udf = make_doc_tokens_udf(cfg, field_cols)
-    imp = (
-        F.col("importance")
-        if "importance" in docs.columns
-        else F.lit(0.0)
+    """docs → docs + ``__an`` struct (toks array + dl). One
+    mapInArrow pass, no shuffle (see ``_make_doc_analyzer``)."""
+    field_specs = [
+        (f.name, f.boost) for f in cfg.fields if f.name in docs.columns
+    ]
+    out_schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField("__an", DOC_TOKENS_TYPE)]
     )
-    return docs.withColumn(
-        "__an", udf(*[F.col(c) for c in field_cols], imp)
-    )
+    return docs.mapInArrow(_make_doc_analyzer(cfg, field_specs), out_schema)
 
 
 def tokenize_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -108,3 +108,72 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
         F.min(_md5_long(F.col("shingle"))).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k collocations (adjacent-bigram PMI) over a corpus — the
+    classic training-data vocabulary-analysis op (Church & Hanks
+    1990). Bigrams are built IN-ROW with zip_with over adjacent array
+    slices (no positional self-join), counted with a map-side-combinable
+    groupBy, and joined to the two unigram marginals; the unigram
+    table is Zipf-bounded (vocabulary-sized) so at 100 TB both joins
+    are broadcast-or-SMJ on bounded keys, never O(corpus^2).
+
+    PMI = ln(p(ab) / (p(a)p(b))) computed in a FIXED operand order —
+    (c_ab * U * U) / (B * c_a * c_b) — then rounded to 6, so the
+    DuckDB oracle can reproduce it bit-for-bit. min_count drops the
+    noise tail (PMI is degenerate on hapax bigrams). Deterministic
+    total order: (pmi desc, bigram asc)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    total_uni = uni.agg(F.sum("c")).collect()[0][0]
+    total_bi = bcnt.agg(F.sum("c_ab")).collect()[0][0]
+    out = (
+        bcnt.filter(F.col("c_ab") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_b"), "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_ab"),
+            F.round(
+                F.log(
+                    (
+                        F.col("c_ab").cast("double")
+                        * F.lit(float(total_uni))
+                        * F.lit(float(total_uni))
+                    )
+                    / (
+                        F.lit(float(total_bi))
+                        * F.col("c_a").cast("double")
+                        * F.col("c_b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(top_k)
+    )
+    return out

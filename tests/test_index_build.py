@@ -177,6 +177,48 @@ def test_pairs_from_analyzed_equals_pairs_from_blocks(spark, built, tiny_cfg):
     )
 
 
+def test_vectorized_analyzer_equals_pandas_udf(spark, tiny_corpus):
+    """`_make_doc_analyzer` (Arrow-native, vectorized) must produce
+    per-doc token aggregates identical to the pandas-UDF reference
+    twin `make_doc_tokens_udf` — token set, tf, boost (importance
+    folded in), position payload bytes, and dl — including synonym
+    expansion. Struct ORDER within a doc is unspecified (code order vs
+    first-occurrence), so compare as sets."""
+    from pyspark.sql import functions as F
+
+    from addok_spark.index.build import analyze_docs, make_doc_tokens_udf
+
+    cfg = EngineConfig(
+        fields=(FieldSpec("text", 1.0), FieldSpec("tool", 4.0)),
+        synonyms=(("avenue", "av"), ("rue", "r")),
+    )
+    docs = tiny_corpus.withColumn("doc_index", F.monotonically_increasing_id())
+
+    new = analyze_docs(docs, cfg).select("doc_index", "__an").collect()
+    udf = make_doc_tokens_udf(cfg, ["text", "tool"])
+    old = docs.withColumn(
+        "__an", udf(F.col("text"), F.col("tool"), F.col("importance"))
+    ).select("doc_index", "__an").collect()
+
+    def canon(rows):
+        return {
+            r["doc_index"]: (
+                r["__an"].dl,
+                frozenset(
+                    (t.token, t.tf, bytes(t.pos_bin), round(t.boost, 6))
+                    for t in r["__an"].toks
+                ),
+            )
+            for r in rows
+        }
+
+    got, want = canon(new), canon(old)
+    assert got == want
+    # synonyms actually fired (rue → r)
+    all_toks = {t for _, ts in got.values() for (t, *_rest) in ts}
+    assert "r" in all_toks and "rue" not in all_toks
+
+
 def test_local_pack_blocks_equal_exploded_path(spark, built, tiny_cfg):
     """The local-pack+merge bulk path must emit block rows
     BIT-IDENTICAL to the exploded sort-merge path (`build_blocks`) —
