@@ -97,6 +97,8 @@ HEADLINE = [
     "lsh_buckets",
     "events_hourly",
     "events_sessionize",
+    "dedup_clusters",
+    "collocations_pmi",
 ]
 
 
@@ -334,6 +336,12 @@ def main() -> None:
         spark, str(work / "corpus_fixed"), str(work / f"idx_{CPUS}"),
         side_tables=True,
     )
+    # full build at the BIG corpus too: the 320k-turn build is
+    # fixed-cost-dominated (7 stage writes), so this is the number
+    # comparable to the reference's 26M-doc amortized import rate
+    full_big = _build_once(
+        spark, corpus_path, str(work / f"idxbig_{CPUS}"), side_tables=True,
+    )
     latency = _query_latency(spark, str(work / f"idx_{CPUS}"))
     spark.stop()
 
@@ -399,6 +407,7 @@ def main() -> None:
             "queries": queries,
             "index_build": {
                 f"local[{CPUS}]_full": full,
+                f"local[{CPUS}]_full_big": full_big,
                 "scaling": scaling,
                 "scaling_efficiency_n_to_4n": efficiency,
                 "hardware": hw,
