@@ -560,6 +560,82 @@ SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n ORDER BY doc_id
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection per near-dup cluster: the standard
+    'keep best, drop rest' dedup policy — cluster membership from
+    large-star/small-star connected components over the MinHash-LSH
+    pairs, keeper = highest ROUNDED quality score (rounding first
+    keeps the keeper choice bit-identical across engines), doc_id
+    tie-break. keep is 1/0."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, bands=4, k=3
+    )
+    cc = dedup.connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    q = textstats.quality_score(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "quality"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        cc.join(q, "doc_id")
+        .withColumn(
+            "keep", (F.row_number().over(w) == 1).cast("int")
+        )
+        .select("doc_id", "cluster_id", "quality", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE {SQL_SHINGLES},
+ab(hid, a, b) AS (VALUES (0,3557,127),(1,3041,9111),(2,2503,51787),(3,1987,303773),
+  (4,1597,917113),(5,1229,2531381),(6,919,7247237),(7,613,19300907)),
+base AS (SELECT id, ('0x' || substr(md5(shingle), 1, 12))::bigint AS base FROM sh),
+h AS (SELECT id, hid, (a * base + b) % 2305843009213693951 AS hv FROM base, ab),
+sig AS (SELECT id, hid, min(hv) AS minhash FROM h GROUP BY id, hid),
+banded AS (SELECT id, (hid // 2)::int AS band,
+             md5(string_agg(minhash::varchar, ',' ORDER BY minhash)) AS band_key
+           FROM sig GROUP BY id, band),
+e AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.id < b.id),
+sym AS (SELECT id_a AS u, id_b AS v FROM e UNION ALL SELECT id_b, id_a FROM e),
+walk(n, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym) t0
+  UNION
+  SELECT w.n, s.v FROM walk w JOIN sym s ON s.u = w.r
+),
+cc AS (SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n),
+qt AS (SELECT doc_id AS id, text,
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ts
+  FROM documents),
+qm AS (SELECT id,
+  len(ts)::int AS n_tokens,
+  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+        / greatest(length(text), 1) AS punct_ratio,
+  len(list_filter(ts, x -> regexp_full_match(x, '[0-9]+')))
+        / greatest(len(ts), 1) AS digit_ratio,
+  {{stop}} AS stopword_ratio
+  FROM qt),
+q AS (SELECT id, round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+    (1.0 - punct_ratio) * 0.4 + (1.0 - digit_ratio) * 0.3 + stopword_ratio * 0.3
+  END, 6) AS quality FROM qm)
+SELECT c.doc_id, c.cluster_id, q.quality,
+  (CASE WHEN row_number() OVER (
+      PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id
+   ) = 1 THEN 1 ELSE 0 END)::int AS keep
+FROM cc c JOIN q ON q.id = c.doc_id
+ORDER BY doc_id
+""".replace("{stop}", _sql_raw_ratio(textstats.STOPWORDS["en"]))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     planes = ann.make_planes(N_PLANES, EMB_DIM)
     return dedup.embedding_near_dup_pairs(
@@ -1006,6 +1082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "embedding_near_dup": q_embedding_near_dup,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
@@ -1046,6 +1123,7 @@ ORACLES: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep_best": _sql_dedup_keep_best(),
     "embedding_near_dup": _sql_embedding_near_dup(),
     "simhash": SQL_SIMHASH,
     "lang_id": SQL_LANG_ID,
