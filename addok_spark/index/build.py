@@ -1457,8 +1457,11 @@ class IndexBuilder:
             partials = dict_partials_from_blocks(
                 spark.read.parquet(self.paths.blocks)
             )
+            # hash repartition (not range): the range sampler re-runs
+            # the blocks-scan aggregation child; in-partition sort
+            # keeps row-group token min/max tight for probe pruning
             self._write(
-                partials.repartitionByRange(
+                partials.repartition(
                     cfg.build_partitions, "pbucket", "token"
                 ).sortWithinPartitions("pbucket", "token"),
                 self.paths.dict_partials, "dict_partials",
@@ -1522,9 +1525,16 @@ class IndexBuilder:
             # analyzed scratch (no block unpack / regroup shuffle);
             # CDC uses pairs_from_blocks on touched pbuckets
             pairs = pairs_from_analyzed(analyzed, dictionary, cfg)
+            # HASH repartition, not repartitionByRange: the range
+            # partitioner's sampling job re-executes the child, and
+            # this child is the 700M-row pair expansion + distinct
+            # (measured ~2x the stage). Files lose global token-range
+            # clustering but stay (token_a, token_b)-sorted WITHIN
+            # partitions, so the probes' IN-lists still prune row
+            # groups on footer min/max — the part that matters.
             self._write(
-                pairs.repartitionByRange(
-                    cfg.build_partitions, "pbucket", "token_a", "token_b"
+                pairs.repartition(
+                    cfg.build_partitions, "pbucket", "token_a"
                 ).sortWithinPartitions("pbucket", "token_a", "token_b"),
                 self.paths.pairs, "pairs", partition_by="pbucket",
             )
