@@ -319,7 +319,9 @@ def _expand_synonyms(flat, rows, syn: dict[str, str]):
     enc = flat.dictionary_encode()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq = enc.dictionary.to_pylist()
-    exp = [syn[u].split(" ") if u in syn else [u] for u in uniq]
+    # falsy targets keep the original token — the `if repl` check in
+    # synonymize_tokens; '' .split(" ") would inject an empty token
+    exp = [syn[u].split(" ") if syn.get(u) else [u] for u in uniq]
     if all(len(e) == 1 and e[0] == u for e, u in zip(exp, uniq)):
         return flat, rows
     rep_counts = np.array([len(e) for e in exp], dtype=np.int64)
@@ -400,7 +402,11 @@ def _make_doc_analyzer(cfg: EngineConfig, fields: list[tuple[str, float]]):
                 w_parts.append(w_row[rows0])
                 pos_parts.append(pos_base[rows0] + pos_in)
                 pos_base = pos_base + counts_f
-            rows_all = np.concatenate(row_parts)
+            rows_all = (
+                np.concatenate(row_parts)
+                if row_parts
+                else np.empty(0, dtype=np.int64)  # no field columns
+            )
             dl = pos_base.astype(np.int32)
             if len(rows_all) == 0:
                 empty_struct = pa.array(
@@ -948,9 +954,12 @@ def _make_local_run_packer(doc_bucket_bits: int, filter_fields: list[str]):
             ]
             pos_arrs = [flat.field("pos_bin")]
             for f in filter_fields:
-                # parity with filter_token_rows: cast→trim(spaces)→
-                # drop null/empty
-                sv = pc.ascii_trim(cols[f].cast(pa.string()), " ")
+                # values arrive ALREADY Spark-cast + trimmed (the
+                # caller projects F.trim(col.cast("string")) JVM-side
+                # — Arrow's cast formats non-string values differently
+                # from Spark's, e.g. 1.0 → "1" vs "1.0", which would
+                # silently break f| key parity with the query side)
+                sv = cols[f]
                 keep = pc.and_kleene(pc.is_valid(sv), pc.not_equal(sv, ""))
                 idx = np.flatnonzero(
                     keep.to_numpy(zero_copy_only=False) == True  # noqa: E712
@@ -1143,8 +1152,20 @@ def _make_run_merge_packer(block_size: int):
             if buf is not None and buf.num_rows:
                 yield decode(buf)
 
+        # gid→token lookup built INCREMENTALLY (convert only tokens
+        # added since the last output batch — rebuilding the whole
+        # array per batch is O(groups × batches))
+        tok_chunks: list = []
+        converted = 0
         for rb in inner(posting_batches()):
-            toks = pa.array(gid_tokens, type=pa.string()).take(rb.column("g1"))
+            if len(gid_tokens) > converted:
+                tok_chunks.append(
+                    pa.array(gid_tokens[converted:], type=pa.string())
+                )
+                converted = len(gid_tokens)
+            toks = _one_chunk(
+                pa.chunked_array(tok_chunks).take(rb.column("g1"))
+            )
             yield pa.RecordBatch.from_arrays(
                 [toks, rb.column("bucket")]
                 + [rb.column(i) for i in range(3, rb.num_columns)],
@@ -1166,8 +1187,13 @@ def build_blocks_from_analyzed(analyzed: DataFrame, cfg: EngineConfig) -> DataFr
     full build). `build_blocks` remains the path for CDC micro-batches
     where inputs are already exploded posting rows."""
     filter_fields = [f for f in cfg.filter_fields if f in analyzed.columns]
+    # filter values normalized JVM-side (Spark cast + trim — the same
+    # ops filter_token_rows and the query-side key builder use), so
+    # the packer sees canonical strings
     src = analyzed.select(
-        "doc_index", F.col("__an.toks").alias("toks"), *filter_fields
+        "doc_index",
+        F.col("__an.toks").alias("toks"),
+        *[F.trim(F.col(f).cast("string")).alias(f) for f in filter_fields],
     )
     runs = src.mapInArrow(
         _make_local_run_packer(cfg.doc_bucket_bits, filter_fields),

@@ -40,14 +40,13 @@ from pyspark.sql import functions as F
 from ..config import EngineConfig
 from .build import (
     IndexPaths,
+    analyze_docs,
     assign_doc_ids,
-    build_blocks,
+    build_blocks_from_analyzed,
     dict_partials_from_blocks,
     dictionary_from_partials,
-    filter_token_rows,
     pairs_from_blocks,
     prefixes_from_dictionary,
-    tokenize_docs,
 )
 
 
@@ -201,20 +200,21 @@ def apply_actions(
         .collect()[0]
     )
 
-    token_doc = tokenize_docs(new_docs, cfg)
-    dl = token_doc.groupBy("doc_index").agg(F.sum("tf").cast("int").alias("dl"))
+    # analyze ONCE (the bulk build's shape): dl comes from the
+    # analyzer's own counter and the blocks rebuild reuses the same
+    # analyzed rows through the local-pack path — no second
+    # analysis pass for the token-string join-back, no dl groupBy
+    analyzed_new = analyze_docs(new_docs, cfg).persist()
     docs_part = _with_pbucket(
-        new_docs.join(dl, "doc_index", "left").fillna({"dl": 0}), cfg
+        analyzed_new.withColumn("dl", F.col("__an.dl")).drop("__an"), cfg
     ).persist()
     docs_part.write.mode("overwrite").partitionBy("pbucket").parquet(paths.docs)
 
-    # rebuild the touched posting partitions (incl. filter-set rows,
-    # same union as the bulk build)
-    frows = filter_token_rows(new_docs, cfg)
-    if frows is not None:
-        token_doc = token_doc.unionByName(frows)
-    blocks = build_blocks(token_doc, cfg)
+    # rebuild the touched posting partitions (filter-set rows are
+    # synthesized inside the local packer, same as the bulk build)
+    blocks = build_blocks_from_analyzed(analyzed_new, cfg)
     blocks.write.mode("overwrite").partitionBy("pbucket").parquet(paths.blocks)
+    analyzed_new.unpersist()
 
     # dynamic overwrite can't clear a partition that became EMPTY
     # (no rows written for it) — drop those dirs explicitly so a

@@ -375,6 +375,7 @@ def connected_components(
         )
 
     sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
         adj = e.select(
             F.col("a").alias("u"), F.col("b").alias("v")
@@ -386,8 +387,18 @@ def connected_components(
         e = _small(adj2).localCheckpoint(eager=True)
         new_sig = _sig(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a non-fixpoint edge set is NOT a star forest — emitting
+        # labels from it would silently give one node several
+        # conflicting cluster_ids. max_iter bounds rounds at
+        # O(log n), so hitting it means something is genuinely wrong.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
     # fixpoint: e is (component_min, member) stars
     return (
         e.select(F.col("b").alias("id"), F.col("a").alias("cluster_id"))

@@ -148,12 +148,18 @@ def collocations_pmi(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    total_uni = uni.agg(F.sum("c")).collect()[0][0]
-    total_bi = bcnt.agg(F.sum("c_ab")).collect()[0][0]
+    # marginal totals as single-row cross joins INSIDE the plan (the
+    # DuckDB oracle's tu/tb CTE shape): no driver collect, and the
+    # uni/bcnt aggregation exchanges are reused instead of the whole
+    # tokenize+explode lineage executing once per collected total
+    tu = uni.agg(F.sum("c").cast("double").alias("__u"))
+    tb = bcnt.agg(F.sum("c_ab").cast("double").alias("__bt"))
     out = (
         bcnt.filter(F.col("c_ab") >= min_count)
         .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_a"), "w1")
         .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_b"), "w2")
+        .crossJoin(F.broadcast(tu))
+        .crossJoin(F.broadcast(tb))
         .select(
             F.concat_ws(" ", "w1", "w2").alias("bigram"),
             F.col("c_ab"),
@@ -161,11 +167,11 @@ def collocations_pmi(
                 F.log(
                     (
                         F.col("c_ab").cast("double")
-                        * F.lit(float(total_uni))
-                        * F.lit(float(total_uni))
+                        * F.col("__u")
+                        * F.col("__u")
                     )
                     / (
-                        F.lit(float(total_bi))
+                        F.col("__bt")
                         * F.col("c_a").cast("double")
                         * F.col("c_b").cast("double")
                     )

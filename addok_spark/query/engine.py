@@ -1169,6 +1169,10 @@ class SearchEngine:
         )
         postings = _exploded_postings(hits, ["qid", "gid", "token"], with_tf=True)
         postings = postings.join(cand, ["qid", "doc_index"], "inner")
+        # ONE exchange for both downstream aggregations: hash
+        # partitioning on (qid, doc_index) satisfies the clustering
+        # of groupBy(qid, doc_index, gid) AND groupBy(qid, doc_index)
+        postings = postings.repartition("qid", "doc_index")
 
         # group-level tf: expansions of one query token sum their tf
         # (BM25F-style synonym handling); df for idf = df of the
@@ -1196,7 +1200,13 @@ class SearchEngine:
             docs_src = docs_src.filter(F.col("doc_index").isin(cand_ids))
         dl = docs_src.select("doc_index", "dl", "conv_id", "turn_idx", "role",
                              "tool", "text", "importance")
-        scored = per_group.join(dl, "doc_index")
+        # candidates ≤ bucket_max per query → the IN-pruned docs side
+        # is tiny; broadcast keeps per_group's partitioning (no SMJ
+        # exchange before the per-doc fold). Above the IN-list cap the
+        # scan isn't row-pruned, so let the planner choose.
+        scored = per_group.join(
+            F.broadcast(dl) if len(cand_ids) <= 10_000 else dl, "doc_index"
+        )
         idf = F.log(
             F.lit(1.0)
             + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))

@@ -42,6 +42,15 @@ def test_partition_invariance(spark):
     assert a == {(i, i - i % 2) for i in range(30)}
 
 
+def test_nonconvergence_raises_not_corrupts(spark):
+    # max_iter too small for the chain → loud RuntimeError, never a
+    # silent multi-label result
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).count() == 0

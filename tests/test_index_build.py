@@ -262,6 +262,61 @@ def test_local_pack_blocks_equal_exploded_path(spark, built, tiny_cfg):
         assert new[k] == r, k
 
 
+def test_local_pack_filter_cast_parity_numeric_field(spark, tmp_index_root):
+    """f| filter keys for NON-string filter columns must use Spark
+    cast semantics (1.0 → '1.0'), not Arrow's ('1') — the query side
+    builds keys with Spark casts, so a divergence silently breaks
+    every filtered query on that field."""
+    from pyspark.sql import functions as F
+
+    from addok_spark.index.build import build_index
+
+    cfg = EngineConfig(
+        fields=(FieldSpec("text", 1.0),),
+        filter_fields=("year",),
+        build_partitions=2,
+        doc_bucket_bits=4,
+    )
+    rows = [("c", 0, "hello world", 2024.0), ("c", 1, "more text", None)]
+    docs = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, year double"
+    )
+    out = str(Path(tmp_index_root) / "numfilter")
+    paths = build_index(spark, docs, cfg, out)
+    ftoks = {
+        r.token
+        for r in spark.read.parquet(paths.blocks)
+        .filter(F.col("token").startswith("f|"))
+        .select("token")
+        .collect()
+    }
+    assert ftoks == {"f|year|2024.0"}  # Spark cast spelling, null dropped
+
+
+def test_analyzer_empty_synonym_target_and_no_fields(spark):
+    """Falsy synonym targets keep the original token (the reference
+    `if repl` check); a docs frame with NO configured field columns
+    analyzes to empty token lists instead of crashing."""
+    from addok_spark.index.build import analyze_docs
+
+    cfg = EngineConfig(
+        fields=(FieldSpec("text", 1.0),), synonyms=(("foo", ""),)
+    )
+    docs = spark.createDataFrame(
+        [(0, "foo bar")], "doc_index long, text string"
+    )
+    toks = {
+        t.token
+        for r in analyze_docs(docs, cfg).select("__an").collect()
+        for t in r["__an"].toks
+    }
+    assert toks == {"foo", "bar"}  # '' not injected, foo kept
+
+    nofield = spark.createDataFrame([(0, 1.5)], "doc_index long, x double")
+    got = analyze_docs(nofield, cfg).select("__an").collect()
+    assert got[0]["__an"].toks == [] and got[0]["__an"].dl == 0
+
+
 def test_resume_skips_completed_stages(spark, tiny_corpus, tiny_cfg, built):
     manifest = json.loads(built.manifest.read_text())
     before = manifest["stages"]["blocks"]
