@@ -584,16 +584,29 @@ def filter_token_rows(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     path and constrain candidate COLLECTION — a selective filter can
     never be starved by an unfiltered top-boost bucket. ``|`` cannot
     appear in analyzed tokens, so the namespace is collision-free."""
+    from pyspark.sql.types import ArrayType
+
     fields = [f for f in cfg.filter_fields if f in docs.columns]
     if not fields:
         return None
+    types = dict(docs.dtypes)
+
+    def _vals(f):
+        # ARRAY-valued filter fields index one f| posting per element
+        # (≙ the reference's list-valued doc fields,
+        # tests/test_search.py:436-445 test_filter_indexes_multiple_values)
+        if isinstance(docs.schema[f].dataType, ArrayType):
+            return F.explode(F.col(f)).alias("__raw")
+        return F.col(f).alias("__raw")
+
     # values TRIMMED (empty-after-trim dropped) — the exact
     # normalization the query side applies when building f| keys and
     # the post-score predicate, so a value carrying stray whitespace
     # can never silently fail to match any filter
     parts = [
-        docs.select(
-            "doc_index", F.trim(F.col(f).cast("string")).alias("__v")
+        docs.select("doc_index", _vals(f))
+        .select(
+            "doc_index", F.trim(F.col("__raw").cast("string")).alias("__v")
         )
         .filter(F.col("__v").isNotNull() & (F.col("__v") != ""))
         .select(
@@ -958,8 +971,18 @@ def _make_local_run_packer(doc_bucket_bits: int, filter_fields: list[str]):
                 # caller projects F.trim(col.cast("string")) JVM-side
                 # — Arrow's cast formats non-string values differently
                 # from Spark's, e.g. 1.0 → "1" vs "1.0", which would
-                # silently break f| key parity with the query side)
+                # silently break f| key parity with the query side).
+                # Array-valued fields arrive as list<string>: one f|
+                # posting per element.
                 sv = cols[f]
+                if pa.types.is_list(sv.type):
+                    fcounts = pc.list_value_length(sv).fill_null(0).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                    fdocs = np.repeat(docs, fcounts)
+                    sv = _one_chunk(sv.flatten())
+                else:
+                    fdocs = docs
                 keep = pc.and_kleene(pc.is_valid(sv), pc.not_equal(sv, ""))
                 idx = np.flatnonzero(
                     keep.to_numpy(zero_copy_only=False) == True  # noqa: E712
@@ -972,7 +995,7 @@ def _make_local_run_packer(doc_bucket_bits: int, filter_fields: list[str]):
                         pa.scalar(f"f|{f}|"), fvals, pa.scalar("")
                     )
                 )
-                doc_parts.append(docs[idx])
+                doc_parts.append(fdocs[idx])
                 tf_parts.append(np.ones(idx.size, dtype=np.int64))
                 boost_parts.append(np.zeros(idx.size, dtype=np.float32))
                 pos_arrs.append(
@@ -1186,14 +1209,25 @@ def build_blocks_from_analyzed(analyzed: DataFrame, cfg: EngineConfig) -> DataFr
     in tests/test_index_build.py; golden posting-state tests cover the
     full build). `build_blocks` remains the path for CDC micro-batches
     where inputs are already exploded posting rows."""
+    from pyspark.sql.types import ArrayType
+
     filter_fields = [f for f in cfg.filter_fields if f in analyzed.columns]
-    # filter values normalized JVM-side (Spark cast + trim — the same
-    # ops filter_token_rows and the query-side key builder use), so
-    # the packer sees canonical strings
+
+    def _fcol(f):
+        # filter values normalized JVM-side (Spark cast + trim — the
+        # same ops filter_token_rows and the query-side key builder
+        # use), so the packer sees canonical strings; array-valued
+        # fields arrive as list<string> and flatten in the packer
+        if isinstance(analyzed.schema[f].dataType, ArrayType):
+            return F.transform(
+                F.col(f), lambda x: F.trim(x.cast("string"))
+            ).alias(f)
+        return F.trim(F.col(f).cast("string")).alias(f)
+
     src = analyzed.select(
         "doc_index",
         F.col("__an.toks").alias("toks"),
-        *[F.trim(F.col(f).cast("string")).alias(f) for f in filter_fields],
+        *[_fcol(f) for f in filter_fields],
     )
     runs = src.mapInArrow(
         _make_local_run_packer(cfg.doc_bucket_bits, filter_fields),

@@ -81,10 +81,17 @@ class OracleIndex:
             if fname not in corpus.columns:
                 continue
             for d, v in zip(corpus["doc_index"], corpus[fname]):
-                if v is not None and not (isinstance(v, float) and math.isnan(v)):
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue
+                # list-valued filter fields: one f| posting per
+                # element (build.py filter_token_rows ArrayType path)
+                vals = v if isinstance(v, (list, tuple, np.ndarray)) else [v]
+                for el in vals:
+                    if el is None:
+                        continue
                     # trim, drop empty — same normalization as
                     # build.py filter_token_rows and the query side
-                    vv = str(v).strip()
+                    vv = str(el).strip()
                     if vv:
                         self.fboost[f"f|{fname}|{vv}"][int(d)] = 0.0
         self.n_docs = len(corpus)
@@ -375,8 +382,13 @@ def oracle_search(
             ok = True
             for col, vals in filters.items():
                 vs = set(normalize_filter_values(vals, cfg.max_filter_values))
-                if vs and not (
-                    doc[col] is not None and str(doc[col]).strip() in vs
+                if not vs:
+                    continue
+                dv = doc[col]
+                # list-valued field matches when ANY element matches
+                els = dv if isinstance(dv, (list, tuple, np.ndarray)) else [dv]
+                if not any(
+                    el is not None and str(el).strip() in vs for el in els
                 ):
                     ok = False
             if not ok:

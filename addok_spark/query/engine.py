@@ -1244,16 +1244,33 @@ class SearchEngine:
         # filter-constrained collection (≙ f| sets → predicate,
         # addok/core.py:208-248) — values normalized exactly like the
         # collection keys (strip + drop empties)
+        from pyspark.sql.types import ArrayType
+
+        def _fpred(col: str, vs: list[str]):
+            # trim the doc-side value too — same normalization as the
+            # f| index keys (build.py filter_token_rows); ARRAY-valued
+            # filter fields match when ANY element matches (one f|
+            # posting per element at index time)
+            try:
+                is_arr = isinstance(
+                    self.docs.schema[col].dataType, ArrayType
+                )
+            except KeyError:
+                is_arr = False
+            if is_arr:
+                return F.arrays_overlap(
+                    F.transform(F.col(col), lambda x: F.trim(x.cast("string"))),
+                    F.array(*[F.lit(v) for v in vs]),
+                )
+            return F.trim(F.col(col).cast("string")).isin(vs)
+
         fexprs = []
         for st in states.values():
             for col, vals in (st.query.filters or {}).items():
                 vs = normalize_filter_values(vals, self.cfg.max_filter_values)
                 if vs:
-                    # trim the doc-side value too — same normalization
-                    # as the f| index keys (build.py filter_token_rows)
                     fexprs.append(
-                        (F.col("qid") != st.query.qid)
-                        | F.trim(F.col(col).cast("string")).isin(vs)
+                        (F.col("qid") != st.query.qid) | _fpred(col, vs)
                     )
         for e in fexprs:
             per_doc = per_doc.filter(e)

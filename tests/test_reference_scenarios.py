@@ -415,6 +415,46 @@ def test_multifilter_case_sensitivity(spark, tmp_index_root):
     assert set(got["conv_id"]) == {"doc-0"}
 
 
+def test_filter_indexes_multiple_values(spark, tmp_index_root):
+    # test_search.py:436-445: a LIST-valued filter field indexes one
+    # f| posting per element, and a filter matches when ANY element
+    # matches — engine and oracle agree
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["doc-0", "doc-1"],
+            "turn_idx": 0,
+            "role": "user",
+            "text": ["rue de Paris", "avenue de Paris"],
+            "tool": [["bash", "python"], ["browser"]],
+            "ts": pd.Timestamp("2026-01-01"),
+            "importance": 0.0,
+        }
+    )
+    cfg = EngineConfig(
+        scorer="reference",
+        fields=(FieldSpec("text", 1.0),),
+        build_partitions=2,
+        doc_bucket_bits=4,
+        posting_block_size=16,
+        min_score=0.0,
+    )
+    out = str(Path(tmp_index_root) / "ref_multival_filter")
+    paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
+    env = (SearchEngine(spark, paths, cfg), OracleIndex(pdf, cfg), cfg)
+    assert set(
+        _q(env, "paris", filters={"tool": ["python"]})["conv_id"]
+    ) == {"doc-0"}
+    assert set(
+        _q(env, "paris", filters={"tool": ["bash"]})["conv_id"]
+    ) == {"doc-0"}
+    assert set(
+        _q(env, "paris", filters={"tool": ["browser"]})["conv_id"]
+    ) == {"doc-1"}
+    assert set(
+        _q(env, "paris", filters={"tool": ["bash", "browser"]})["conv_id"]
+    ) == {"doc-0", "doc-1"}
+
+
 def test_bucket_respects_limit(spark, tmp_index_root):
     # test_search.py:620-634 (issue #422): wanted > BUCKET_MAX must
     # still fill — the bucket limit is max(k, BUCKET_MAX),
