@@ -76,23 +76,56 @@ def cmd_ngrams(args) -> None:
 
 
 def cmd_search(args) -> None:
-    from .query.engine import Query, SearchEngine
+    from .query.engine import Query
 
-    spark = _spark(args)
-    eng = SearchEngine(spark, args.index, _cfg(args))
     filters = json.loads(args.filters) if args.filters else {}
-    res = eng.search(
-        [Query(qid="cli", q=args.query, k=args.k,
-               autocomplete=args.autocomplete, filters=filters)]
-    ).collect()
+    queries = [Query(qid="cli", q=args.query, k=args.k,
+                     autocomplete=args.autocomplete, filters=filters)]
+    if getattr(args, "local", False):
+        # warm serving tier: no Spark session, pruned parquet reads
+        from .serving.local import LocalSearchEngine
+
+        res = LocalSearchEngine(args.index, _cfg(args)).search(
+            queries
+        ).to_dict("records")
+    else:
+        from .query.engine import SearchEngine
+
+        spark = _spark(args)
+        res = SearchEngine(spark, args.index, _cfg(args)).search(
+            queries
+        ).collect()
     for r in res:  # GeoJSON-render analog: one JSON object per hit
         print(json.dumps(
             {
-                "rank": r["rank"], "conv_id": r["conv_id"],
-                "turn_idx": r["turn_idx"], "role": r["role"],
-                "tool": r["tool"], "score": r["score"], "text": r["text"],
+                "rank": int(r["rank"]), "conv_id": r["conv_id"],
+                "turn_idx": int(r["turn_idx"]), "role": r["role"],
+                "tool": r["tool"], "score": float(r["score"]),
+                "text": r["text"],
             }
         ))
+
+
+def cmd_serve(args) -> None:
+    """HTTP serving: ``--backend local`` (default) answers from the
+    parquet index through the warm serving tier — no Spark session;
+    ``--backend spark`` routes through the Spark engine."""
+    from .http_api import make_server
+
+    if args.backend == "local":
+        from .serving.local import LocalSearchEngine
+
+        engine = LocalSearchEngine(args.index, _cfg(args))
+    else:
+        from .query.engine import SearchEngine
+
+        engine = SearchEngine(_spark(args), args.index, _cfg(args))
+    srv = make_server(engine, host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{srv.server_address[1]}/search/")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
 
 
 def cmd_explain(args) -> None:
@@ -197,6 +230,16 @@ def main(argv=None) -> None:
     s.add_argument("--autocomplete", action="store_true")
     s.add_argument("--filters", help='JSON, e.g. {"role": ["user"]}')
     s.add_argument("--synonyms")
+    s.add_argument("--local", action="store_true",
+                   help="answer from the warm serving tier (no Spark)")
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--backend", choices=["local", "spark"], default="local")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=7878)
+    sv.add_argument("--synonyms")
+    sv.set_defaults(fn=cmd_serve)
     s.set_defaults(fn=cmd_search)
 
     e = sub.add_parser("explain")

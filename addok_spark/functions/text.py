@@ -208,17 +208,40 @@ def make_fuzzy_str(word: str, keyboard: dict[str, str] | None = None) -> list[st
 def levenshtein(a: str, b: str) -> int:
     if a == b:
         return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    prev = list(range(len(b) + 1))
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    if la * lb <= 256:
+        # small operands: plain DP beats numpy call overhead
+        prev = list(range(lb + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+    # vectorized row DP: substitution/deletion are elementwise; the
+    # insertion recurrence cur[j] = min(c[j], cur[j-1]+1) is a
+    # min-plus prefix scan, solved exactly as
+    # cur[j] = j + min_{k<=j}(c[k]-k) via minimum.accumulate
+    import numpy as np
+
+    bv = np.fromiter((ord(c) for c in b), dtype=np.int64, count=lb)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    c = np.empty(lb + 1, dtype=np.int64)
     for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+        c[0] = i
+        np.minimum(prev[:-1] + (bv != ord(ca)), prev[1:] + 1, out=c[1:])
+        np.subtract(c, idx, out=c)
+        np.minimum.accumulate(c, out=c)
+        np.add(c, idx, out=c)
+        prev, c = c, prev
+    return int(prev[-1])
 
 
 def compare_ngrams(a: str, b: str, n: int = 2) -> float:

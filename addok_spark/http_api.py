@@ -41,21 +41,25 @@ def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[
     filters = {
         k: params[k] for k in engine.cfg.filter_fields if params.get(k)
     }  # repeated param = OR; multiple fields = AND (≙ FILTERS config)
-    res = engine.search(
+    out = engine.search(
         [Query(qid="http", q=q, k=limit, autocomplete=autocomplete, filters=filters)]
-    ).collect()
+    )
+    # Spark engine returns a Spark DataFrame; the warm serving tier
+    # (serving/local.py LocalSearchEngine) a pandas frame — same row
+    # contract either way
+    res = out.collect() if hasattr(out, "collect") else out.to_dict("records")
     return 200, {
         "query": q,
         "limit": limit,
         "hits": [
             {
-                "rank": r["rank"],
+                "rank": int(r["rank"]),
                 "conv_id": r["conv_id"],
-                "turn_idx": r["turn_idx"],
+                "turn_idx": int(r["turn_idx"]),
                 "role": r["role"],
                 "tool": r["tool"],
                 "text": r["text"],
-                "score": r["score"],
+                "score": float(r["score"]),
             }
             for r in res
         ],

@@ -39,7 +39,88 @@ class OracleResult:
     rows: pd.DataFrame  # rank, conv_id, turn_idx, score, boost, importance, doc_index
 
 
-class OracleIndex:
+class ExpansionMixin:
+    """Query-planning spec shared by the corpus-built OracleIndex and
+    the parquet-backed serving index (serving/local.py): both expose
+    ``cfg, df, max_boost, boost, fboost, have_pairs, cooc(),
+    prefix_candidates()`` and inherit the expansion semantics below,
+    so the serving tier follows the oracle's plan by construction."""
+
+    def postings(self, token: str) -> dict[int, float]:
+        """doc → boost for word tokens AND f| filter keys."""
+        if token.startswith("f|"):
+            return self.fboost.get(token, {})
+        return self.boost.get(token, {})
+
+    def posting_count(self, token: str) -> int:
+        return len(self.postings(token))
+
+    def tf_of(self, token: str, d: int) -> int:
+        """Per-doc term frequency; 0 ⟺ token absent from doc."""
+        return self.tf.get(token, {}).get(d, 0)
+
+    def boost_of(self, token: str, d: int) -> float:
+        """Per-doc posting boost (only called when tf_of > 0)."""
+        return self.boost[token][d]
+
+    def any_shared_docs(self, a: str, b: str) -> bool:
+        """Do two tokens co-occur in at least one doc? (relation-
+        extrapolation edge test, collectors.py:166-170)."""
+        return bool(set(self.tf.get(a, {})) & set(self.tf.get(b, {})))
+
+    def folded_text(self, d: int) -> str:
+        """Folded doc text for cream / reference-scorer / tie-break
+        string comparisons (fold is deterministic, so implementations
+        may cache it per doc)."""
+        return fold_str(self.doc(d)["text"] or "")
+
+    # -- expansion helpers (mirror SearchEngine._plan_queries) -------------
+    def noncommon(self, t: str) -> bool:
+        return 0 < self.df.get(t, 0) <= self.cfg.common_threshold
+
+    def prefix_expansions(
+        self, prefix: str, others: list[str]
+    ) -> list[tuple[str, int]]:
+        """≙ autocomplete.py:83-95 + the engine's planning block:
+        candidates co-occurring with every other meaningful token
+        (commons exempt — the pair table drops the Zipf head), ordered
+        by max posting score when the prefix is the only meaningful
+        token (order_by_max_score.lua), by frequency otherwise."""
+        cands = [c for c in self.prefix_candidates(prefix) if c != prefix]
+        if others and self.have_pairs:
+            cands = [
+                c for c in cands
+                if self.df.get(c, 0) > self.cfg.common_threshold
+                or all(self.cooc(c, o) for o in others)
+            ]
+        if not others:
+            cands.sort(
+                key=lambda c: (-self.max_boost.get(c, 0.0),
+                               -self.df.get(c, 0), c)
+            )
+        return [(c, self.df[c]) for c in cands[:10]]
+
+    def fuzzy_expansions(
+        self, token: str, others: list[str]
+    ) -> list[tuple[str, int]]:
+        """≙ try_fuzzy, fuzzy.py:70-117: neighbors in generation
+        order; with other meaningful tokens present only neighbors
+        co-occurring with ALL of them survive (SINTER over p| sets),
+        else plain dictionary presence."""
+        nbrs = make_fuzzy_str(token, self.cfg.fuzzy_key_map)
+        if others and self.have_pairs:
+            sel = [
+                n for n in nbrs
+                if self.df.get(n, 0) > 0
+                and (self.df[n] > self.cfg.common_threshold
+                     or all(self.cooc(n, o) for o in others))
+            ]
+        else:
+            sel = [n for n in nbrs if self.df.get(n, 0) > 0]
+        return [(n, self.df[n]) for n in sel[:8]]
+
+
+class OracleIndex(ExpansionMixin):
     def __init__(self, corpus: pd.DataFrame, cfg: EngineConfig):
         self.cfg = cfg
         corpus = corpus.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
@@ -124,15 +205,14 @@ class OracleIndex:
                     for b in ts[i + 1:]:
                         self.pairs.add((a, b))
 
-    def postings(self, token: str) -> dict[int, float]:
-        """doc → boost for word tokens AND f| filter keys."""
-        if token.startswith("f|") and token in self.fboost:
-            return self.fboost[token]
-        return self.boost.get(token, {})
+    def doc(self, d: int):
+        """Row accessor (supports ``row[col]`` / ``row.get``) — the
+        serving tier overrides this with a pbucket-pruned parquet
+        fetch (serving/local.py)."""
+        return self.docs.iloc[d]
 
-    # -- expansion helpers (mirror SearchEngine._plan_queries) -------------
-    def noncommon(self, t: str) -> bool:
-        return 0 < self.df.get(t, 0) <= self.cfg.common_threshold
+    def doc_len(self, d: int) -> int:
+        return int(self.dl[d])
 
     def cooc(self, a: str, b: str) -> bool:
         return a != b and (min(a, b), max(a, b)) in self.pairs
@@ -143,55 +223,66 @@ class OracleIndex:
         cands = sorted(self.prefixes.get(prefix, []), key=lambda x: (-x[1], x[0]))
         return [t for t, _ in cands[:cap]]
 
-    def prefix_expansions(
-        self, prefix: str, others: list[str]
-    ) -> list[tuple[str, int]]:
-        """≙ autocomplete.py:83-95 + the engine's planning block:
-        candidates co-occurring with every other meaningful token
-        (commons exempt — the pair table drops the Zipf head), ordered
-        by max posting score when the prefix is the only meaningful
-        token (order_by_max_score.lua), by frequency otherwise."""
-        cands = [c for c in self.prefix_candidates(prefix) if c != prefix]
-        if others and self.have_pairs:
-            cands = [
-                c for c in cands
-                if self.df.get(c, 0) > self.cfg.common_threshold
-                or all(self.cooc(c, o) for o in others)
-            ]
-        if not others:
-            cands.sort(
-                key=lambda c: (-self.max_boost.get(c, 0.0),
-                               -self.df.get(c, 0), c)
-            )
-        return [(c, self.df[c]) for c in cands[:10]]
 
-    def fuzzy_expansions(
-        self, token: str, others: list[str]
-    ) -> list[tuple[str, int]]:
-        """≙ try_fuzzy, fuzzy.py:70-117: neighbors in generation
-        order; with other meaningful tokens present only neighbors
-        co-occurring with ALL of them survive (SINTER over p| sets),
-        else plain dictionary presence."""
-        nbrs = make_fuzzy_str(token, self.cfg.fuzzy_key_map)
-        if others and self.have_pairs:
-            sel = [
-                n for n in nbrs
-                if self.df.get(n, 0) > 0
-                and (self.df[n] > self.cfg.common_threshold
-                     or all(self.cooc(n, o) for o in others))
-            ]
-        else:
-            sel = [n for n in nbrs if self.df.get(n, 0) > 0]
-        return [(n, self.df[n]) for n in sel[:8]]
+class SpecSearch:
+    """Per-query search flow over an OracleIndex-shaped index object:
+    planning, collection rounds, relaxation, relation extrapolation,
+    cream early-termination, scoring — the executable spec the Spark
+    engine is rank-identity tested against.  The serving tier
+    (serving/local.py) subclasses this and overrides only the hot
+    ``run_gids`` collection kernel with a numpy-vectorized version;
+    every other line of the flow is shared, so the two paths cannot
+    drift in semantics."""
 
+    def __init__(self, index, cfg: EngineConfig):
+        self.index = index
+        self.cfg = cfg
 
-def oracle_search(
-    index: OracleIndex,
-    queries: list,  # objects with qid, q, k, autocomplete, filters
-    cfg: EngineConfig,
-) -> pd.DataFrame:
-    rows_out = []
-    for q in queries:
+    # -- hot kernel (overridable) ------------------------------------------
+    def run_gids(
+        self,
+        groups: dict[int, list[str]],
+        group_dfs: dict[int, int],
+        gids: list[int],
+        bucket_limit: int,
+        use_scan: bool = True,
+    ) -> list[int]:
+        """Conjunctive group match + Σboost top-bucket_max (same
+        spec as SearchEngine._run_round incl. manual_scan)."""
+        index, cfg = self.index, self.cfg
+        scan_docs = None
+        if use_scan and all(
+            group_dfs.get(g, 0) > cfg.intersect_limit for g in gids
+        ):
+            sgid = min(gids, key=lambda g: (group_dfs.get(g, 0), g))
+            sboost: dict[int, float] = {}
+            for tok in groups[sgid]:
+                for d, b in index.postings(tok).items():
+                    if d not in sboost or b > sboost[d]:
+                        sboost[d] = b
+            ordered_s = sorted(sboost.items(), key=lambda kv: (-kv[1], kv[0]))
+            scan_docs = {d for d, _ in ordered_s[: cfg.scan_limit]}
+        match: dict[int, dict[int, float]] = {}  # doc -> gid -> gboost
+        for gid in gids:
+            for tok in groups[gid]:
+                for d, b in index.postings(tok).items():
+                    if scan_docs is not None and d not in scan_docs:
+                        continue
+                    slot = match.setdefault(d, {})
+                    slot[gid] = max(slot.get(gid, -math.inf), b)
+        hits = []
+        for d, per_gid in match.items():
+            if len(per_gid) >= len(gids):
+                pre = 0.0
+                for gid in sorted(per_gid):
+                    pre += float(per_gid[gid])
+                hits.append((-pre, d))
+        hits.sort()
+        return [d for _, d in hits[:bucket_limit]]
+
+    # -- per-query flow ------------------------------------------------------
+    def _one(self, q) -> pd.DataFrame | None:
+        index, cfg = self.index, self.cfg
         toks = analyze_str(q.q, cfg.synonyms)
         seen: set[str] = set()
         toks = [t for t in toks if not (t in seen or seen.add(t))]
@@ -225,9 +316,9 @@ def oracle_search(
         meaningful.sort(key=lambda x: (x[0], x[2]))
         order = [gid for _, gid, _ in meaningful[: cfg.max_meaningful]]
 
-        # no usable word tokens → abort guard (collectors.py:10-17)
+        # no usable word tokens -> abort guard (collectors.py:10-17)
         if not groups:
-            continue
+            return None
         # filter groups (mirror engine FILTER_GID_BASE semantics)
         filter_gids: list[int] = []
         for fi, (fcol, vals) in enumerate(
@@ -238,7 +329,7 @@ def oracle_search(
                 gid = FILTER_GID_BASE + fi
                 keys = [f"f|{fcol}|{v}" for v in vs]
                 groups[gid] = keys
-                group_dfs[gid] = min(len(index.fboost.get(k, {})) for k in keys)
+                group_dfs[gid] = min(index.posting_count(k) for k in keys)
                 filter_gids.append(gid)
 
         candidates: set[int] = set()
@@ -248,51 +339,27 @@ def oracle_search(
         # core.py:339 / issue #422)
         bucket_limit = max(cfg.bucket_max, int(getattr(q, "k", 0) or 0))
 
+        cream_memo: dict[int, float] = {}
+
         def has_cream() -> bool:
             # ≙ core.py:400-419 (mirror of SearchEngine._apply_cream):
             # the metric is the reference result processors'
             # str_distance (autocomplete ladder / compare_ngrams per
-            # query mode, results.py:60-104), not the tie-break key
+            # query mode, results.py:60-104), not the tie-break key.
+            # Memoized per doc: rounds re-test the same accumulated
+            # candidates and the metric is deterministic per query.
             ac = bool(getattr(q, "autocomplete", False))
-            return any(
-                ref_string_score(
-                    qf, fold_str(index.docs.iloc[d]["text"] or ""), ac
-                ) >= cfg.match_threshold
-                for d in sorted(candidates)
-            )
 
-        def run_gids(gids: list[int], use_scan: bool = True) -> list[int]:
-            """Conjunctive group match + Σboost top-bucket_max (same
-            spec as SearchEngine._run_round incl. manual_scan)."""
-            scan_docs = None
-            if use_scan and all(
-                group_dfs.get(g, 0) > cfg.intersect_limit for g in gids
-            ):
-                sgid = min(gids, key=lambda g: (group_dfs.get(g, 0), g))
-                sboost: dict[int, float] = {}
-                for tok in groups[sgid]:
-                    for d, b in index.postings(tok).items():
-                        if d not in sboost or b > sboost[d]:
-                            sboost[d] = b
-                ordered_s = sorted(sboost.items(), key=lambda kv: (-kv[1], kv[0]))
-                scan_docs = {d for d, _ in ordered_s[: cfg.scan_limit]}
-            match: dict[int, dict[int, float]] = {}  # doc -> gid -> gboost
-            for gid in gids:
-                for tok in groups[gid]:
-                    for d, b in index.postings(tok).items():
-                        if scan_docs is not None and d not in scan_docs:
-                            continue
-                        slot = match.setdefault(d, {})
-                        slot[gid] = max(slot.get(gid, -math.inf), b)
-            hits = []
-            for d, per_gid in match.items():
-                if len(per_gid) >= len(gids):
-                    pre = 0.0
-                    for gid in sorted(per_gid):
-                        pre += float(per_gid[gid])
-                    hits.append((-pre, d))
-            hits.sort()
-            return [d for _, d in hits[:bucket_limit]]
+            def _m(d: int) -> float:
+                v = cream_memo.get(d)
+                if v is None:
+                    v = ref_string_score(qf, index.folded_text(d), ac)
+                    cream_memo[d] = v
+                return v
+
+            return any(
+                _m(d) >= cfg.match_threshold for d in sorted(candidates)
+            )
 
         def removal_order() -> list[int]:
             # ≙ collectors.py:127-131 (mirror of engine removal_order)
@@ -341,7 +408,9 @@ def oracle_search(
                 room = max(0, bucket_limit - len(candidates))
                 if room == 0:
                     break
-                ordered = run_gids(gids + filter_gids)
+                ordered = self.run_gids(
+                    groups, group_dfs, gids + filter_gids, bucket_limit
+                )
                 candidates.update(ordered[:room])
             if variants and len(candidates) >= cfg.bucket_min:
                 done = True
@@ -362,13 +431,16 @@ def oracle_search(
                         if (
                             0 < index.df.get(ta, 0) <= cfg.common_threshold
                             and 0 < index.df.get(tb, 0) <= cfg.common_threshold
-                            and set(index.tf.get(ta, {})) & set(index.tf.get(tb, {}))
+                            and index.any_shared_docs(ta, tb)
                         ):
                             edges.add((i, j))
             for clique in ordered_cliques(order, edges, group_dfs):
                 if len(candidates) >= cfg.bucket_min:
                     break
-                ordered = run_gids(list(clique) + filter_gids, use_scan=False)
+                ordered = self.run_gids(
+                    groups, group_dfs, list(clique) + filter_gids,
+                    bucket_limit, use_scan=False,
+                )
                 room = max(0, bucket_limit - len(candidates))
                 candidates.update(ordered[:room])
 
@@ -378,7 +450,7 @@ def oracle_search(
         recs = []
         filters = getattr(q, "filters", None) or {}
         for d in sorted(candidates):
-            doc = index.docs.iloc[d]
+            doc = index.doc(d)
             ok = True
             for col, vals in filters.items():
                 vs = set(normalize_filter_values(vals, cfg.max_filter_values))
@@ -403,17 +475,18 @@ def oracle_search(
                 dfm = None
                 gboost = None
                 for tok in groups[gid]:
-                    if d in index.tf.get(tok, {}):
-                        tf += index.tf[tok][d]
+                    tfv = index.tf_of(tok, d)
+                    if tfv:
+                        tf += tfv
                         tdf = index.df[tok]
                         dfm = tdf if dfm is None else min(dfm, tdf)
-                        tb = index.boost[tok][d]
+                        tb = index.boost_of(tok, d)
                         gboost = tb if gboost is None else max(gboost, tb)
                 if tf == 0:
                     continue
                 matched_any = True
                 idf = math.log(1.0 + (float(n_docs) - dfm + 0.5) / (dfm + 0.5))
-                tfn = tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * float(index.dl[d]) / avgdl))
+                tfn = tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * float(index.doc_len(d)) / avgdl))
                 score += idf * tfn
                 boost_sum += float(gboost)
             if not matched_any:
@@ -422,7 +495,7 @@ def oracle_search(
                 score = ref_fold_score(
                     float(doc.get("importance", 0.0) or 0.0),
                     ref_string_score(
-                        qf, fold_str(doc["text"] or ""),
+                        qf, index.folded_text(d),
                         bool(getattr(q, "autocomplete", False)),
                     ),
                     cfg.importance_weight,
@@ -435,25 +508,47 @@ def oracle_search(
                     "doc_index": d,
                     "score": score,
                     "str_distance": str_distance_key(
-                        fold_str(q.q), fold_str(doc["text"])
+                        qf, index.folded_text(d)
                     ),
                     "boost": boost_sum,
                     "importance": float(doc.get("importance", 0.0) or 0.0),
                     "conv_id": doc["conv_id"],
                     "turn_idx": int(doc["turn_idx"]),
+                    # render fields (≙ engine.search's doc join) so
+                    # serving/HTTP can answer without a second fetch
+                    "role": doc.get("role"),
+                    "tool": doc.get("tool"),
+                    "text": doc["text"],
                 }
             )
         rdf = pd.DataFrame(recs)
-        if len(rdf):
-            rdf = rdf.sort_values(
-                ["score", "str_distance", "boost", "importance", "doc_index"],
-                ascending=[False, False, False, False, True],
-            ).head(q.k)
-            rdf["rank"] = np.arange(1, len(rdf) + 1)
-            rows_out.append(rdf)
-    if not rows_out:
-        return pd.DataFrame(
-            columns=["qid", "doc_index", "score", "str_distance", "boost",
-                     "importance", "conv_id", "turn_idx", "rank"]
-        )
-    return pd.concat(rows_out, ignore_index=True)
+        if not len(rdf):
+            return None
+        rdf = rdf.sort_values(
+            ["score", "str_distance", "boost", "importance", "doc_index"],
+            ascending=[False, False, False, False, True],
+        ).head(q.k)
+        rdf["rank"] = np.arange(1, len(rdf) + 1)
+        return rdf
+
+    def search(self, queries: list) -> pd.DataFrame:
+        rows_out = []
+        for q in queries:
+            rdf = self._one(q)
+            if rdf is not None:
+                rows_out.append(rdf)
+        if not rows_out:
+            return pd.DataFrame(
+                columns=["qid", "doc_index", "score", "str_distance", "boost",
+                         "importance", "conv_id", "turn_idx", "role", "tool",
+                         "text", "rank"]
+            )
+        return pd.concat(rows_out, ignore_index=True)
+
+
+def oracle_search(
+    index: OracleIndex,
+    queries: list,  # objects with qid, q, k, autocomplete, filters
+    cfg: EngineConfig,
+) -> pd.DataFrame:
+    return SpecSearch(index, cfg).search(queries)

@@ -201,6 +201,61 @@ def _query_latency(spark, index_dir: str) -> dict:
     }
 
 
+def _serving_latency(index_dir: str, label: str) -> dict:
+    """Warm serving-tier latency (serving/local.py): same reference
+    query set answered straight from the parquet index without a
+    Spark job — the architecture the reference's Redis RAM serving
+    maps to at scale (Spark builds/compacts, serving nodes read the
+    immutable artifacts with pruned columnar fetches)."""
+    from addok_spark.config import EngineConfig
+    from addok_spark.data.transcripts import transcripts_pdf, reference_queries
+    from addok_spark.query.engine import Query
+    from addok_spark.serving.local import LocalSearchEngine
+
+    cfg = EngineConfig(common_threshold=10_000)
+    t0 = time.time()
+    srv = LocalSearchEngine(index_dir, cfg)
+    warm_s = time.time() - t0
+    corpus = transcripts_pdf(200, seed=42)
+    qdf = reference_queries(corpus, n=12, seed=7)
+    qs = [
+        Query(qid=r.qid, q=r.q, k=10, autocomplete=(r.kind == "prefix"))
+        for r in qdf.itertuples(index=False)
+    ]
+    cold = []
+    for q in qs:
+        t0 = time.time()
+        srv.search([q])
+        cold.append(time.time() - t0)
+    warm = []
+    for q in qs:
+        trials = []
+        for _ in range(3):
+            t0 = time.time()
+            srv.search([q])
+            trials.append(time.time() - t0)
+        warm.append(min(trials))
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        for q in qs:
+            srv.search([q])
+    qps = reps * len(qs) / (time.time() - t0)
+    cold.sort()
+    warm.sort()
+    n = len(qs)
+    return {
+        "index": label,
+        "warmup_s": round(warm_s, 3),
+        "n_queries": n,
+        "cold_p50_ms": round(cold[n // 2] * 1000, 2),
+        "cold_p95_ms": round(cold[min(n - 1, int(n * 0.95))] * 1000, 2),
+        "warm_p50_ms": round(warm[n // 2] * 1000, 2),
+        "warm_p95_ms": round(warm[min(n - 1, int(n * 0.95))] * 1000, 2),
+        "warm_qps": round(qps, 1),
+    }
+
+
 def _wand_at_scale(corpus_path: str, work: Path, n_turns: int,
                    bits: int = 16) -> dict:
     """Open the WAND gate at the full scaling-corpus size and assert
@@ -344,6 +399,10 @@ def main() -> None:
     )
     latency = _query_latency(spark, str(work / f"idx_{CPUS}"))
     spark.stop()
+    serving = [
+        _serving_latency(str(work / f"idx_{CPUS}"), "320k_turns"),
+        _serving_latency(str(work / f"idxbig_{CPUS}"), f"{n_turns}_turns"),
+    ]
 
     # 2) scaling: same parquet input, local[N] vs local[4N], core
     # build; interleaved best-of-3 per level (host CPU supply varies
@@ -416,6 +475,7 @@ def main() -> None:
             },
             "wand_at_scale": wand_evidence,
             "query_latency": latency,
+            "serving_latency": serving,
         }
     )
     print(json.dumps(result))

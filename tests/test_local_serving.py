@@ -1,0 +1,233 @@
+"""Serving-tier rank identity: LocalSearchEngine (parquet-backed,
+no Spark job per query — serving/local.py) must answer the reference
+query set identically to the corpus-built oracle, and therefore (by
+the rank-identity suite in test_query_engine.py) to the Spark engine.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from addok_spark.config import EngineConfig
+from addok_spark.data.transcripts import (
+    reference_queries,
+    transcripts_df,
+    transcripts_pdf,
+)
+from addok_spark.index.build import build_index
+from addok_spark.oracle.bm25_oracle import OracleIndex, oracle_search
+from addok_spark.query.engine import Query, SearchEngine
+from addok_spark.serving.local import LocalSearchEngine
+
+N_CONVS = 40
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return EngineConfig(
+        build_partitions=8,
+        doc_bucket_bits=8,
+        posting_block_size=64,
+        common_threshold=400,
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return transcripts_pdf(N_CONVS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def index_paths(spark, cfg, tmp_index_root, corpus_pdf):
+    sdf = transcripts_df(spark, N_CONVS, seed=42)
+    out = str(Path(tmp_index_root) / "serving_test")
+    return build_index(spark, sdf, cfg, out)
+
+
+@pytest.fixture(scope="module")
+def server(index_paths, cfg):
+    return LocalSearchEngine(index_paths, cfg)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf, cfg):
+    return OracleIndex(corpus_pdf, cfg)
+
+
+def _queries(corpus_pdf):
+    qdf = reference_queries(corpus_pdf, n=36, seed=7)
+    return [
+        Query(qid=r.qid, q=r.q, k=int(r.k), autocomplete=(r.kind == "prefix"))
+        for r in qdf.itertuples(index=False)
+    ]
+
+
+def _assert_identical(got, want, min_nonempty=0, score_rtol=0.0):
+    got_g = {qid: g.sort_values("rank") for qid, g in got.groupby("qid")}
+    want_g = {qid: g.sort_values("rank") for qid, g in want.groupby("qid")}
+    assert set(got_g) == set(want_g), "queries answered differ"
+    n_nonempty = 0
+    for qid in sorted(want_g):
+        g, w = got_g[qid], want_g[qid]
+        assert list(g["doc_index"]) == list(w["doc_index"]), (
+            f"{qid}: rank mismatch\nserve=\n{g}\nwant=\n{w}"
+        )
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), w["score"].to_numpy(), rtol=score_rtol,
+            err_msg=f"{qid}: scores differ",
+        )
+        n_nonempty += 1
+    assert n_nonempty >= min_nonempty
+
+
+def test_serving_rank_identity_reference_set(server, oracle, corpus_pdf, cfg):
+    """Full reference set (exact / case / typo / autocomplete /
+    common / notfound) — ranks exact, scores bit-equal: the serving
+    tier runs the same oracle_search spec over decoded parquet
+    postings, so any drift means the on-disk index diverged."""
+    queries = _queries(corpus_pdf)
+    got = server.search(queries)
+    want = oracle_search(oracle, queries, cfg)
+    _assert_identical(got, want, min_nonempty=25, score_rtol=0.0)
+
+
+def test_serving_matches_spark_engine(spark, index_paths, server, cfg, corpus_pdf):
+    """Direct three-way anchor: a handful of queries through the
+    Spark engine vs the serving tier over the SAME index files."""
+    engine = SearchEngine(spark, index_paths, cfg)
+    queries = _queries(corpus_pdf)[:8]
+    got = server.search(queries)
+    want = engine.search(queries).toPandas()
+    _assert_identical(got, want, score_rtol=1e-9)
+
+
+def test_serving_filters_and_autocomplete(server, oracle, corpus_pdf, cfg):
+    words = corpus_pdf["text"].iloc[0].split()[:2]
+    queries = [
+        Query(qid="qf1", q=" ".join(words), k=10, filters={"role": ["user"]}),
+        Query(qid="qf2", q=" ".join(words), k=10,
+              filters={"role": ["user", "assistant"], "tool": ["python"]}),
+        Query(qid="qf3", q=" ".join(words), k=10, filters={"role": ["nope"]}),
+        Query(qid="qa1", q=words[0][:4], k=10, autocomplete=True),
+    ]
+    got = server.search(queries)
+    want = oracle_search(oracle, queries, cfg)
+    _assert_identical(got, want, score_rtol=0.0)
+    if "qf1" in set(got["qid"]):
+        roles = [
+            server.index.doc(d)["role"] for d in got[got.qid == "qf1"]["doc_index"]
+        ]
+        assert set(roles) <= {"user"}
+
+
+def test_serving_fast_matches_spec(index_paths, oracle, corpus_pdf, cfg):
+    """The vectorized collection kernel (FastSearch.run_gids) must be
+    bit-identical to the pure-dict spec flow over the same parquet
+    index — including scan-mode, relaxation variants, and filter
+    groups — and both must equal the corpus-built oracle."""
+    fast = LocalSearchEngine(index_paths, cfg, mode="fast")
+    spec = LocalSearchEngine(index_paths, cfg, mode="spec")
+    queries = _queries(corpus_pdf) + [
+        Query(qid="qsf", q="the of", k=10),
+        Query(qid="qsf2", q="the of to and", k=10),
+        Query(qid="qsff", q="the of", k=10, filters={"role": ["user"]}),
+    ]
+    got = fast.search(queries)
+    want = spec.search(queries)
+    _assert_identical(got, want, min_nonempty=25, score_rtol=0.0)
+    _assert_identical(
+        got, oracle_search(oracle, queries, cfg), score_rtol=0.0
+    )
+
+
+def test_serving_lazy_loading(index_paths, cfg):
+    """A single query must fault in only its own expansion tokens,
+    never the whole posting store (the at-scale contract)."""
+    srv = LocalSearchEngine(index_paths, cfg)
+    assert len(srv.index._arrays) == 0
+    srv.search([Query(qid="q", q="error file", k=5)])
+    assert 0 < len(srv.index._arrays) < max(10, len(srv.index.df) // 10)
+    # doc partitions fetched only for candidate pbuckets
+    n_pbuckets = {int(d) >> srv.index._doc_shift for d in range(srv.index.n_docs)}
+    assert len(srv.index._doc_cache) <= len(n_pbuckets)
+
+
+def test_serving_query_length_guard(server, cfg):
+    with pytest.raises(ValueError):
+        server.search([Query(qid="qlong", q="x " * 200, k=5)])
+
+
+def test_serving_empty_result(server):
+    out = server.search([Query(qid="qx", q="zzzz qqqq xxxx", k=5)])
+    assert len(out) == 0
+
+
+def test_serving_http_local_backend(index_paths, cfg, corpus_pdf):
+    """The HTTP layer duck-types the serving tier: same contract,
+    no Spark session behind the socket."""
+    import json
+    import urllib.request
+
+    from addok_spark.http_api import serve_background
+
+    srv_engine = LocalSearchEngine(index_paths, cfg)
+    srv, port = serve_background(srv_engine)
+    try:
+        words = "+".join(corpus_pdf["text"].iloc[0].split()[:2])
+        r = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search/?q={words}&limit=5", timeout=60
+        )
+        body = json.loads(r.read())
+        assert r.status == 200
+        assert len(body["hits"]) <= 5
+        if body["hits"]:
+            assert body["hits"][0]["rank"] == 1
+            assert "text" in body["hits"][0]
+    finally:
+        srv.shutdown()
+
+
+def test_serving_refresh_after_cdc(spark, tmp_path):
+    """A CDC batch rewrites index partitions; refresh() must make the
+    warm server see it (deleted doc gone, new doc findable)."""
+    from addok_spark.config import FieldSpec
+    from addok_spark.index.incremental import apply_actions
+
+    cdc_cfg = EngineConfig(
+        fields=(FieldSpec("text", 1.0), FieldSpec("tool", 4.0)),
+        build_partitions=4,
+        doc_bucket_bits=2,
+        pbucket_shift=1,
+        posting_block_size=2,
+        common_threshold=1000,
+    )
+    rows = [
+        ("conv-a", 0, "user", "rue des Lilas", None, 0.5),
+        ("conv-a", 1, "assistant", "avenue des Champs", "grep", 0.5),
+        ("conv-b", 0, "user", "boulevard Voltaire", None, 0.25),
+        ("conv-b", 1, "tool", "rue du General", "bash", 0.25),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double"
+    )
+    paths = build_index(spark, corpus, cdc_cfg, str(tmp_path / "cdc_idx"))
+    srv = LocalSearchEngine(paths, cdc_cfg)
+    before = srv.search([Query(qid="q", q="lilas", k=5)])
+    assert len(before) == 1
+
+    changes = spark.createDataFrame(
+        [
+            ("conv-a", 0, "user", "rue des Lilas", None, 0.5, "delete"),
+            ("conv-c", 0, "user", "impasse Mimosas", None, 0.9, "index"),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double, _action string",
+    )
+    apply_actions(spark, paths, changes, cdc_cfg)
+    # stale caches still answer the old index; refresh picks up CDC
+    srv.refresh()
+    assert len(srv.search([Query(qid="q1", q="lilas", k=5)])) == 0
+    after = srv.search([Query(qid="q2", q="mimosas", k=5)])
+    assert list(after["conv_id"]) == ["conv-c"]
