@@ -228,6 +228,20 @@ class ParquetIndex(ExpansionMixin):
     def doc_len(self, d: int) -> int:
         return int(self.doc(d)["dl"])
 
+    def get_doc(self, conv_id: str, turn_idx: int):
+        """Direct lookup by natural key (≙ Result.from_id,
+        reference results.py / tests/test_search.py:567-570).
+        Docs files are (conv_id, turn_idx)-sorted within pbucket
+        partitions — the doc_index assignment order — so parquet
+        row-group statistics prune the scan. Returns a row or None."""
+        f = self._pads.field
+        tbl = self._docs_ds.to_table(
+            filter=(f("conv_id") == conv_id) & (f("turn_idx") == int(turn_idx))
+        )
+        if tbl.num_rows == 0:
+            return None
+        return tbl.to_pandas().iloc[0]
+
     def folded_text(self, d: int) -> str:
         d = int(d)
         ft = self._fold_cache.get(d)
@@ -370,6 +384,10 @@ class LocalSearchEngine:
     def refresh(self) -> None:
         """Pick up a CDC-rewritten index (see ParquetIndex.refresh)."""
         self.index.refresh()
+
+    def get(self, conv_id: str, turn_idx: int):
+        """Fetch one document by natural key (≙ Result.from_id)."""
+        return self.index.get_doc(conv_id, turn_idx)
 
     def search(self, queries: list[Query]) -> pd.DataFrame:
         for q in queries:

@@ -241,6 +241,22 @@ def _serving_latency(index_dir: str, label: str) -> dict:
         for q in qs:
             srv.search([q])
     qps = reps * len(qs) / (time.time() - t0)
+    # warm parallel throughput: the spec flow is Python-side, so a
+    # request pool scales with PROCESSES, not threads (GIL) —
+    # fork AFTER warm-up so workers inherit the hot caches
+    # copy-on-write, exactly how a prefork serving node works
+    import multiprocessing
+
+    global _SERVE_WORKER
+    _SERVE_WORKER = srv  # forked children inherit the warm engine
+    preps = 16
+    nproc = 8
+    chunks = [qs[i::nproc] * preps for i in range(nproc)]
+    with multiprocessing.get_context("fork").Pool(nproc) as pool:
+        t0 = time.time()
+        pool.map(_serve_worker_run, chunks)
+        qps8 = sum(len(c) for c in chunks) / (time.time() - t0)
+    _SERVE_WORKER = None
     cold.sort()
     warm.sort()
     n = len(qs)
@@ -253,7 +269,17 @@ def _serving_latency(index_dir: str, label: str) -> dict:
         "warm_p50_ms": round(warm[n // 2] * 1000, 2),
         "warm_p95_ms": round(warm[min(n - 1, int(n * 0.95))] * 1000, 2),
         "warm_qps": round(qps, 1),
+        "warm_qps_8procs": round(qps8, 1),
     }
+
+
+_SERVE_WORKER = None
+
+
+def _serve_worker_run(queries):
+    for q in queries:
+        _SERVE_WORKER.search([q])
+    return len(queries)
 
 
 def _wand_at_scale(corpus_path: str, work: Path, n_turns: int,

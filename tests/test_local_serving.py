@@ -231,3 +231,14 @@ def test_serving_refresh_after_cdc(spark, tmp_path):
     assert len(srv.search([Query(qid="q1", q="lilas", k=5)])) == 0
     after = srv.search([Query(qid="q2", q="mimosas", k=5)])
     assert list(after["conv_id"]) == ["conv-c"]
+
+
+def test_serving_get_by_natural_key(server, corpus_pdf):
+    """≙ Result.from_id (reference test_search.py:567-570): direct
+    doc fetch by (conv_id, turn_idx) without a search."""
+    row = corpus_pdf.iloc[5]
+    got = server.get(row["conv_id"], int(row["turn_idx"]))
+    assert got is not None
+    assert got["text"] == row["text"]
+    assert got["role"] == row["role"]
+    assert server.get("conv-does-not-exist", 0) is None

@@ -486,3 +486,129 @@ def test_extend_results_reducing_tokens_should_remove_two_tokens(
     got = _q(env, "quai jules verne saint cyprie plage")
     assert len(got) >= 1
     assert got.iloc[0]["conv_id"] == "doc-0"
+
+
+# ---------------------------------------------------------------------------
+# strategy-choice scenarios (reference test_search.py:153-232): the
+# collection strategy must react to FILTER selectivity, not just token
+# frequency — a selective f| set makes intersection cheap even when
+# every word token is common
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def strategy_setup(spark, tmp_index_root):
+    rows = [
+        # ≙ factory(name=..., type=...): role plays the type filter
+        ("s-monnaie-vitry", "rue de la monnaie vitry", "street"),
+        ("s-monnaie-paris", "rue de la monnaie paris", "street"),
+        ("s-republique", "rue de la republique lyon", "street"),
+        ("c-monnaie", "la monnaie", "city"),
+        ("c-poste", "la poste", "city"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": 0,
+            "role": [r[2] for r in rows],
+            "text": [r[1] for r in rows],
+            "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+            "importance": 0.0,
+        }
+    )
+    cfg = EngineConfig(
+        fields=(FieldSpec("text", 1.0),),
+        build_partitions=2,
+        doc_bucket_bits=4,
+        posting_block_size=16,
+        build_pairs=False,
+        common_threshold=2,
+        intersect_limit=2,
+        bucket_max=10,
+    )
+    out = str(Path(tmp_index_root) / "ref_strategy")
+    paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
+    return SearchEngine(spark, paths, cfg), OracleIndex(pdf, cfg), cfg
+
+
+def _search_with_plan(engine, oracle, cfg, query):
+    """Run one query capturing every collection plan the engine
+    submits (≙ the reference's scripts.manual_scan monkeypatch)."""
+    plans = []
+    orig = engine._run_round
+
+    def spy(plan, *a, **k):
+        plans.append(plan)
+        return orig(plan, *a, **k)
+
+    engine._run_round = spy
+    try:
+        got = engine.search([query]).toPandas()
+    finally:
+        engine._run_round = orig
+    want = oracle_search(oracle, [query], cfg)
+    assert list(got["doc_index"]) == list(want["doc_index"]), (
+        f"engine/oracle diverge for {query.q!r}:\n{got}\n{want}"
+    )
+    return got, plans
+
+
+def test_should_use_intersect_if_filter_smaller_than_token(strategy_setup):
+    # test_search.py:153-193: token 'la' is common (df 5 > limit 2)
+    # but the role=city filter set holds only 2 docs (≤ limit) — the
+    # round must INTERSECT (no scan), and only the cities come back
+    engine, oracle, cfg = strategy_setup
+    q = Query(qid="st1", q="la", k=10, filters={"role": ["city"]})
+    got, plans = _search_with_plan(engine, oracle, cfg, q)
+    ids = set(got["conv_id"])
+    assert {"c-monnaie", "c-poste"} <= ids
+    assert not any(i.startswith("s-") for i in ids)
+    assert plans and not any(bool(p["is_scan"].any()) for p in plans), (
+        "manual scan must NOT trigger when the filter is more "
+        "selective than the token"
+    )
+
+
+def test_should_use_manual_scan_if_both_token_and_filter_large(strategy_setup):
+    # test_search.py:195-232: token 'la' (df 5) AND role=street
+    # (3 docs) both exceed intersect_limit=2 → manual scan fires
+    engine, oracle, cfg = strategy_setup
+    q = Query(qid="st2", q="la", k=10, filters={"role": ["street"]})
+    got, plans = _search_with_plan(engine, oracle, cfg, q)
+    assert set(got["conv_id"]) == {
+        "s-monnaie-vitry", "s-monnaie-paris", "s-republique"
+    }
+    assert any(bool(p["is_scan"].any()) for p in plans), (
+        "manual scan must trigger when token and filter are both "
+        "above intersect_limit"
+    )
+
+
+def test_document_without_text_is_not_searchable(spark, tmp_index_root):
+    # test_search.py:327-331 (document_without_name_should_not_be_
+    # indexed): a row whose only content sits outside the indexed
+    # fields yields no postings and can never be returned
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["empty-doc", "normal-doc"],
+            "turn_idx": 0,
+            "role": "user",
+            "text": [None, "avenue de Paris"],
+            "tool": ["Montceau-les-Mines", None],
+            "ts": pd.Timestamp("2026-01-01"),
+            "importance": 0.0,
+        }
+    )
+    cfg = EngineConfig(
+        fields=(FieldSpec("text", 1.0),),  # tool NOT indexed here
+        build_partitions=2,
+        doc_bucket_bits=4,
+        posting_block_size=16,
+        build_pairs=False,
+    )
+    out = str(Path(tmp_index_root) / "ref_empty_doc")
+    paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
+    engine = SearchEngine(spark, paths, cfg)
+    assert len(engine.search([Query(qid="e1", q="montceau", k=5)]).toPandas()) == 0
+    res = engine.search([Query(qid="e2", q="avenue paris", k=5)]).toPandas()
+    assert list(res["conv_id"]) == ["normal-doc"]
