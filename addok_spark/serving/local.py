@@ -71,7 +71,12 @@ class ParquetIndex(ExpansionMixin):
     the dict views the pure-dict spec path expects are derived lazily
     (only the tests' spec-mode runs ever materialize them)."""
 
-    def __init__(self, index_dir: str | Path, cfg: EngineConfig | None = None):
+    def __init__(
+        self,
+        index_dir: str | Path,
+        cfg: EngineConfig | None = None,
+        pbucket_range: tuple[int, int] | None = None,
+    ):
         import pyarrow.dataset as pads
 
         self._pads = pads
@@ -80,6 +85,9 @@ class ParquetIndex(ExpansionMixin):
             index_dir if isinstance(index_dir, IndexPaths)
             else IndexPaths(Path(index_dir))
         )
+        # shard mode: this node owns [lo, hi) of the pbucket space —
+        # every blocks/docs read is partition-pruned to that range
+        self.pbucket_range = pbucket_range
         self.meta = json.loads(self.paths.meta.read_text())
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
@@ -125,7 +133,7 @@ class ParquetIndex(ExpansionMixin):
         buckets): drops every cache and reloads the term dictionary.
         A production serving node triggers this off the build
         manifest / Iceberg snapshot id."""
-        self.__init__(self.paths, self.cfg)
+        self.__init__(self.paths, self.cfg, self.pbucket_range)
 
     # -- postings -----------------------------------------------------------
     def _token_arrays(self, token: str):
@@ -135,9 +143,13 @@ class ParquetIndex(ExpansionMixin):
         if cached is not None:
             return cached
         f = self._pads.field
+        tok_filter = f("token") == token
+        if self.pbucket_range is not None:
+            lo, hi = self.pbucket_range
+            tok_filter = tok_filter & (f("pbucket") >= lo) & (f("pbucket") < hi)
         if token.startswith("f|"):
             tbl = self._blocks_ds.to_table(
-                filter=f("token") == token, columns=["docs_bin"]
+                filter=tok_filter, columns=["docs_bin"]
             )
             parts = [unpack_deltas(b.as_py()) for b in tbl.column("docs_bin")]
             if parts:
@@ -148,7 +160,7 @@ class ParquetIndex(ExpansionMixin):
                 out = _EMPTY
         else:
             tbl = self._blocks_ds.to_table(
-                filter=f("token") == token,
+                filter=tok_filter,
                 columns=["docs_bin", "tfs_bin", "boosts_bin"],
             )
             dparts, tparts, bparts = [], [], []
@@ -288,6 +300,117 @@ class ParquetIndex(ExpansionMixin):
         return hi in s
 
 
+class ShardedIndex(ExpansionMixin):
+    """Scatter-gather coordinator over pbucket-range shards — the
+    horizontal-scaling shape of the serving tier at 10^12 turns.
+
+    Each shard is a ParquetIndex restricted to a contiguous
+    ``[lo, hi)`` slice of the pbucket space (in production: a serving
+    node owning those partitions on local disk).  Because pbucket is
+    the HIGH bits of doc_index, contiguous shard ranges are contiguous
+    doc ranges, so concatenating per-shard posting arrays in shard
+    order yields the exact doc-sorted arrays of the unsharded index —
+    ``FastSearch`` runs on this coordinator unchanged and the results
+    are rank-identical by construction (tested in
+    tests/test_local_serving.py).  Global stats (dictionary, prefixes,
+    pairs, meta) are broadcast state: small, read once by the
+    coordinator."""
+
+    def __init__(
+        self,
+        index_dir: str | Path,
+        cfg: EngineConfig | None = None,
+        n_shards: int = 2,
+    ):
+        self.cfg = cfg or EngineConfig()
+        # coordinator-held global state (dictionary / prefixes /
+        # pairs / meta) via an unrestricted index that is never asked
+        # for postings
+        self._global = ParquetIndex(index_dir, self.cfg)
+        self.meta = self._global.meta
+        self.n_docs = self._global.n_docs
+        self.avgdl = self._global.avgdl
+        self.df = self._global.df
+        self.max_boost = self._global.max_boost
+        self.have_pairs = self._global.have_pairs
+        self._doc_shift = self._global._doc_shift
+        max_pb = (max(self.n_docs - 1, 0) >> self._doc_shift) + 1
+        step = max(1, -(-max_pb // n_shards))
+        self._bounds = [
+            (i * step, min((i + 1) * step, max_pb) if i < n_shards - 1 else max_pb)
+            for i in range(n_shards)
+        ]
+        self.shards = [
+            ParquetIndex(index_dir, self.cfg, pbucket_range=b)
+            for b in self._bounds
+        ]
+        self._dict_views: dict[str, dict[int, float]] = {}
+
+    def _owner(self, d: int) -> "ParquetIndex":
+        pb = int(d) >> self._doc_shift
+        for (lo, hi), sh in zip(self._bounds, self.shards):
+            if lo <= pb < hi:
+                return sh
+        return self.shards[-1]
+
+    # -- postings: scatter-gather, concat stays doc-sorted ------------------
+    def _token_arrays(self, token: str):
+        parts = [sh._token_arrays(token) for sh in self.shards]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return _EMPTY
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+
+    def postings(self, token: str) -> dict[int, float]:
+        view = self._dict_views.get(token)
+        if view is None:
+            docs, _, boosts = self._token_arrays(token)
+            view = dict(zip(docs.tolist(), boosts.astype(np.float64).tolist()))
+            self._dict_views[token] = view
+        return view
+
+    def posting_count(self, token: str) -> int:
+        return sum(sh.posting_count(token) for sh in self.shards)
+
+    def tf_of(self, token: str, d: int) -> int:
+        return self._owner(d).tf_of(token, d)
+
+    def boost_of(self, token: str, d: int) -> float:
+        return self._owner(d).boost_of(token, d)
+
+    def any_shared_docs(self, a: str, b: str) -> bool:
+        # co-occurrence happens within one doc, i.e. within one shard
+        return any(sh.any_shared_docs(a, b) for sh in self.shards)
+
+    # -- documents: routed to the owning shard ------------------------------
+    def doc(self, d: int):
+        return self._owner(d).doc(d)
+
+    def doc_len(self, d: int) -> int:
+        return self._owner(d).doc_len(d)
+
+    def folded_text(self, d: int) -> str:
+        return self._owner(d).folded_text(d)
+
+    def get_doc(self, conv_id: str, turn_idx: int):
+        return self._global.get_doc(conv_id, turn_idx)
+
+    # -- global side tables -------------------------------------------------
+    def prefix_candidates(self, prefix: str, cap: int = 100) -> list[str]:
+        return self._global.prefix_candidates(prefix, cap)
+
+    def cooc(self, a: str, b: str) -> bool:
+        return self._global.cooc(a, b)
+
+    def refresh(self) -> None:
+        self._global.refresh()
+        for sh, b in zip(self.shards, self._bounds):
+            sh.refresh()
+        self._dict_views.clear()
+
+
 class FastSearch(SpecSearch):
     """SpecSearch with the collection kernel vectorized: per-group
     max-boost posting arrays, k-way sorted-set intersection (smallest
@@ -370,9 +493,14 @@ class LocalSearchEngine:
         index_dir: str | Path,
         cfg: EngineConfig | None = None,
         mode: str = "fast",
+        shards: int | None = None,
     ):
         self.cfg = cfg or EngineConfig()
-        self.index = ParquetIndex(index_dir, self.cfg)
+        self.index = (
+            ShardedIndex(index_dir, self.cfg, n_shards=shards)
+            if shards
+            else ParquetIndex(index_dir, self.cfg)
+        )
         if mode not in ("fast", "spec"):
             raise ValueError(f"unknown mode {mode!r}")
         self._searcher = (

@@ -242,3 +242,24 @@ def test_serving_get_by_natural_key(server, corpus_pdf):
     assert got["text"] == row["text"]
     assert got["role"] == row["role"]
     assert server.get("conv-does-not-exist", 0) is None
+
+
+def test_serving_sharded_rank_identity(index_paths, cfg, corpus_pdf):
+    """Horizontal-scaling evidence: a coordinator over pbucket-range
+    shards (scatter-gather posting reads, doc fetches routed to the
+    owning shard) must be rank-identical to the unsharded server —
+    pbucket is the high bits of doc_index, so shard-order concat IS
+    the global doc order."""
+    single = LocalSearchEngine(index_paths, cfg)
+    sharded = LocalSearchEngine(index_paths, cfg, shards=3)
+    assert len(sharded.index.shards) == 3
+    queries = _queries(corpus_pdf) + [
+        Query(qid="shf", q="error file", k=10, filters={"role": ["user"]}),
+    ]
+    got = sharded.search(queries)
+    want = single.search(queries)
+    _assert_identical(got, want, min_nonempty=25, score_rtol=0.0)
+    # every shard actually served postings (the corpus spans the
+    # pbucket space)
+    served = [len(sh._arrays) for sh in sharded.index.shards]
+    assert all(n > 0 for n in served), served
