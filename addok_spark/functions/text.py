@@ -244,6 +244,44 @@ def levenshtein(a: str, b: str) -> int:
     return int(prev[-1])
 
 
+def levenshtein_batch(a: str, labels: list[str]) -> list[int]:
+    """Edit distance of ONE query against MANY labels in a single
+    vectorized DP over a padded (n_labels × max_len) matrix — exact
+    same integers as ``levenshtein`` (tested), ~10× less numpy call
+    overhead than n separate calls. Padding beyond a label's length
+    is harmless: DP column j depends only on columns ≤ j, and each
+    label's answer is read at its own length column."""
+    import numpy as np
+
+    if not labels:
+        return []
+    la = len(a)
+    lens = [len(b) for b in labels]
+    L = max(lens)
+    if la == 0:
+        return lens
+    if L == 0:
+        return [la] * len(labels)
+    B = np.zeros((len(labels), L), dtype=np.int64)
+    B -= 1  # pad value no codepoint matches
+    for r, b in enumerate(labels):
+        if b:
+            B[r, : len(b)] = np.fromiter(
+                (ord(c) for c in b), dtype=np.int64, count=len(b)
+            )
+    idx = np.arange(L + 1, dtype=np.int64)
+    prev = np.tile(idx, (len(labels), 1))
+    c = np.empty_like(prev)
+    for i, ca in enumerate(a, 1):
+        c[:, 0] = i
+        np.minimum(prev[:, :-1] + (B != ord(ca)), prev[:, 1:] + 1, out=c[:, 1:])
+        np.subtract(c, idx, out=c)
+        np.minimum.accumulate(c, axis=1, out=c)
+        np.add(c, idx, out=c)
+        prev, c = c, prev
+    return [int(prev[r, lens[r]]) for r in range(len(labels))]
+
+
 def compare_ngrams(a: str, b: str, n: int = 2) -> float:
     """Bigram MULTISET similarity |∩| / |∪| with multiplicity, no
     padding — NGram.compare(N=2, pad_len=0) semantics as called at
@@ -362,6 +400,31 @@ def str_distance_key(query: str, label: str) -> float:
     landing exactly on a representable half can't round differently
     between the two sides."""
     return round(compare_str(query, label), 9)
+
+
+def str_distance_keys(query: str, labels: list[str]) -> list[float]:
+    """Batched ``str_distance_key`` for one query against many
+    labels: same expression tree and rounding per label (the edit
+    distances come from the batched DP), so the values are bit-equal
+    to the per-pair call — the candidate-scoring hot path uses this."""
+    qa = set(char_ngrams_str(query, 3))
+    lev = levenshtein_batch(query, labels)
+    out = []
+    for label, d in zip(labels, lev):
+        la = set(char_ngrams_str(label, 3))
+        inter = len(qa & la)
+        recall = inter / len(qa) if qa else 0.0
+        precision = inter / len(la) if la else 0.0
+        m = max(len(query), len(label))
+        dist = (
+            (d - abs(len(query) - len(label))) / m
+            if m
+            else 0.0
+        )
+        out.append(
+            round(0.85 * recall + 0.05 * precision + 0.1 * (1.0 - dist), 9)
+        )
+    return out
 
 
 def make_compare_str_udf():

@@ -29,7 +29,7 @@ from ..functions.text import (
     make_fuzzy_str,
     ref_fold_score,
     ref_string_score,
-    str_distance_key,
+    str_distance_keys,
 )
 
 
@@ -507,9 +507,8 @@ class SpecSearch:
                     "qid": q.qid,
                     "doc_index": d,
                     "score": score,
-                    "str_distance": str_distance_key(
-                        qf, index.folded_text(d)
-                    ),
+                    # str_distance filled in one batched DP below
+                    "str_distance": 0.0,
                     "boost": boost_sum,
                     "importance": float(doc.get("importance", 0.0) or 0.0),
                     "conv_id": doc["conv_id"],
@@ -521,6 +520,14 @@ class SpecSearch:
                     "text": doc["text"],
                 }
             )
+        if recs:
+            # deterministic secondary sort key, one vectorized DP for
+            # all candidates (bit-equal to per-pair str_distance_key)
+            dists = str_distance_keys(
+                qf, [index.folded_text(r["doc_index"]) for r in recs]
+            )
+            for r, dv in zip(recs, dists):
+                r["str_distance"] = dv
         rdf = pd.DataFrame(recs)
         if not len(rdf):
             return None
