@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .pipelines import ann, dedup, textstats
+from .pipelines import ann, dedup, sampling, textstats
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -769,6 +769,37 @@ FROM documents
 """
 
 
+_SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "de": 0.1}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language subsampling by content hash
+    (pipelines/sampling.py): reproducible across runs and cluster
+    sizes — the rebalancing primitive of a pretraining corpus."""
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", _SAMPLE_RATES,
+        default_rate=0.05,
+    )
+
+
+SQL_STRATIFIED_SAMPLE = sampling.stratified_sample_sql(
+    "documents", "doc_id", "lang", _SAMPLE_RATES, default_rate=0.05
+)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-cut sequence packing into ~2048-token training
+    packs, hash-bucketed so packing is partition-parallel."""
+    return sampling.pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "text", budget=2048
+    )
+
+
+SQL_PACK_SEQUENCES = sampling.pack_sequences_sql(
+    "documents", "doc_id", "text", budget=2048
+)
+
+
 def q_collocations_pmi(spark, sf_dir):
     """Top-50 adjacent-bigram collocations by PMI (min count 5)."""
     return textstats.collocations_pmi(
@@ -1098,6 +1129,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_labels": q_doc_labels,
     "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     "stateful_sessions": q_stateful_sessions,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -1135,4 +1168,6 @@ ORACLES: dict[str, str] = {
     "lsh_buckets": _sql_lsh_buckets(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }
