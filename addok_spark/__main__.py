@@ -115,7 +115,9 @@ def cmd_serve(args) -> None:
     if args.backend == "local":
         from .serving.local import LocalSearchEngine
 
-        engine = LocalSearchEngine(args.index, _cfg(args))
+        engine = LocalSearchEngine(
+            args.index, _cfg(args), shards=getattr(args, "shards", None)
+        )
     else:
         from .query.engine import SearchEngine
 
@@ -239,6 +241,8 @@ def main(argv=None) -> None:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=7878)
     sv.add_argument("--synonyms")
+    sv.add_argument("--shards", type=int, default=None,
+                    help="serve through a pbucket-range shard coordinator")
     sv.set_defaults(fn=cmd_serve)
     s.set_defaults(fn=cmd_search)
 
