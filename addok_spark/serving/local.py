@@ -64,6 +64,106 @@ _EMPTY = (
 )
 
 
+class _TokenBlocks:
+    """Block-granular lazy posting store of ONE token: metadata
+    (n / max_boost / min_doc / max_doc) held as numpy, payloads
+    decoded per block on first touch. Doc ranges are disjoint across
+    a token's blocks (bucket = doc high bits; blocks partition the
+    sorted run within a bucket), so point lookups decode exactly one
+    block and range probes decode only intersecting blocks."""
+
+    __slots__ = (
+        "is_filter", "n", "ub", "mind", "maxd", "n_blocks",
+        "_docs_bin", "_tfs_bin", "_boosts_bin", "_dec", "_full",
+    )
+
+    def __init__(self, tbl, is_filter: bool):
+        self.is_filter = is_filter
+        self.n = tbl.column("n").to_numpy()
+        self.ub = tbl.column("max_boost").to_numpy()
+        self.mind = tbl.column("min_doc").to_numpy()
+        self.maxd = tbl.column("max_doc").to_numpy()
+        self.n_blocks = len(self.n)
+        self._docs_bin = tbl.column("docs_bin")
+        self._tfs_bin = None if is_filter else tbl.column("tfs_bin")
+        self._boosts_bin = None if is_filter else tbl.column("boosts_bin")
+        self._dec: dict[int, tuple] = {}
+        self._full = None
+
+    def decode_block(self, i: int):
+        got = self._dec.get(i)
+        if got is None:
+            docs = unpack_deltas(self._docs_bin[i].as_py()).astype(np.int64)
+            if self.is_filter:
+                tfs = np.zeros(len(docs), np.int64)
+                boosts = np.zeros(len(docs), np.float32)
+            else:
+                tfs = varint_decode(self._tfs_bin[i].as_py()).astype(np.int64)
+                boosts = unpack_f32(self._boosts_bin[i].as_py())
+            got = (docs, tfs, boosts)
+            self._dec[i] = got
+        return got
+
+    def full(self):
+        if self._full is None:
+            if self.n_blocks == 0:
+                self._full = _EMPTY
+            else:
+                parts = [self.decode_block(i) for i in range(self.n_blocks)]
+                docs = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                boosts = np.concatenate([p[2] for p in parts])
+                # fragments arrive in directory-listing order, not
+                # doc order — restore the global sort (docs unique)
+                o = np.argsort(docs, kind="stable")
+                self._full = (docs[o], tfs[o], boosts[o])
+                self._dec.clear()
+        return self._full
+
+    def point(self, d: int):
+        """Arrays containing doc ``d`` if present — one block."""
+        if self._full is not None:
+            return self._full
+        if self.n_blocks == 0:
+            return _EMPTY
+        hit = np.flatnonzero((self.mind <= d) & (self.maxd >= d))
+        if not len(hit):
+            return _EMPTY
+        return self.decode_block(int(hit[0]))
+
+    def covering(self, docs_sorted: np.ndarray):
+        """Concatenated arrays of every block whose doc range
+        intersects the sorted candidate set (doc-sorted output).
+
+        Adaptive: when the candidate set is scattered enough that
+        most blocks intersect anyway (the common case for a
+        scan_limit-sized uniform sample of a Zipf-head posting list),
+        partial decode would pay per-block python overhead for no
+        pruning — fall through to the cached ``full()`` arrays."""
+        if self._full is not None:
+            return self._full
+        if self.n_blocks == 0 or not len(docs_sorted):
+            return _EMPTY
+        lo = np.searchsorted(docs_sorted, self.mind)
+        has = lo < len(docs_sorted)
+        safe = np.minimum(lo, len(docs_sorted) - 1)
+        hits = np.flatnonzero(has & (docs_sorted[safe] <= self.maxd))
+        if not len(hits):
+            return _EMPTY
+        if 3 * len(hits) >= self.n_blocks:
+            return self.full()
+        parts = [self.decode_block(int(i)) for i in hits]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        boosts = np.concatenate([p[2] for p in parts])
+        o = np.argsort(docs, kind="stable")
+        return (docs[o], tfs[o], boosts[o])
+
+    @property
+    def blocks_decoded(self) -> int:
+        return self.n_blocks if self._full is not None else len(self._dec)
+
+
 class ParquetIndex(ExpansionMixin):
     """OracleIndex-shaped read-only view over the on-disk index.
 
@@ -119,7 +219,8 @@ class ParquetIndex(ExpansionMixin):
         )
         self.warmup_seconds = time.perf_counter() - t0
 
-        self._arrays: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._blocks: dict[str, _TokenBlocks] = {}
+        self._scan_cache: dict[tuple, tuple] = {}
         self._dict_views: dict[str, dict[int, float]] = {}
         self._doc_cache: dict[int, pd.DataFrame] = {}
         self._row_cache: dict[int, pd.Series] = {}
@@ -136,54 +237,116 @@ class ParquetIndex(ExpansionMixin):
         self.__init__(self.paths, self.cfg, self.pbucket_range)
 
     # -- postings -----------------------------------------------------------
-    def _token_arrays(self, token: str):
-        """(docs asc int64, tf int64, boost float32) for one token —
-        one pruned blocks read per token per process lifetime."""
-        cached = self._arrays.get(token)
-        if cached is not None:
-            return cached
+    def _token_blocks(self, token: str) -> "_TokenBlocks":
+        """Per-block lazy posting store for one token: block metadata
+        (n / max_boost / min_doc / max_doc) up front, payloads decoded
+        on demand — the serving analog of the Spark engine's block-max
+        pruning. One pruned blocks read per token per process."""
+        tb = self._blocks.get(token)
+        if tb is not None:
+            return tb
         f = self._pads.field
         tok_filter = f("token") == token
         if self.pbucket_range is not None:
             lo, hi = self.pbucket_range
             tok_filter = tok_filter & (f("pbucket") >= lo) & (f("pbucket") < hi)
-        if token.startswith("f|"):
-            tbl = self._blocks_ds.to_table(
-                filter=tok_filter, columns=["docs_bin"]
-            )
-            parts = [unpack_deltas(b.as_py()) for b in tbl.column("docs_bin")]
-            if parts:
-                docs = np.sort(np.concatenate(parts).astype(np.int64))
-                out = (docs, np.zeros(len(docs), np.int64),
-                       np.zeros(len(docs), np.float32))
+        is_filter = token.startswith("f|")
+        cols = ["n", "max_boost", "min_doc", "max_doc", "docs_bin"]
+        if not is_filter:
+            cols += ["tfs_bin", "boosts_bin"]
+        tbl = self._blocks_ds.to_table(filter=tok_filter, columns=cols)
+        tb = _TokenBlocks(tbl, is_filter)
+        self._blocks[token] = tb
+        return tb
+
+    def _token_arrays(self, token: str):
+        """(docs asc int64, tf int64, boost float32) for one token —
+        full decode, cached (the non-scan collection path)."""
+        return self._token_blocks(token).full()
+
+    def scan_top_docs(self, tokens: list[str], limit: int) -> np.ndarray:
+        """Exact top-``limit`` doc set of a token group by
+        (-boost, doc) — see ``_scan_top``."""
+        du, _ = self._scan_top(tokens, limit)
+        return np.sort(du)
+
+    def _scan_top(self, tokens: list[str], limit: int):
+        key = (tuple(tokens), limit)
+        cached = self._scan_cache.get(key)
+        if cached is None:
+            cached = self._scan_top_uncached(tokens, limit)
+            self._scan_cache[key] = cached
+        return cached
+
+    def _scan_top_uncached(self, tokens: list[str], limit: int):
+        """Exact top-``limit`` (docs, boosts) of a token group by
+        (-boost, doc) — per-doc max over the group's tokens — decoding
+        blocks in max_boost-descending order and stopping as soon as
+        no remaining block's upper bound can reach the current k-th
+        boost (ties decoded, so the doc-index tie-break stays exact).
+        This is block-max pruning for the manual-scan probe: on a
+        Zipf-head token only the high-boost blocks are ever decoded."""
+        entries = []  # (ub, TokenBlocks, block_idx)
+        for t in tokens:
+            tb = self._token_blocks(t)
+            for i in range(tb.n_blocks):
+                entries.append((float(tb.ub[i]), tb, i))
+        entries.sort(key=lambda e: -e[0])
+        dparts: list[np.ndarray] = []
+        bparts: list[np.ndarray] = []
+        kth = None
+        pos = 0
+
+        def _reduce():
+            dall = np.concatenate(dparts)
+            ball = np.concatenate(bparts)
+            o = np.argsort(dall, kind="stable")
+            du, starts = np.unique(dall[o], return_index=True)
+            return du, np.maximum.reduceat(ball[o], starts)
+
+        while pos < len(entries):
+            # pick the next chunk that can still affect the top set:
+            # before a threshold exists, enough blocks to cover
+            # ``limit`` postings; afterwards every block whose upper
+            # bound reaches the current k-th boost (ties INCLUDED so
+            # the doc-index tie-break stays exact)
+            chunk_end = pos
+            if kth is None:
+                need = limit
+                while chunk_end < len(entries) and need > 0:
+                    need -= int(entries[chunk_end][1].n[entries[chunk_end][2]])
+                    chunk_end += 1
             else:
-                out = _EMPTY
-        else:
-            tbl = self._blocks_ds.to_table(
-                filter=tok_filter,
-                columns=["docs_bin", "tfs_bin", "boosts_bin"],
-            )
-            dparts, tparts, bparts = [], [], []
-            for db, tb, bb in zip(
-                tbl.column("docs_bin"), tbl.column("tfs_bin"),
-                tbl.column("boosts_bin"),
-            ):
-                dparts.append(unpack_deltas(db.as_py()).astype(np.int64))
-                tparts.append(varint_decode(tb.as_py()).astype(np.int64))
-                bparts.append(unpack_f32(bb.as_py()))
-            if dparts:
-                docs = np.concatenate(dparts)
-                tfs = np.concatenate(tparts)
-                boosts = np.concatenate(bparts)
-                # block fragments arrive in directory-listing order,
-                # not doc order — restore the global sort (docs are
-                # unique across blocks)
-                o = np.argsort(docs, kind="stable")
-                out = (docs[o], tfs[o], boosts[o])
-            else:
-                out = _EMPTY
-        self._arrays[token] = out
-        return out
+                while chunk_end < len(entries) and entries[chunk_end][0] >= kth:
+                    chunk_end += 1
+                if chunk_end == pos:
+                    break
+            for ub, tb, i in entries[pos:chunk_end]:
+                docs, _, boosts = tb.decode_block(i)
+                dparts.append(docs)
+                bparts.append(boosts.astype(np.float64))
+            pos = chunk_end
+            if not dparts:
+                break
+            du, bu = _reduce()
+            if len(du) >= limit:
+                top = np.lexsort((du, -bu))[:limit]
+                kth = float(bu[top].min())
+            elif pos >= len(entries):
+                break
+        if not dparts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        du, bu = _reduce()
+        top = np.lexsort((du, -bu))[:limit]
+        return du[top], bu[top]
+
+    def arrays_within(self, token: str, docs_sorted: np.ndarray):
+        """Postings of ``token`` restricted to a sorted candidate doc
+        set, decoding only blocks whose [min_doc, max_doc] range
+        intersects it (the membership/boost probe of scan-mode
+        conjunctions and of per-candidate scoring)."""
+        tb = self._token_blocks(token)
+        return tb.covering(docs_sorted)
 
     def postings(self, token: str) -> dict[int, float]:
         """Dict view for the pure-dict spec path (tests); the fast
@@ -198,15 +361,16 @@ class ParquetIndex(ExpansionMixin):
         return view
 
     def posting_count(self, token: str) -> int:
-        return len(self._token_arrays(token)[0])
+        # block metadata only — counting never decodes payloads
+        return int(self._token_blocks(token).n.sum())
 
     def tf_of(self, token: str, d: int) -> int:
-        docs, tfs, _ = self._token_arrays(token)
+        docs, tfs, _ = self._token_blocks(token).point(d)
         i = int(np.searchsorted(docs, d))
         return int(tfs[i]) if i < len(docs) and docs[i] == d else 0
 
     def boost_of(self, token: str, d: int) -> float:
-        docs, _, boosts = self._token_arrays(token)
+        docs, _, boosts = self._token_blocks(token).point(d)
         i = int(np.searchsorted(docs, d))
         return float(boosts[i])
 
@@ -374,6 +538,33 @@ class ShardedIndex(ExpansionMixin):
     def posting_count(self, token: str) -> int:
         return sum(sh.posting_count(token) for sh in self.shards)
 
+    def scan_top_docs(self, tokens: list[str], limit: int) -> np.ndarray:
+        """Global exact top-``limit`` = reduce of per-shard block-max
+        tops (shard doc spaces are disjoint, so per-shard top-limit
+        sets cover the global top-limit)."""
+        parts = [sh._scan_top(tokens, limit) for sh in self.shards]
+        du = np.concatenate([p[0] for p in parts])
+        bu = np.concatenate([p[1] for p in parts])
+        if not len(du):
+            return du.astype(np.int64)
+        top = np.lexsort((du, -bu))[:limit]
+        return np.sort(du[top])
+
+    def arrays_within(self, token: str, docs_sorted: np.ndarray):
+        parts = [
+            sh.arrays_within(token, docs_sorted) for sh in self.shards
+        ]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return _EMPTY
+        if len(parts) == 1:
+            return parts[0]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        boosts = np.concatenate([p[2] for p in parts])
+        o = np.argsort(docs, kind="stable")
+        return (docs[o], tfs[o], boosts[o])
+
     def tf_of(self, token: str, d: int) -> int:
         return self._owner(d).tf_of(token, d)
 
@@ -419,6 +610,21 @@ class FastSearch(SpecSearch):
     (-score, doc) tie-break.  Everything outside this kernel — rounds,
     relaxation, cream, cliques, scoring — is inherited from the spec."""
 
+    @staticmethod
+    def _group_max(parts: list[tuple[np.ndarray, np.ndarray]]):
+        """(docs asc unique, per-doc max boost) from per-token
+        (docs, boost_f64) fragments."""
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        if len(parts) == 1:
+            return parts[0]
+        docs = np.concatenate([p[0] for p in parts])
+        bo = np.concatenate([p[1] for p in parts])
+        o = np.argsort(docs, kind="stable")
+        docs, bo = docs[o], bo[o]
+        docs, starts = np.unique(docs, return_index=True)
+        return docs, np.maximum.reduceat(bo, starts)
+
     def run_gids(
         self,
         groups: dict[int, list[str]],
@@ -428,34 +634,51 @@ class FastSearch(SpecSearch):
         use_scan: bool = True,
     ) -> list[int]:
         index, cfg = self.index, self.cfg
+        do_scan = use_scan and all(
+            group_dfs.get(g, 0) > cfg.intersect_limit for g in gids
+        )
         gdocs: dict[int, np.ndarray] = {}
         gboost: dict[int, np.ndarray] = {}
-        for gid in gids:
-            toks = groups[gid]
-            if len(toks) == 1:
-                docs, _, boosts = index._token_arrays(toks[0])
-                bo = boosts.astype(np.float64)
-            else:
-                parts = [index._token_arrays(t) for t in toks]
-                docs = np.concatenate([p[0] for p in parts])
-                bo = np.concatenate([p[2] for p in parts]).astype(np.float64)
-                if len(docs):
-                    o = np.argsort(docs, kind="stable")
-                    docs, bo = docs[o], bo[o]
-                    docs, starts = np.unique(docs, return_index=True)
-                    bo = np.maximum.reduceat(bo, starts)
-            gdocs[gid], gboost[gid] = docs, bo
-
-        scan_set = None
-        if use_scan and all(
-            group_dfs.get(g, 0) > cfg.intersect_limit for g in gids
-        ):
-            # manual-scan mode ≙ spec: top scan_limit docs of the
-            # smallest group by (-boost, doc)
+        if do_scan and hasattr(index, "scan_top_docs"):
+            # manual-scan mode with block-max pruning: the probe set
+            # (top scan_limit of the smallest group by (-boost, doc))
+            # comes from a partial decode in max_boost order, and
+            # every other group decodes ONLY the blocks whose doc
+            # range intersects the probe set. Semantics identical to
+            # the spec (scan restriction applied during accumulation
+            # ⟺ group arrays pre-restricted to the probe set).
             sgid = min(gids, key=lambda g: (group_dfs.get(g, 0), g))
-            d_s, b_s = gdocs[sgid], gboost[sgid]
-            top_s = np.lexsort((d_s, -b_s))[: cfg.scan_limit]
-            scan_set = np.sort(d_s[top_s])
+            scan_set = index.scan_top_docs(groups[sgid], cfg.scan_limit)
+            for gid in gids:
+                parts = []
+                for t in groups[gid]:
+                    docs, _, boosts = index.arrays_within(t, scan_set)
+                    if len(docs):
+                        m = np.isin(docs, scan_set, assume_unique=True)
+                        if m.any():
+                            parts.append(
+                                (docs[m], boosts[m].astype(np.float64))
+                            )
+                gdocs[gid], gboost[gid] = self._group_max(parts)
+        else:
+            for gid in gids:
+                parts = []
+                for t in groups[gid]:
+                    docs, _, boosts = index._token_arrays(t)
+                    if len(docs):
+                        parts.append((docs, boosts.astype(np.float64)))
+                gdocs[gid], gboost[gid] = self._group_max(parts)
+            if do_scan:
+                # index without block metadata: probe from the full
+                # arrays (same spec, no pruning)
+                sgid = min(gids, key=lambda g: (group_dfs.get(g, 0), g))
+                d_s, b_s = gdocs[sgid], gboost[sgid]
+                top_s = np.lexsort((d_s, -b_s))[: cfg.scan_limit]
+                scan_set = np.sort(d_s[top_s])
+                for gid in gids:
+                    m = np.isin(gdocs[gid], scan_set, assume_unique=True)
+                    gdocs[gid] = gdocs[gid][m]
+                    gboost[gid] = gboost[gid][m]
 
         common: np.ndarray | None = None
         for gid in sorted(gids, key=lambda g: len(gdocs[g])):
@@ -465,11 +688,7 @@ class FastSearch(SpecSearch):
                 common = common[np.isin(common, gdocs[gid], assume_unique=True)]
             if not len(common):
                 return []
-        if common is None:
-            return []
-        if scan_set is not None:
-            common = common[np.isin(common, scan_set, assume_unique=True)]
-        if not len(common):
+        if common is None or not len(common):
             return []
 
         pre = np.zeros(len(common), dtype=np.float64)

@@ -145,9 +145,9 @@ def test_serving_lazy_loading(index_paths, cfg):
     """A single query must fault in only its own expansion tokens,
     never the whole posting store (the at-scale contract)."""
     srv = LocalSearchEngine(index_paths, cfg)
-    assert len(srv.index._arrays) == 0
+    assert len(srv.index._blocks) == 0
     srv.search([Query(qid="q", q="error file", k=5)])
-    assert 0 < len(srv.index._arrays) < max(10, len(srv.index.df) // 10)
+    assert 0 < len(srv.index._blocks) < max(10, len(srv.index.df) // 10)
     # doc partitions fetched only for candidate pbuckets
     n_pbuckets = {int(d) >> srv.index._doc_shift for d in range(srv.index.n_docs)}
     assert len(srv.index._doc_cache) <= len(n_pbuckets)
@@ -244,14 +244,28 @@ def test_serving_get_by_natural_key(server, corpus_pdf):
     assert server.get("conv-does-not-exist", 0) is None
 
 
-def test_serving_sharded_rank_identity(index_paths, cfg, corpus_pdf):
+def test_serving_sharded_rank_identity(spark, tmp_index_root, corpus_pdf):
     """Horizontal-scaling evidence: a coordinator over pbucket-range
     shards (scatter-gather posting reads, doc fetches routed to the
     owning shard) must be rank-identical to the unsharded server —
     pbucket is the high bits of doc_index, so shard-order concat IS
-    the global doc order."""
-    single = LocalSearchEngine(index_paths, cfg)
-    sharded = LocalSearchEngine(index_paths, cfg, shards=3)
+    the global doc order. The index layout here forces MANY pbuckets
+    (doc_bucket_bits=2, pbucket_shift=1 → 8 docs per pbucket) so
+    every shard provably owns real postings — a coarse layout would
+    park the whole small corpus in shard 0 and prove nothing."""
+    shard_cfg = EngineConfig(
+        build_partitions=8,
+        doc_bucket_bits=2,
+        pbucket_shift=1,
+        posting_block_size=16,
+        common_threshold=400,
+    )
+    sdf = transcripts_df(spark, N_CONVS, seed=42)
+    paths = build_index(
+        spark, sdf, shard_cfg, str(Path(tmp_index_root) / "sharded_test")
+    )
+    single = LocalSearchEngine(paths, shard_cfg)
+    sharded = LocalSearchEngine(paths, shard_cfg, shards=3)
     assert len(sharded.index.shards) == 3
     queries = _queries(corpus_pdf) + [
         Query(qid="shf", q="error file", k=10, filters={"role": ["user"]}),
@@ -259,7 +273,66 @@ def test_serving_sharded_rank_identity(index_paths, cfg, corpus_pdf):
     got = sharded.search(queries)
     want = single.search(queries)
     _assert_identical(got, want, min_nonempty=25, score_rtol=0.0)
-    # every shard actually served postings (the corpus spans the
-    # pbucket space)
-    served = [len(sh._arrays) for sh in sharded.index.shards]
+    # every shard actually decoded nonempty postings (its pbucket
+    # range holds real docs)
+    served = [
+        sum(int(tb.n.sum()) for tb in sh._blocks.values())
+        for sh in sharded.index.shards
+    ]
     assert all(n > 0 for n in served), served
+    # and the sharded engine agrees with the corpus oracle too
+    want_o = oracle_search(OracleIndex(corpus_pdf, shard_cfg), queries, shard_cfg)
+    _assert_identical(got, want_o, score_rtol=0.0)
+
+
+def test_serving_scan_blockmax_partial_decode(spark, tmp_index_root, corpus_pdf):
+    """Manual-scan mode with block-max pruning: identity with the
+    pure-dict spec flow under a config where EVERY query group is
+    'common' (intersect_limit=50), plus direct scan_top_docs
+    equivalence against a brute-force reduce — including boost-tied
+    blocks, where the stop rule must keep decoding equal-upper-bound
+    blocks for the doc-index tie-break."""
+    scan_cfg = EngineConfig(
+        build_partitions=8,
+        doc_bucket_bits=8,
+        posting_block_size=16,
+        common_threshold=30,
+        intersect_limit=50,
+        scan_limit=60,
+    )
+    sdf = transcripts_df(spark, N_CONVS, seed=42)
+    paths = build_index(
+        spark, sdf, scan_cfg, str(Path(tmp_index_root) / "scan_test")
+    )
+    fast = LocalSearchEngine(paths, scan_cfg, mode="fast")
+    spec = LocalSearchEngine(paths, scan_cfg, mode="spec")
+    queries = [
+        Query(qid="sc1", q="the of", k=10),
+        Query(qid="sc2", q="the of to and", k=10),
+        Query(qid="sc3", q="error file", k=10),
+        Query(qid="sc4", q="the of", k=10, filters={"role": ["user"]}),
+    ]
+    got = fast.search(queries)
+    want = spec.search(queries)
+    _assert_identical(got, want, min_nonempty=3, score_rtol=0.0)
+
+    # direct probe equivalence vs brute force, on a common token
+    idx = LocalSearchEngine(paths, scan_cfg).index
+    tok = max(idx.df, key=lambda t: idx.df[t])
+    for limit in (5, 60, 10_000):
+        got_docs = idx.scan_top_docs([tok], limit)
+        docs, _, boosts = idx._token_arrays(tok)
+        bo = boosts.astype(np.float64)
+        top = np.lexsort((docs, -bo))[:limit]
+        want_docs = np.sort(docs[top])
+        assert np.array_equal(got_docs, want_docs), (tok, limit)
+
+    # pruning actually happened for a small probe limit on a fresh
+    # store (no full decode yet)
+    fresh = LocalSearchEngine(paths, scan_cfg).index
+    fresh.scan_top_docs([tok], 5)
+    tb = fresh._blocks[tok]
+    assert tb.n_blocks > 3
+    assert 0 < tb.blocks_decoded < tb.n_blocks, (
+        tb.blocks_decoded, tb.n_blocks
+    )
