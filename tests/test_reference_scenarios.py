@@ -54,16 +54,29 @@ def setup(spark, tmp_index_root):
     )
     out = str(Path(tmp_index_root) / "ref_scenarios")
     paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
-    return SearchEngine(spark, paths, cfg), OracleIndex(pdf, cfg), cfg
+    from addok_spark.serving.local import LocalSearchEngine
+
+    return (
+        SearchEngine(spark, paths, cfg),
+        OracleIndex(pdf, cfg),
+        cfg,
+        LocalSearchEngine(paths, cfg),
+    )
 
 
 def _search(setup, q, **kw):
-    engine, oracle, cfg = setup
+    engine, oracle, cfg = setup[:3]
     query = Query(qid="s", q=q, k=10, **kw)
     got = engine.search([query]).toPandas()
     want = oracle_search(oracle, [query], cfg)
     assert list(got["doc_index"]) == list(want["doc_index"]), (
         f"engine/oracle diverge for {q!r}:\n{got}\n{want}"
+    )
+    # the warm serving tier must replay reference-scorer semantics
+    # identically over the same index files
+    served = setup[3].search([query])
+    assert list(served["doc_index"]) == list(want["doc_index"]), (
+        f"serving/oracle diverge for {q!r}:\n{served}\n{want}"
     )
     return got
 
@@ -144,7 +157,7 @@ def test_autocomplete_startswith_ladder(setup):
 
 def test_does_not_fail_without_usable_tokens(setup):
     # test_search.py:598-599
-    engine, _, _ = setup
+    engine = setup[0]
     assert len(engine.search([Query(qid="x", q="./.$*", k=5)]).toPandas()) == 0
 
 
@@ -178,11 +191,18 @@ def _mk(spark, tmp_index_root, name, texts_roles, **cfg_kw):
     cfg = EngineConfig(**base)
     out = str(Path(tmp_index_root) / name)
     paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
-    return SearchEngine(spark, paths, cfg), OracleIndex(pdf, cfg), cfg
+    from addok_spark.serving.local import LocalSearchEngine
+
+    return (
+        SearchEngine(spark, paths, cfg),
+        OracleIndex(pdf, cfg),
+        cfg,
+        LocalSearchEngine(paths, cfg),
+    )
 
 
 def _q(env, q, **kw):
-    engine, oracle, cfg = env
+    engine, oracle, cfg = env[:3]
     kw.setdefault("k", 10)
     query = Query(qid="s", q=q, **kw)
     got = engine.search([query]).toPandas()
@@ -190,6 +210,9 @@ def _q(env, q, **kw):
     g = list(got["doc_index"]) if "doc_index" in got.columns else []
     w = list(want["doc_index"]) if "doc_index" in want.columns else []
     assert g == w, f"engine/oracle diverge for {q!r}:\n{got}\n{want}"
+    served = env[3].search([query])
+    s = list(served["doc_index"]) if "doc_index" in served.columns else []
+    assert s == w, f"serving/oracle diverge for {q!r}:\n{served}\n{want}"
     return got
 
 
@@ -440,7 +463,14 @@ def test_filter_indexes_multiple_values(spark, tmp_index_root):
     )
     out = str(Path(tmp_index_root) / "ref_multival_filter")
     paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
-    env = (SearchEngine(spark, paths, cfg), OracleIndex(pdf, cfg), cfg)
+    from addok_spark.serving.local import LocalSearchEngine
+
+    env = (
+        SearchEngine(spark, paths, cfg),
+        OracleIndex(pdf, cfg),
+        cfg,
+        LocalSearchEngine(paths, cfg),
+    )
     assert set(
         _q(env, "paris", filters={"tool": ["python"]})["conv_id"]
     ) == {"doc-0"}
