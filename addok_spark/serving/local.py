@@ -64,6 +64,24 @@ _EMPTY = (
 )
 
 
+class _LRU(dict):
+    """Bounded insertion-order cache: at 10^12 turns a serving node
+    cannot keep every doc row / folded label / probe result it ever
+    touched, so each cache evicts oldest-inserted past ``maxsize``
+    (plain dict preserves insertion order; re-inserts are cheap)."""
+
+    __slots__ = ("maxsize",)
+
+    def __init__(self, maxsize: int):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __setitem__(self, key, value):
+        if key not in self and len(self) >= self.maxsize:
+            del self[next(iter(self))]
+        dict.__setitem__(self, key, value)
+
+
 class _TokenBlocks:
     """Block-granular lazy posting store of ONE token: metadata
     (n / max_boost / min_doc / max_doc) held as numpy, payloads
@@ -219,14 +237,14 @@ class ParquetIndex(ExpansionMixin):
         )
         self.warmup_seconds = time.perf_counter() - t0
 
-        self._blocks: dict[str, _TokenBlocks] = {}
-        self._scan_cache: dict[tuple, tuple] = {}
-        self._dict_views: dict[str, dict[int, float]] = {}
-        self._doc_cache: dict[int, pd.DataFrame] = {}
-        self._row_cache: dict[int, pd.Series] = {}
-        self._fold_cache: dict[int, str] = {}
-        self._prefix_cache: dict[str, list[str]] = {}
-        self._pair_cache: dict[str, set[str]] = {}
+        self._blocks: dict[str, _TokenBlocks] = _LRU(100_000)
+        self._scan_cache: dict[tuple, tuple] = _LRU(1024)
+        self._dict_views: dict[str, dict[int, float]] = _LRU(10_000)
+        self._doc_cache: dict[int, pd.DataFrame] = _LRU(64)
+        self._row_cache: dict[int, pd.Series] = _LRU(100_000)
+        self._fold_cache: dict[int, str] = _LRU(100_000)
+        self._prefix_cache: dict[str, list[str]] = _LRU(50_000)
+        self._pair_cache: dict[str, set[str]] = _LRU(50_000)
 
     def refresh(self) -> None:
         """Re-open the index after a CDC batch (incremental.py
@@ -737,9 +755,28 @@ class LocalSearchEngine:
         return self.index.get_doc(conv_id, turn_idx)
 
     def search(self, queries: list[Query]) -> pd.DataFrame:
+        import time as _time
+
         for q in queries:
             if len(q.q) > self.cfg.query_max_length:
                 raise ValueError(
                     f"query too long ({len(q.q)} > {self.cfg.query_max_length})"
                 )
-        return self._searcher.search(queries)
+        trace = []
+        frames = []
+        blocks = getattr(self.index, "_blocks", None)
+        for q in queries:
+            t0 = _time.perf_counter()
+            b0 = len(blocks) if blocks is not None else 0
+            rdf = self._searcher.search([q])
+            frames.append(rdf)
+            entry = {
+                "qid": q.qid,
+                "seconds": round(_time.perf_counter() - t0, 4),
+                "rows": int(len(rdf)),
+            }
+            if blocks is not None:
+                entry["tokens_faulted"] = len(blocks) - b0
+            trace.append(entry)
+        self.last_trace = trace
+        return pd.concat(frames, ignore_index=True)

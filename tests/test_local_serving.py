@@ -336,3 +336,25 @@ def test_serving_scan_blockmax_partial_decode(spark, tmp_index_root, corpus_pdf)
     assert 0 < tb.blocks_decoded < tb.n_blocks, (
         tb.blocks_decoded, tb.n_blocks
     )
+
+
+def test_serving_trace_and_bounded_caches(index_paths, cfg):
+    """Per-query trace (latency, result rows, tokens faulted) and
+    LRU-bounded caches — a serving node's working set must not grow
+    without bound at 10^12 turns."""
+    from addok_spark.serving.local import _LRU
+
+    srv = LocalSearchEngine(index_paths, cfg)
+    srv.search([Query(qid="t1", q="error file", k=5),
+                Query(qid="t2", q="zzzz qqqq", k=5)])
+    assert [e["qid"] for e in srv.last_trace] == ["t1", "t2"]
+    assert srv.last_trace[0]["rows"] >= 0
+    assert srv.last_trace[0]["tokens_faulted"] > 0
+    assert srv.last_trace[0]["seconds"] >= 0
+
+    lru = _LRU(3)
+    for i in range(10):
+        lru[i] = i
+    assert len(lru) == 3 and set(lru) == {7, 8, 9}
+    lru[8] = 80  # re-insert does not evict
+    assert set(lru) == {7, 8, 9}
