@@ -30,6 +30,7 @@ import re
 import unicodedata
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -428,10 +429,19 @@ def str_distance_keys(query: str, labels: list[str]) -> list[float]:
 
 
 def make_compare_str_udf():
+    """str_distance tie-break UDF: rows arrive grouped by query (the
+    scoring join fans one query out over its candidates), so each
+    distinct query's labels run through ONE batched DP
+    (str_distance_keys — bit-equal to the per-pair call)."""
+
     def _cmp(q: pd.Series, lbl: pd.Series) -> pd.Series:
-        return pd.Series(
-            [str_distance_key(a or "", b or "") for a, b in zip(q, lbl)]
-        )
+        out = np.empty(len(q), dtype=np.float64)
+        qv = q.fillna("").to_numpy()
+        lv = lbl.fillna("").to_numpy()
+        for query in pd.unique(qv):
+            m = np.flatnonzero(qv == query)
+            out[m] = str_distance_keys(query, [lv[i] for i in m])
+        return pd.Series(out)
 
     return F.pandas_udf(_cmp, T.DoubleType())
 

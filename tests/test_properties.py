@@ -118,8 +118,17 @@ def test_levenshtein_triangle(a, b, c):
 
 @given(TEXT)
 @settings(max_examples=200, deadline=None)
-def test_fold_idempotent(s):
-    assert fold_str(fold_str(s)) == fold_str(s)
+def test_fold_eventually_idempotent(s):
+    """fold lowercases BEFORE transliterating (the reference's
+    ``unidecode(s.lower())`` order, helpers/text.py:106), so a
+    compatibility symbol like 🄐 folds to '(A)' once and '(a)' on the
+    second pass — both sides share the behavior, and from the second
+    application on the output is a fixpoint."""
+    twice = fold_str(fold_str(s))
+    assert fold_str(twice) == twice
+    # plain ascii-ish inputs fold in one pass
+    if s.isascii():
+        assert fold_str(s) == twice
 
 
 @given(TEXT)
