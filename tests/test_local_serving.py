@@ -358,3 +358,36 @@ def test_serving_trace_and_bounded_caches(index_paths, cfg):
     assert len(lru) == 3 and set(lru) == {7, 8, 9}
     lru[8] = 80  # re-insert does not evict
     assert set(lru) == {7, 8, 9}
+
+
+def test_serving_without_side_tables(spark, tmp_path, corpus_pdf):
+    """An index built without prefixes/pairs (the reference's
+    mass-import shape, ngrams deferred) must still serve: autocomplete
+    degrades to no expansions, fuzzy to presence-only — same as the
+    Spark engine's behavior on the same index."""
+    bare_cfg = EngineConfig(
+        build_partitions=4,
+        doc_bucket_bits=8,
+        posting_block_size=64,
+        common_threshold=400,
+        build_prefixes=False,
+        build_pairs=False,
+    )
+    sdf = transcripts_df(spark, 10, seed=42)
+    paths = build_index(spark, sdf, bare_cfg, str(tmp_path / "bare_idx"))
+    srv = LocalSearchEngine(paths, bare_cfg)
+    assert srv.index._prefix_ds is None and srv.index._pairs_ds is None
+    assert srv.index.have_pairs is False
+    words = corpus_pdf["text"].iloc[0].split()[:3]
+    r = srv.search([
+        Query(qid="b1", q=" ".join(words), k=5),
+        Query(qid="b2", q=words[0][:4], k=5, autocomplete=True),
+        Query(qid="b3", q=words[0][:-1] + "x " + words[1], k=5),  # typo
+    ])
+    assert len(r[r.qid == "b1"]) > 0
+    # and the Spark engine agrees on the same bare index
+    eng = SearchEngine(spark, paths, bare_cfg)
+    for qid, q in [("b1", " ".join(words))]:
+        got = eng.search([Query(qid=qid, q=q, k=5)]).toPandas()
+        want = r[r.qid == qid]
+        assert list(got["doc_index"]) == list(want["doc_index"])
