@@ -80,7 +80,8 @@ def cmd_search(args) -> None:
 
     filters = json.loads(args.filters) if args.filters else {}
     queries = [Query(qid="cli", q=args.query, k=args.k,
-                     autocomplete=args.autocomplete, filters=filters)]
+                     autocomplete=args.autocomplete, filters=filters,
+                     phrase=getattr(args, "phrase", False))]
     if getattr(args, "local", False):
         # warm serving tier: no Spark session, pruned parquet reads
         from .serving.local import LocalSearchEngine
@@ -234,6 +235,8 @@ def main(argv=None) -> None:
     s.add_argument("--synonyms")
     s.add_argument("--local", action="store_true",
                    help="answer from the warm serving tier (no Spark)")
+    s.add_argument("--phrase", action="store_true",
+                   help="quoted-phrase mode (consecutive tokens in order)")
 
     sv = sub.add_parser("serve")
     sv.add_argument("--index", required=True)

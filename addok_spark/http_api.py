@@ -38,11 +38,13 @@ def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[
         return 400, {"error": "bad limit"}
     limit = max(1, min(100, limit))  # http/base.py:176-178
     autocomplete = (params.get("autocomplete") or ["0"])[0] in ("1", "true")
+    phrase = (params.get("phrase") or ["0"])[0] in ("1", "true")
     filters = {
         k: params[k] for k in engine.cfg.filter_fields if params.get(k)
     }  # repeated param = OR; multiple fields = AND (≙ FILTERS config)
     out = engine.search(
-        [Query(qid="http", q=q, k=limit, autocomplete=autocomplete, filters=filters)]
+        [Query(qid="http", q=q, k=limit, autocomplete=autocomplete,
+               filters=filters, phrase=phrase)]
     )
     # Spark engine returns a Spark DataFrame; the warm serving tier
     # (serving/local.py LocalSearchEngine) a pandas frame — same row

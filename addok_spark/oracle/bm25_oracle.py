@@ -131,6 +131,10 @@ class OracleIndex(ExpansionMixin):
         self.boost: dict[str, dict[int, float]] = defaultdict(dict)
         self.dl = np.zeros(len(corpus), dtype=np.int64)
         fields = [(f.name, f.boost) for f in cfg.fields if f.name in corpus.columns]
+        # per-(token, doc) position lists in the concatenated field
+        # token stream — same counter the index build packs into
+        # pos_bin (phrase-mode positional matching)
+        self.positions: dict[str, dict[int, list[int]]] = defaultdict(dict)
         for row in corpus.itertuples(index=False):
             d = int(row.doc_index)
             imp = float(getattr(row, "importance", 0.0) or 0.0)
@@ -146,6 +150,7 @@ class OracleIndex(ExpansionMixin):
                 for t in toks:
                     tfs[t] = tfs.get(t, 0) + 1
                     fb[t] = max(fb.get(t, 0.0), w)
+                    self.positions[t].setdefault(d, []).append(pos)
                     pos += 1
             self.dl[d] = pos
             for t, c in tfs.items():
@@ -204,6 +209,10 @@ class OracleIndex(ExpansionMixin):
                 for i, a in enumerate(ts):
                     for b in ts[i + 1:]:
                         self.pairs.add((a, b))
+
+    def token_positions(self, token: str) -> dict[int, list[int]]:
+        """doc → position list of one token (phrase mode)."""
+        return self.positions.get(token, {})
 
     def doc(self, d: int):
         """Row accessor (supports ``row[col]`` / ``row.get``) — the
@@ -281,9 +290,36 @@ class SpecSearch:
         return [d for _, d in hits[:bucket_limit]]
 
     # -- per-query flow ------------------------------------------------------
+    def phrase_occurrences(self, seq: list[str]) -> dict[int, int]:
+        """doc → number of consecutive-in-order occurrences of the
+        analyzed token sequence (positional anchor intersection: a
+        token at position p matching sequence offset o anchors a
+        phrase start at p-o; the phrase occurs at every anchor all
+        offsets share). Pure-dict spec; the serving tier overrides
+        with a vectorized twin."""
+        index = self.index
+        per_doc: dict[int, set[int]] | None = None
+        for off, t in enumerate(seq):
+            cur = {
+                d: {int(p) - off for p in ps}
+                for d, ps in index.token_positions(t).items()
+            }
+            if per_doc is None:
+                per_doc = cur
+            else:
+                per_doc = {
+                    d: per_doc[d] & s for d, s in cur.items() if d in per_doc
+                }
+            per_doc = {d: s for d, s in per_doc.items() if s}
+            if not per_doc:
+                return {}
+        return {d: len(s) for d, s in (per_doc or {}).items()}
+
     def _one(self, q) -> pd.DataFrame | None:
         index, cfg = self.index, self.cfg
-        toks = analyze_str(q.q, cfg.synonyms)
+        is_phrase = bool(getattr(q, "phrase", False))
+        seq = analyze_str(q.q, cfg.synonyms)  # ordered, duplicates kept
+        toks = seq
         seen: set[str] = set()
         toks = [t for t in toks if not (t in seen or seen.add(t))]
         groups: dict[int, list[str]] = {}
@@ -292,6 +328,14 @@ class SpecSearch:
         for gid, tok in enumerate(toks):
             df = index.df.get(tok, 0)
             last = gid == len(toks) - 1
+            if is_phrase:
+                # phrase mode: no expansions ever — singleton groups
+                # for scoring; a df-0 token just can't match
+                groups[gid] = [tok]
+                group_dfs[gid] = df
+                if 0 < df <= cfg.common_threshold:
+                    meaningful.append((df, gid, tok))
+                continue
             if df == 0 or (getattr(q, "autocomplete", False) and last):
                 exp: list[tuple[str, int]] = [(tok, df)] if df > 0 else []
                 if getattr(q, "autocomplete", False) and last:
@@ -371,6 +415,23 @@ class SpecSearch:
                 ),
                 reverse=True,
             )
+
+        if is_phrase:
+            # candidates = positional phrase matches, filter-set
+            # constrained BEFORE the cap, ordered (-occurrences, doc)
+            matched = (
+                self.phrase_occurrences(seq)
+                if seq and all(index.df.get(t, 0) > 0 for t in seq)
+                else {}
+            )
+            for gid in filter_gids:
+                fdocs: set[int] = set()
+                for fk in groups[gid]:
+                    fdocs |= set(index.postings(fk))
+                matched = {d: c for d, c in matched.items() if d in fdocs}
+            ordered_m = sorted(matched.items(), key=lambda kv: (-kv[1], kv[0]))
+            candidates.update(d for d, _ in ordered_m[:bucket_limit])
+            done = True
 
         for round_no in (1, 3, 4):
             if done:

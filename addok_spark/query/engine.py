@@ -208,6 +208,12 @@ class Query:
     k: int = 10
     autocomplete: bool = False
     filters: dict[str, list[str]] = field(default_factory=dict)
+    # quoted-phrase mode: candidates are docs whose analyzed token
+    # sequence contains the query's tokens CONSECUTIVELY in order
+    # (positional postings); no fuzzy/autocomplete/relaxation, then
+    # normal BM25 scoring — an extension beyond the reference (Redis
+    # zsets carry no positions; this index stores them per posting)
+    phrase: bool = False
 
 
 # group ids at/above this are FILTER groups (f|name|value doc-set
@@ -235,6 +241,7 @@ class _QState:
     group_df: dict[int, int] = field(default_factory=dict)  # min df per group
     candidates: set[int] = field(default_factory=set)
     done: bool = False
+    phrase_seq: list[str] | None = None   # ordered analyzed tokens (dups kept)
 
     @property
     def filter_gids(self) -> list[int]:
@@ -334,11 +341,13 @@ class SearchEngine:
         states: dict[str, _QState] = {}
         all_tokens: set[str] = set()
         analyzed: dict[str, list[str]] = {}
+        raw_seqs: dict[str, list[str]] = {}
         fkeys: dict[str, list[tuple[int, list[str]]]] = {}
         for q in queries:
             if len(q.q) > cfg.query_max_length:
                 raise ValueError(f"query too long ({len(q.q)} > {cfg.query_max_length})")
             toks = analyze_str(q.q, cfg.synonyms)
+            raw_seqs[q.qid] = toks  # ordered, duplicates kept (phrase)
             # order-preserving dedup (zinterstore collapses dup keys)
             seen: set[str] = set()
             toks = [t for t in toks if not (t in seen or seen.add(t))]
@@ -365,6 +374,8 @@ class SearchEngine:
         want_prefix: set[str] = set()
         want_fuzzy: set[str] = set()
         for q in queries:
+            if getattr(q, "phrase", False):
+                continue  # phrase mode never expands
             toks = analyzed[q.qid]
             for gid, tok in enumerate(toks):
                 df = dfs.get(tok, 0)
@@ -409,6 +420,8 @@ class SearchEngine:
         have_pairs = self.pairs is not None
         if have_pairs:
             for q in queries:
+                if getattr(q, "phrase", False):
+                    continue
                 toks = analyzed[q.qid]
                 for gid, tok in enumerate(toks):
                     last = gid == len(toks) - 1
@@ -438,9 +451,18 @@ class SearchEngine:
             groups: dict[int, list[str]] = {}
             group_df: dict[int, int] = {}
             meaningful: list[tuple[int, int, str]] = []  # (df, gid, token)
+            is_phrase = bool(getattr(q, "phrase", False))
             for gid, tok in enumerate(toks):
                 df = dfs.get(tok, 0)
                 last = gid == len(toks) - 1
+                if is_phrase:
+                    # phrase mode: singleton scoring groups, no
+                    # expansions; a df-0 token simply cannot match
+                    groups[gid] = [tok]
+                    group_df[gid] = df
+                    if 0 < df <= cfg.common_threshold:
+                        meaningful.append((df, gid, tok))
+                    continue
                 if df == 0 or (q.autocomplete and last):
                     exp: list[tuple[str, int]] = [(tok, df)] if df > 0 else []
                     if q.autocomplete and last:
@@ -516,8 +538,149 @@ class SearchEngine:
                 # no usable word tokens → abort (≙ the
                 # no_available_tokens_abort guard, collectors.py:10-17)
                 done=no_token_groups,
+                phrase_seq=(
+                    raw_seqs[q.qid]
+                    if getattr(q, "phrase", False) and not no_token_groups
+                    else None
+                ),
             )
         return states
+
+    # ------------------------------------------------------------------
+    def _phrase_round(self, states: dict[str, _QState]) -> None:
+        """Collection for phrase-mode queries (Query.phrase): one
+        batched positional job — blocks of the phrase tokens decoded
+        to (doc, position) streams (the phrase operator's vectorized
+        unpack, query/phrase.py), anchors normalized by sequence
+        offset, a phrase occurrence = an anchor every offset shares.
+        Filter f| doc sets constrain BEFORE the cap; candidates = top
+        max(BUCKET_MAX, k) by (-occurrences, doc_index). Spec twin:
+        SpecSearch.phrase_occurrences (oracle/bm25_oracle.py)."""
+        from .phrase import _unpack_positions
+
+        cfg = self.cfg
+        todo = {
+            qid: st for qid, st in states.items()
+            if st.phrase_seq is not None and not st.done
+        }
+        if not todo:
+            return
+        for st in todo.values():
+            st.done = True  # phrase queries never relax / fuzz / creep
+        live = {
+            qid: st for qid, st in todo.items()
+            if all(
+                st.group_df.get(g, 0) > 0
+                for g in st.groups if g < FILTER_GID_BASE
+            )
+        }
+        if not live:
+            return
+        rows = [
+            (qid, tok, off, len(st.phrase_seq))
+            for qid, st in live.items()
+            for off, tok in enumerate(st.phrase_seq)
+        ]
+        spark = self.spark
+        qdf = F.broadcast(spark.createDataFrame(
+            rows, "qid string, token string, offset int, n_required int"
+        ))
+        toks = sorted({r[1] for r in rows})
+        hits = self.blocks.filter(F.col("token").isin(toks)).join(qdf, "token")
+        # bucket prune: every distinct phrase token must have blocks
+        # in the bucket (metadata only, nothing decoded)
+        ndist = F.broadcast(spark.createDataFrame(
+            [(qid, len(set(st.phrase_seq))) for qid, st in live.items()],
+            "qid string, n_tokens int",
+        ))
+        buck = (
+            hits.groupBy("qid", "bucket")
+            .agg(F.countDistinct("token").alias("nt"))
+            .join(ndist, "qid")
+            .filter(F.col("nt") >= F.col("n_tokens"))
+            .select("qid", "bucket")
+        )
+        pruned = hits.join(buck, ["qid", "bucket"], "left_semi")
+        unp = pruned.select(
+            "qid", "offset", "n_required",
+            _unpack_positions("docs_bin", "tfs_bin", "pos_bin").alias("u"),
+        )
+        pos = unp.select(
+            "qid", "offset", "n_required",
+            F.explode(F.arrays_zip(
+                F.col("u.doc_index").alias("doc_index"),
+                F.col("u.position").alias("position"),
+            )).alias("p"),
+        ).select(
+            "qid", "offset", "n_required",
+            F.col("p.doc_index").alias("doc_index"),
+            (F.col("p.position") - F.col("offset")).alias("anchor"),
+        )
+        anchors = pos.dropDuplicates(["qid", "doc_index", "offset", "anchor"])
+        matched = (
+            anchors.groupBy("qid", "doc_index", "anchor")
+            .agg(
+                F.countDistinct("offset").alias("no"),
+                F.first("n_required").alias("nr"),
+            )
+            .filter(F.col("no") == F.col("nr"))
+            .groupBy("qid", "doc_index")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        )
+        frows = [
+            (qid, g, fk)
+            for qid, st in live.items()
+            for g in st.filter_gids
+            for fk in st.groups[g]
+        ]
+        if frows:
+            fdf = F.broadcast(spark.createDataFrame(
+                frows, "qid string, fgid long, token string"
+            ))
+            fkeys = sorted({r[2] for r in frows})
+            fh = self.blocks.filter(F.col("token").isin(fkeys)).join(fdf, "token")
+            fdocs = fh.select(
+                "qid", "fgid",
+                _unpack_block("docs_bin", "tfs_bin", "boosts_bin").alias("u"),
+            ).select(
+                "qid", "fgid",
+                F.explode(F.col("u.doc_index")).alias("doc_index"),
+            ).dropDuplicates(["qid", "fgid", "doc_index"])
+            nf = F.broadcast(spark.createDataFrame(
+                [(qid, len(st.filter_gids)) for qid, st in live.items()],
+                "qid string, nf int",
+            ))
+            fok = (
+                fdocs.groupBy("qid", "doc_index")
+                .agg(F.countDistinct("fgid").alias("ng"))
+                .join(nf, "qid")
+                .filter(F.col("ng") == F.col("nf"))
+                .select("qid", "doc_index")
+            )
+            has_f = sorted(
+                qid for qid, st in live.items() if st.filter_gids
+            )
+            matched = (
+                matched.filter(F.col("qid").isin(has_f))
+                .join(fok, ["qid", "doc_index"], "left_semi")
+                .unionByName(matched.filter(~F.col("qid").isin(has_f)))
+            )
+        lim = F.broadcast(spark.createDataFrame(
+            [(qid, max(cfg.bucket_max, st.query.k)) for qid, st in live.items()],
+            "qid string, lim int",
+        ))
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("n_occurrences"), F.asc("doc_index")
+        )
+        top = (
+            matched.withColumn("rn", F.row_number().over(w))
+            .join(lim, "qid")
+            .filter(F.col("rn") <= F.col("lim"))
+            .select("qid", "doc_index")
+            .collect()
+        )
+        for r in top:
+            live[r["qid"]].candidates.add(int(r["doc_index"]))
 
     # ------------------------------------------------------------------
     def _run_round(
@@ -806,6 +969,12 @@ class SearchEngine:
             "seconds": round(_time0.time() - _tp, 3),
             "queries": len(queries),
         }
+        if any(st.phrase_seq is not None for st in states.values()):
+            _tp = _time0.time()
+            self._phrase_round(states)
+            _plan_trace["phrase_round_seconds"] = round(
+                _time0.time() - _tp, 3
+            )
 
         def removal_order(st: _QState) -> list[int]:
             # ≙ the reducing collector's sorter (collectors.py:127-131):

@@ -245,6 +245,7 @@ class ParquetIndex(ExpansionMixin):
         self._fold_cache: dict[int, str] = _LRU(100_000)
         self._prefix_cache: dict[str, list[str]] = _LRU(50_000)
         self._pair_cache: dict[str, set[str]] = _LRU(50_000)
+        self._pos_cache: dict[str, tuple] = _LRU(10_000)
 
     def refresh(self) -> None:
         """Re-open the index after a CDC batch (incremental.py
@@ -365,6 +366,52 @@ class ParquetIndex(ExpansionMixin):
         conjunctions and of per-candidate scoring)."""
         tb = self._token_blocks(token)
         return tb.covering(docs_sorted)
+
+    def token_position_arrays(self, token: str):
+        """(docs repeated per occurrence int64, absolute position
+        int64) for one token — pos_bin decoded with the same
+        cumsum + per-posting offset reset the Spark phrase operator
+        uses (query/phrase.py). One pruned read per token, memoized."""
+        cached = self._pos_cache.get(token)
+        if cached is not None:
+            return cached
+        f = self._pads.field
+        tok_filter = f("token") == token
+        if self.pbucket_range is not None:
+            lo, hi = self.pbucket_range
+            tok_filter = tok_filter & (f("pbucket") >= lo) & (f("pbucket") < hi)
+        tbl = self._blocks_ds.to_table(
+            filter=tok_filter, columns=["docs_bin", "tfs_bin", "pos_bin"]
+        )
+        dparts, pparts = [], []
+        for db, tb, pb in zip(
+            tbl.column("docs_bin"), tbl.column("tfs_bin"), tbl.column("pos_bin")
+        ):
+            docs = unpack_deltas(db.as_py()).astype(np.int64)
+            tfs = varint_decode(tb.as_py()).astype(np.int64)
+            deltas = varint_decode(pb.as_py()).astype(np.int64)
+            if not len(deltas):
+                continue
+            starts = np.cumsum(tfs) - tfs
+            c = np.cumsum(deltas)
+            off = np.zeros(len(tfs), dtype=np.int64)
+            off[1:] = c[starts[1:] - 1]
+            dparts.append(np.repeat(docs, tfs))
+            pparts.append(c - np.repeat(off, tfs))
+        if dparts:
+            out = (np.concatenate(dparts), np.concatenate(pparts))
+        else:
+            out = (np.empty(0, np.int64), np.empty(0, np.int64))
+        self._pos_cache[token] = out
+        return out
+
+    def token_positions(self, token: str) -> dict[int, list[int]]:
+        """Dict view of the position streams (spec path)."""
+        docs, pos = self.token_position_arrays(token)
+        view: dict[int, list[int]] = {}
+        for d, p in zip(docs.tolist(), pos.tolist()):
+            view.setdefault(d, []).append(p)
+        return view
 
     def postings(self, token: str) -> dict[int, float]:
         """Dict view for the pure-dict spec path (tests); the fast
@@ -568,6 +615,25 @@ class ShardedIndex(ExpansionMixin):
         top = np.lexsort((du, -bu))[:limit]
         return np.sort(du[top])
 
+    def token_position_arrays(self, token: str):
+        parts = [sh.token_position_arrays(token) for sh in self.shards]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    def token_positions(self, token: str) -> dict[int, list[int]]:
+        docs, pos = self.token_position_arrays(token)
+        view: dict[int, list[int]] = {}
+        for d, p in zip(docs.tolist(), pos.tolist()):
+            view.setdefault(d, []).append(p)
+        return view
+
     def arrays_within(self, token: str, docs_sorted: np.ndarray):
         parts = [
             sh.arrays_within(token, docs_sorted) for sh in self.shards
@@ -627,6 +693,31 @@ class FastSearch(SpecSearch):
     gid order, lexsort top-``bucket_limit`` with the identical
     (-score, doc) tie-break.  Everything outside this kernel — rounds,
     relaxation, cream, cliques, scoring — is inherited from the spec."""
+
+    def phrase_occurrences(self, seq: list[str]) -> dict[int, int]:
+        """Vectorized twin of the spec's positional anchor
+        intersection: (doc, anchor) pairs packed into int64 keys,
+        np.isin intersection across sequence offsets, per-doc counts
+        from one unique pass — value-identical to the dict/set spec
+        (same pairs, same counts)."""
+        index = self.index
+        L = len(seq)
+        arrs = [index.token_position_arrays(t) for t in seq]
+        if not arrs or any(len(a[0]) == 0 for a in arrs):
+            return {}
+        maxpos = max(int(a[1].max()) for a in arrs)
+        m = maxpos + L + 2
+        keys = None
+        for off, (docs, pos) in enumerate(arrs):
+            k = np.unique(docs * m + (pos - off + L))
+            if keys is None:
+                keys = k
+            else:
+                keys = keys[np.isin(keys, k, assume_unique=True)]
+            if not len(keys):
+                return {}
+        du, cu = np.unique(keys // m, return_counts=True)
+        return dict(zip(du.tolist(), cu.tolist()))
 
     @staticmethod
     def _group_max(parts: list[tuple[np.ndarray, np.ndarray]]):
