@@ -93,6 +93,23 @@ class EngineConfig:
     # extra stages per round; engage it per-qid only above this
     # estimated decode volume (Σ group df)
     prune_min_postings: int = 100_000
+    # --- phrase-mode collection bounds ---
+    # doc-level conjunction on the RAREST phrase token before the
+    # position explode: every other token's (doc, position) stream is
+    # semi-joined against the rare token's doc set, so a phrase
+    # containing a stopword never shuffles the stopword's full
+    # positional postings (bounded by min-df instead of max-df).
+    # False = decode-everything path (kept for A/B evidence in bench).
+    phrase_rare_prune: bool = True
+    # broadcast the rare-token doc set into that semi-join when its
+    # df (known from the dictionary probe, no extra job) is at most
+    # this — the filter then runs map-side inside the decode stage
+    # and the common tokens' position rows never reach a shuffle
+    phrase_broadcast_docs: int = 1_000_000
+    # phrase matches above this estimated volume (Σ per-qid min df)
+    # take the two-level streaming top-n instead of the single-stage
+    # per-qid slice (same cutover shape as the non-phrase rounds)
+    phrase_two_level_min: int = 100_000
 
     # --- scoring model ---
     # "bm25" (north_rule default) or "reference": the reference's

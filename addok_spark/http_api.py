@@ -26,6 +26,44 @@ from urllib.parse import parse_qs, urlparse
 from .config import EngineConfig
 from .query.engine import Query, SearchEngine
 
+def _handle_health(engine) -> tuple[int, dict]:
+    """≙ reference /health (``addok/http/base.py:225-237``): the
+    endpoint every load balancer probes first. Answers from driver-
+    held metadata only — never runs a Spark job or a posting read —
+    on both backends (Spark SearchEngine and the warm serving tier's
+    LocalSearchEngine)."""
+    meta = None
+    version = None
+    paths = getattr(engine, "paths", None)  # Spark SearchEngine
+    idx = getattr(engine, "index", None)    # LocalSearchEngine
+    if paths is None and idx is not None:
+        meta = getattr(idx, "meta", None)
+        paths = getattr(idx, "paths", None)
+    elif paths is not None:
+        try:
+            meta = json.loads(paths.meta.read_text())
+        except Exception:
+            meta = None
+    if paths is not None:
+        version = getattr(paths, "version", None)
+    if meta is None:
+        return 503, {"status": "unavailable"}
+    body = {
+        "status": "ok",
+        "n_docs": int(meta.get("n_docs", -1)),
+        "avgdl": meta.get("avgdl"),
+        "snapshot_version": version,
+    }
+    n_tokens = (
+        meta.get("build_metrics", {}).get("dictionary", {}).get("rows")
+    )
+    if idx is not None and getattr(idx, "df", None) is not None:
+        n_tokens = len(idx.df)
+    if n_tokens is not None:
+        body["n_tokens"] = int(n_tokens)
+    return 200, body
+
+
 def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[int, dict]:
     q = (params.get("q") or [""])[0]
     if not q:
@@ -75,12 +113,16 @@ def make_server(engine: SearchEngine, host: str = "127.0.0.1", port: int = 0):
 
         def do_GET(self):
             u = urlparse(self.path)
-            if u.path.rstrip("/") != "/search":
+            route = u.path.rstrip("/")
+            if route not in ("/search", "/health"):
                 self.send_response(404)
                 self.end_headers()
                 return
             try:
-                code, body = _handle_search(engine, parse_qs(u.query))
+                if route == "/health":
+                    code, body = _handle_health(engine)
+                else:
+                    code, body = _handle_search(engine, parse_qs(u.query))
             except Exception as e:  # engine failure → 500 with reason
                 code, body = 500, {"error": str(e)[:200]}
             payload = json.dumps(body).encode()

@@ -15,23 +15,33 @@ Two operations every LLM pretraining pipeline runs at corpus scale:
 - ``pack_sequences``: concat-and-cut packing of documents into
   ~``budget``-token training sequences ("sequence packing"). Order
   must be deterministic but decorrelated from source order, and a
-  global sort is a non-starter at 100 TB — so documents are first
-  split into 16 independent hash buckets (first md5 hex char), then
-  ordered by (md5, id) within the bucket, and a windowed running sum
-  of token counts assigns ``pack_id = bucket || floor(start/budget)``.
-  Each bucket packs in parallel; a document straddling a boundary
-  belongs to the pack where it starts (concatenate-then-cut
-  semantics). Both sides (Spark window, DuckDB window) compute the
-  same fold.
+  global sort is a non-starter at 100 TB — so documents are split
+  into 16 independent hash buckets (first md5 hex char), ordered by
+  (md5, id) within the bucket, and the running sum of token counts
+  assigns ``pack_id = bucket || floor(start/budget)``. A document
+  straddling a boundary belongs to the pack where it starts
+  (concatenate-then-cut semantics). DuckDB twin = the same fold as a
+  window.
 
-Scale notes: both are one scan + (for packing) one bounded window per
-hash bucket — no shuffle beyond the bucket repartition, no skew
-(md5-uniform keys), map-side prunable columns.
+Scale notes: ``stratified_sample`` is one scan. ``pack_sequences``
+runs the running sum as a TWO-PASS offset computation (the
+``assign_doc_ids`` shape, index/build.py): documents hash-shuffle on
+a finer md5 prefix (16^depth contiguous sub-ranges of each bucket's
+global order), pass 1 folds per-sub-range token sums into O(16^depth)
+driver rows, pass 2 computes a streaming partition-local cumulative
+sum and adds the driver-computed base offsets. No single task ever
+owns a bucket's full 1/16 of the corpus (the ceiling a
+``Window.partitionBy(bucket)`` running sum would impose) —
+parallelism follows the partition count, memory per task is one
+Arrow batch, and the result is bit-identical to the window
+definition under the same total order.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _HEX_SPACE = 16 ** 8
@@ -86,7 +96,9 @@ def stratified_sample_sql(
     """DuckDB twin of ``stratified_sample`` (same md5 keys, same
     thresholds, same lexicographic predicate)."""
     branches = " ".join(
-        f"WHEN {stratum_col} = '{v}' THEN '{rate_threshold(r)}'"
+        "WHEN {c} = '{v}' THEN '{t}'".format(
+            c=stratum_col, v=str(v).replace("'", "''"), t=rate_threshold(r)
+        )
         for v, r in sorted(rates.items())
     )
     return f"""
@@ -101,38 +113,104 @@ FROM keyed WHERE sample_key < thr
 """
 
 
+def _running_offsets(id_col: str):
+    """mapInPandas fn: rows arrive sorted by (grp, sort_key, id)
+    within the partition; emit each row's cumulative token count
+    within its grp run (sum of PRECEDING rows). Bounded memory: the
+    carried state is one (grp, acc) pair across Arrow batches."""
+
+    def run(batches):
+        cur = None
+        acc = 0
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            g = pdf["grp"].to_numpy()
+            tok = pdf["n_tokens"].to_numpy()
+            cs = np.cumsum(tok) - tok  # batch-local preceding sum
+            change = np.empty(n, dtype=bool)
+            change[0] = cur is None or g[0] != cur
+            if n > 1:
+                change[1:] = g[1:] != g[:-1]
+            idx = np.arange(n, dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(change, idx, 0))
+            local = cs - cs[run_start]
+            if not change[0]:
+                local[run_start == 0] += acc  # run continuing from last batch
+            acc = int(local[-1] + tok[-1])
+            cur = g[-1]
+            out = pdf[[id_col, "bucket", "n_tokens", "grp"]].copy()
+            out["__local"] = local.astype(np.int64)
+            yield out
+
+    return run
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
     text_col: str,
     budget: int,
+    partitions: int = 64,
+    depth: int = 3,
 ) -> DataFrame:
     """Assign each document to a ~``budget``-token training pack.
 
-    Deterministic hash order inside 16 independent buckets; windowed
-    running sum of whitespace token counts; ``pack_id`` is the bucket
-    plus the pack ordinal the document STARTS in (concat-then-cut).
+    Deterministic hash order inside 16 independent buckets; running
+    sum of whitespace token counts; ``pack_id`` is the bucket plus
+    the pack ordinal the document STARTS in (concat-then-cut).
     Returns (id, bucket, n_tokens, start_offset, pack_id).
+
+    The running sum is two-pass, never a per-bucket window (which
+    would serialize 1/16 of the corpus through one task): rows
+    hash-shuffle on the first ``depth`` md5 hex chars — each ``grp``
+    is a CONTIGUOUS sub-range of its bucket's (sort_key, id) order,
+    so per-grp token sums (pass 1, O(16^depth) driver rows) give
+    exact base offsets, and pass 2 adds a streaming partition-local
+    cumulative sum. Deterministic under any partitioning: the total
+    order is (md5, id) and hash placement never affects the values.
     """
+    spark = df.sparkSession
     md5 = F.md5(F.col(id_col).cast("string"))
     toks = F.size(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     ).cast("long")
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("sort_key", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select(
+        F.col(id_col),
+        F.substring(md5, 1, 1).alias("bucket"),
+        md5.alias("sort_key"),
+        F.substring(md5, 1, depth).alias("grp"),
+        toks.alias("n_tokens"),
+    )
+    sdf = base.repartition(partitions, "grp").sortWithinPartitions(
+        "grp", "sort_key", id_col
+    )
+    # pass 1: per-grp token sums → base offset of each grp = Σ sums
+    # of lexicographically earlier grps in the same bucket (grps are
+    # contiguous ranges of the bucket's md5 order, so this is exact)
+    sums = sdf.groupBy("grp").agg(F.sum("n_tokens").alias("s")).collect()
+    acc: dict[str, int] = {}
+    offs = []
+    for r in sorted(sums, key=lambda r: r["grp"]):
+        b = r["grp"][0]
+        offs.append((r["grp"], acc.get(b, 0)))
+        acc[b] = acc.get(b, 0) + int(r["s"])
+    if not offs:
+        offs = [("", 0)]
+    off_df = spark.createDataFrame(offs, "grp string, __base long")
+    # pass 2: streaming local cumsum (one Arrow batch of state) +
+    # broadcast base-offset join — both stay in the shuffle stage
+    id_type = dict(df.dtypes)[id_col]
+    out = sdf.mapInPandas(
+        _running_offsets(id_col),
+        f"`{id_col}` {id_type}, bucket string, n_tokens long, "
+        "grp string, __local long",
     )
     return (
-        df.select(
-            F.col(id_col),
-            F.substring(md5, 1, 1).alias("bucket"),
-            md5.alias("sort_key"),
-            toks.alias("n_tokens"),
-        )
+        out.join(F.broadcast(off_df), "grp")
         .withColumn(
-            "start_offset",
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+            "start_offset", (F.col("__local") + F.col("__base")).cast("long")
         )
         .withColumn(
             "pack_id",

@@ -555,7 +555,15 @@ class SearchEngine:
         offset, a phrase occurrence = an anchor every offset shares.
         Filter f| doc sets constrain BEFORE the cap; candidates = top
         max(BUCKET_MAX, k) by (-occurrences, doc_index). Spec twin:
-        SpecSearch.phrase_occurrences (oracle/bm25_oracle.py)."""
+        SpecSearch.phrase_occurrences (oracle/bm25_oracle.py).
+
+        Scale bounds (both sides of the shuffle): (a) the rarest
+        phrase token's doc set semi-joins every position stream
+        before the anchor dedup/agg — map-side when broadcastable —
+        so decode/shuffle volume is bounded by the phrase's MIN df,
+        stopwords included; (b) the final cap runs through
+        ``_topn_per_qid`` (bounded streaming two-level merge), never
+        a single-task-per-qid window."""
         from .phrase import _unpack_positions
 
         cfg = self.cfg
@@ -601,6 +609,52 @@ class SearchEngine:
             .select("qid", "bucket")
         )
         pruned = hits.join(buck, ["qid", "bucket"], "left_semi")
+        # --- rarest-token doc conjunction (the scale bound) --------
+        # a phrase occurrence needs EVERY phrase token in the doc, so
+        # the doc set of the rarest token — its df is already known
+        # from the planning dictionary probe, no extra job — bounds
+        # the match set. Decode only that token's blocks boost-only
+        # (no position payloads) and semi-join every token's exploded
+        # (doc, position) stream against it BEFORE the anchor
+        # dedup/groupBy: a phrase containing "the" never shuffles the
+        # stopword's full positional postings — downstream volume is
+        # bounded by min-df × phrase length, not max-df. When the
+        # rare doc set is small (df ≤ phrase_broadcast_docs, the
+        # common case) it is broadcast and the filter runs map-side
+        # inside the same stage that decodes, so the big stream never
+        # reaches an exchange at all.
+        rare_docs = None
+        if cfg.phrase_rare_prune:
+            rare_rows = []
+            est_rare = 0
+            for qid, st in live.items():
+                rg = min(
+                    (g for g in st.groups if g < FILTER_GID_BASE),
+                    key=lambda g: (st.group_df.get(g, 0), st.groups[g][0]),
+                )
+                rare_rows.append((qid, st.groups[rg][0]))
+                est_rare += st.group_df.get(rg, 0)
+            rare_df = spark.createDataFrame(
+                rare_rows, "qid string, token string"
+            )
+            rtoks = sorted({t for _, t in rare_rows})
+            rhits = (
+                self.blocks.filter(F.col("token").isin(rtoks))
+                .join(F.broadcast(rare_df), "token")
+                .join(buck, ["qid", "bucket"], "left_semi")
+            )
+            rare_docs = (
+                rhits.select(
+                    "qid",
+                    _unpack_block(
+                        "docs_bin", "tfs_bin", "boosts_bin"
+                    ).alias("u"),
+                )
+                .select("qid", F.explode("u.doc_index").alias("doc_index"))
+                .dropDuplicates(["qid", "doc_index"])
+            )
+            if est_rare <= cfg.phrase_broadcast_docs:
+                rare_docs = F.broadcast(rare_docs)
         unp = pruned.select(
             "qid", "offset", "n_required",
             _unpack_positions("docs_bin", "tfs_bin", "pos_bin").alias("u"),
@@ -616,6 +670,8 @@ class SearchEngine:
             F.col("p.doc_index").alias("doc_index"),
             (F.col("p.position") - F.col("offset")).alias("anchor"),
         )
+        if rare_docs is not None:
+            pos = pos.join(rare_docs, ["qid", "doc_index"], "left_semi")
         anchors = pos.dropDuplicates(["qid", "doc_index", "offset", "anchor"])
         matched = (
             anchors.groupBy("qid", "doc_index", "anchor")
@@ -665,22 +721,30 @@ class SearchEngine:
                 .join(fok, ["qid", "doc_index"], "left_semi")
                 .unionByName(matched.filter(~F.col("qid").isin(has_f)))
             )
-        lim = F.broadcast(spark.createDataFrame(
-            [(qid, max(cfg.bucket_max, st.query.k)) for qid, st in live.items()],
-            "qid string, lim int",
-        ))
-        w = Window.partitionBy("qid").orderBy(
-            F.desc("n_occurrences"), F.asc("doc_index")
+        # final cap through the bounded distributed top-n (never a
+        # single-task-per-qid window — a two-common-token phrase can
+        # match a corpus-scale doc set); two-level streaming merge
+        # engages above the same decode-volume style estimate the
+        # non-phrase rounds use (Σ per-qid min df bounds the match
+        # set), per-qid limits applied driver-side on the ≤topn rows
+        lims = {
+            qid: max(cfg.bucket_max, st.query.k) for qid, st in live.items()
+        }
+        est_matched = sum(
+            min(
+                st.group_df.get(g, 0)
+                for g in st.groups
+                if g < FILTER_GID_BASE
+            )
+            for st in live.values()
         )
-        top = (
-            matched.withColumn("rn", F.row_number().over(w))
-            .join(lim, "qid")
-            .filter(F.col("rn") <= F.col("lim"))
-            .select("qid", "doc_index")
-            .collect()
-        )
+        top = _topn_per_qid(
+            matched, "n_occurrences", "doc_index", max(lims.values()),
+            two_level=est_matched > cfg.phrase_two_level_min,
+        ).collect()
         for r in top:
-            live[r["qid"]].candidates.add(int(r["doc_index"]))
+            if r["rn"] <= lims[r["qid"]]:
+                live[r["qid"]].candidates.add(int(r["doc_index"]))
 
     # ------------------------------------------------------------------
     def _run_round(

@@ -65,10 +65,12 @@ _EMPTY = (
 
 
 class _LRU(dict):
-    """Bounded insertion-order cache: at 10^12 turns a serving node
-    cannot keep every doc row / folded label / probe result it ever
-    touched, so each cache evicts oldest-inserted past ``maxsize``
-    (plain dict preserves insertion order; re-inserts are cheap)."""
+    """Bounded least-recently-USED cache: at 10^12 turns a serving
+    node cannot keep every doc row / folded label / probe result it
+    ever touched. Hits re-insert the key at the dict tail (plain dict
+    preserves insertion order), so eviction removes the least recently
+    touched entry — under insertion pressure the Zipf-head working set
+    (hot token blocks, hot doc rows) stays resident."""
 
     __slots__ = ("maxsize",)
 
@@ -76,8 +78,25 @@ class _LRU(dict):
         super().__init__()
         self.maxsize = maxsize
 
+    def get(self, key, default=None):
+        try:
+            value = dict.__getitem__(self, key)
+        except KeyError:
+            return default
+        dict.__delitem__(self, key)
+        dict.__setitem__(self, key, value)
+        return value
+
+    def __getitem__(self, key):
+        value = dict.__getitem__(self, key)
+        dict.__delitem__(self, key)
+        dict.__setitem__(self, key, value)
+        return value
+
     def __setitem__(self, key, value):
-        if key not in self and len(self) >= self.maxsize:
+        if key in self:
+            dict.__delitem__(self, key)
+        elif len(self) >= self.maxsize:
             del self[next(iter(self))]
         dict.__setitem__(self, key, value)
 
@@ -105,6 +124,10 @@ class _TokenBlocks:
         self._docs_bin = tbl.column("docs_bin")
         self._tfs_bin = None if is_filter else tbl.column("tfs_bin")
         self._boosts_bin = None if is_filter else tbl.column("boosts_bin")
+        # per-block decode memo: grows only until full() concatenates
+        # and clears it, so worst-case residency is bounded by the
+        # posting-store _LRU above (maxsize tokens × this token's
+        # blocks) — the store evicts whole _TokenBlocks objects
         self._dec: dict[int, tuple] = {}
         self._full = None
 
@@ -248,12 +271,18 @@ class ParquetIndex(ExpansionMixin):
         self._pos_cache: dict[str, tuple] = _LRU(10_000)
 
     def refresh(self) -> None:
-        """Re-open the index after a CDC batch (incremental.py
-        rewrites touched pbucket partitions + dictionary/prefix
-        buckets): drops every cache and reloads the term dictionary.
-        A production serving node triggers this off the build
-        manifest / Iceberg snapshot id."""
-        self.__init__(self.paths, self.cfg, self.pbucket_range)
+        """Re-open the index after a CDC batch: re-resolves the
+        published snapshot (CURRENT.json — CDC publishes versioned
+        snapshot dirs with one atomic manifest swap, incremental.py)
+        and reloads the term dictionary. Crash-safe swap: the fresh
+        view is built COMPLETELY on the side and only then replaces
+        this object's state, so a transient read failure mid-reload
+        leaves the serving instance answering from the old snapshot
+        (in-flight queries keep their pinned caches either way)."""
+        fresh = ParquetIndex(
+            IndexPaths(Path(self.paths.root)), self.cfg, self.pbucket_range
+        )
+        self.__dict__.update(fresh.__dict__)
 
     # -- postings -----------------------------------------------------------
     def _token_blocks(self, token: str) -> "_TokenBlocks":
@@ -573,7 +602,7 @@ class ShardedIndex(ExpansionMixin):
             ParquetIndex(index_dir, self.cfg, pbucket_range=b)
             for b in self._bounds
         ]
-        self._dict_views: dict[str, dict[int, float]] = {}
+        self._dict_views: dict[str, dict[int, float]] = _LRU(10_000)
 
     def _owner(self, d: int) -> "ParquetIndex":
         pb = int(d) >> self._doc_shift
@@ -680,10 +709,12 @@ class ShardedIndex(ExpansionMixin):
         return self._global.cooc(a, b)
 
     def refresh(self) -> None:
-        self._global.refresh()
-        for sh, b in zip(self.shards, self._bounds):
-            sh.refresh()
-        self._dict_views.clear()
+        # side-build + swap (see ParquetIndex.refresh): a failure
+        # mid-reload leaves the coordinator serving the old snapshot
+        fresh = ShardedIndex(
+            Path(self._global.paths.root), self.cfg, n_shards=len(self.shards)
+        )
+        self.__dict__.update(fresh.__dict__)
 
 
 class FastSearch(SpecSearch):
@@ -870,4 +901,12 @@ class LocalSearchEngine:
                 entry["tokens_faulted"] = len(blocks) - b0
             trace.append(entry)
         self.last_trace = trace
-        return pd.concat(frames, ignore_index=True)
+        # empty-safe concat: zero queries (or all-empty results)
+        # return the contract's empty-columns frame rather than
+        # raising from pd.concat / tripping the all-NA FutureWarning
+        nonempty = [f for f in frames if len(f)]
+        if nonempty:
+            return pd.concat(nonempty, ignore_index=True)
+        if frames:
+            return frames[0].iloc[0:0].reset_index(drop=True)
+        return self._searcher.search([])

@@ -81,3 +81,35 @@ def test_404(server):
     base, _ = server
     code, _, _ = _get(f"{base}/nope")
     assert code == 404
+
+
+def test_health(server):
+    """≙ reference /health route (http/base.py:225-237): cheap
+    metadata answer, no Spark job."""
+    base, engine = server
+    code, body, _ = _get(f"{base}/health")
+    assert code == 200
+    assert body["status"] == "ok"
+    assert body["n_docs"] == engine.docs.count()
+    assert body["n_tokens"] > 0
+
+
+def test_health_serving_backend(server, tmp_index_root):
+    """/health answers from the warm serving tier too, including the
+    in-RAM dictionary size."""
+    from addok_spark.http_api import serve_background
+    from addok_spark.serving.local import LocalSearchEngine
+
+    cfg = EngineConfig(
+        doc_bucket_bits=8, posting_block_size=64, common_threshold=400
+    )
+    local = LocalSearchEngine(f"{tmp_index_root}/http_idx", cfg)
+    srv, port = serve_background(local)
+    try:
+        code, body, _ = _get(f"http://127.0.0.1:{port}/health")
+        assert code == 200
+        assert body["status"] == "ok"
+        assert body["n_docs"] == local.index.n_docs
+        assert body["n_tokens"] == len(local.index.df)
+    finally:
+        srv.shutdown()

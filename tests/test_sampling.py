@@ -82,3 +82,25 @@ def test_pack_sequences_matches_reference_fold(spark, docs):
         got[key].sort_values("doc_id").reset_index(drop=True),
         again[key].sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_pack_sequences_two_pass_layout_invariant(spark, docs):
+    """The two-pass offset computation (per-grp sums → driver base
+    offsets → streaming local cumsum) must produce identical packs
+    under ANY task layout: shuffle width, grp granularity, and Arrow
+    batch splits are execution details, not semantics."""
+    budget = 64
+    key = ["doc_id", "bucket", "n_tokens", "start_offset", "pack_id"]
+    base = (
+        pack_sequences(docs, "doc_id", "text", budget)
+        .toPandas()[key].sort_values("doc_id").reset_index(drop=True)
+    )
+    for parts, depth in ((2, 1), (17, 2), (64, 4)):
+        alt = (
+            pack_sequences(
+                docs, "doc_id", "text", budget,
+                partitions=parts, depth=depth,
+            )
+            .toPandas()[key].sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, alt)
