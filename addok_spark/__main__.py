@@ -54,25 +54,50 @@ def cmd_build(args) -> None:
 
 
 def cmd_ngrams(args) -> None:
-    """Prefix-table post-pass (≙ `addok ngrams`)."""
+    """Prefix-table post-pass (≙ `addok ngrams`): builds the edge
+    n-gram table from the CURRENT dictionary. On a flat index (the
+    usual deferred-mass-import case) it writes in place; on a
+    versioned index it publishes a new snapshot with every other
+    table hardlinked, so concurrent readers never observe a
+    half-written prefix table."""
+    import shutil
+    import time
+    from pathlib import Path
+
     from .config import EngineConfig
-    from .index.build import IndexBuilder, prefixes_from_dictionary
+    from .index.build import IndexPaths, prefixes_from_dictionary
+    from .index.incremental import _link_tree
 
     spark = _spark(args)
     cfg = EngineConfig()
-    b = IndexBuilder(spark, cfg, args.index)
-    # force prefix rebuild from current dictionary
-    m = b._manifest()
-    m["stages"].pop("prefixes", None)
-    b.paths.manifest.write_text(json.dumps(m))
-    dictionary = spark.read.parquet(b.paths.dictionary)
-    b._write(
-        prefixes_from_dictionary(dictionary, cfg)
-        .repartitionByRange(cfg.build_partitions, "pfx_bucket", "prefix")
-        .sortWithinPartitions("pfx_bucket", "prefix"),
-        b.paths.prefixes, "prefixes", partition_by="pfx_bucket",
-    )
-    print(json.dumps({"prefixes": b.metrics["stages"]["prefixes"]}))
+    cur = IndexPaths(Path(args.index)).pin()
+    versioned = cur.current_version() is not None
+    if versioned:
+        stg = IndexPaths(cur.root, (cur.version or 0) + 1)
+        if stg.snapshot_root.exists():
+            shutil.rmtree(stg.snapshot_root)
+        stg.snapshot_root.mkdir(parents=True)
+        for name in ("docs", "blocks", "dictionary", "dict_partials", "pairs"):
+            src = Path(getattr(cur, name))
+            if src.exists():
+                _link_tree(src, Path(getattr(stg, name)))
+        stg.meta.write_text(cur.meta.read_text())
+        out = stg
+    else:
+        out = cur
+    t0 = time.time()
+    dictionary = spark.read.parquet(cur.dictionary)
+    prefixes_from_dictionary(dictionary, cfg).repartitionByRange(
+        cfg.build_partitions, "pfx_bucket", "prefix"
+    ).sortWithinPartitions("pfx_bucket", "prefix").write.mode(
+        "overwrite"
+    ).partitionBy("pfx_bucket").parquet(out.prefixes)
+    if versioned:
+        IndexPaths(cur.root).publish(out.version, keep=cfg.snapshot_keep)
+    print(json.dumps({"prefixes": {
+        "seconds": round(time.time() - t0, 3),
+        "version": out.version if versioned else None,
+    }}))
 
 
 def cmd_search(args) -> None:
@@ -193,9 +218,12 @@ def cmd_info(args) -> None:
     """Index stats (≙ shell DBINFO, addok/shell.py:309-327)."""
     from pathlib import Path
 
+    from .index.build import IndexPaths
+
     spark = _spark(args)
-    meta = json.loads((Path(args.index) / "meta.json").read_text())
-    blocks = spark.read.parquet(str(Path(args.index) / "blocks"))
+    paths = IndexPaths(Path(args.index)).pin()
+    meta = json.loads(paths.meta.read_text())
+    blocks = spark.read.parquet(paths.blocks)
     from pyspark.sql import functions as F
 
     agg = blocks.agg(

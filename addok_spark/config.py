@@ -151,6 +151,10 @@ class EngineConfig:
     # a backfill-sized batch must not serialize id assignment
     # through one task
     cdc_backfill_threshold: int = 100_000
+    # snapshots retained after an atomic publish (CURRENT.json swap):
+    # the published one plus keep-1 predecessors, so readers pinned to
+    # the previous snapshot finish their queries before GC reclaims it
+    snapshot_keep: int = 2
 
     @property
     def field_names(self) -> tuple[str, ...]:

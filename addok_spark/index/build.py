@@ -78,41 +78,106 @@ BLOCK_SCHEMA = T.ArrayType(
 
 @dataclass
 class IndexPaths:
+    """Index directory layout with versioned snapshot publish.
+
+    Two layouts coexist:
+
+    - **flat** (a bulk build into an empty dir): tables live directly
+      under ``root`` — ``version`` 0.
+    - **versioned** (after any CDC batch): each snapshot is a complete
+      table set under ``root/v{N:06d}/`` and ``root/CURRENT.json``
+      names the published one. Publish is a single atomic
+      ``os.replace`` of that manifest — the local-FS analog of an
+      Iceberg snapshot commit (the reference gets the same property
+      from Redis per-command atomicity). A reader NEVER sees a torn
+      table: writers only create new snapshot dirs (hardlinking
+      unchanged partition files, O(#files) not O(bytes)) and flip
+      CURRENT last.
+
+    ``version=None`` (default) resolves CURRENT.json on every access —
+    what mutators and tests want. Long-lived readers (SearchEngine,
+    serving) call ``pin()`` once so all their reads come from one
+    consistent snapshot; ``publish(..., keep=k)`` retains the last
+    ``k`` snapshots for exactly those pinned readers.
+    """
+
     root: Path
+    version: int | None = None  # None → follow CURRENT.json; 0 → flat
+
+    def current_version(self) -> int | None:
+        cur = self.root / "CURRENT.json"
+        if not cur.exists():
+            return None
+        try:
+            return int(json.loads(cur.read_text())["version"])
+        except Exception:
+            return None
+
+    def pin(self) -> "IndexPaths":
+        """A copy fixed to the snapshot published right now."""
+        if self.version is not None:
+            return self
+        v = self.current_version()
+        return IndexPaths(self.root, v if v is not None else 0)
+
+    @property
+    def snapshot_root(self) -> Path:
+        v = self.version if self.version is not None else self.current_version()
+        if not v:
+            return self.root
+        return self.root / f"v{v:06d}"
+
+    def publish(self, version: int, keep: int = 2) -> None:
+        """Atomically flip CURRENT.json to ``version`` and GC
+        snapshot dirs older than the last ``keep`` (pinned readers on
+        the previous snapshot keep working; the flat v0 layout is
+        never deleted — it doubles as the root dir)."""
+        import os
+        import re
+        import shutil as _shutil
+
+        tmp = self.root / "CURRENT.json.tmp"
+        tmp.write_text(json.dumps({"version": int(version)}))
+        os.replace(tmp, self.root / "CURRENT.json")
+        for p in self.root.iterdir():
+            m = re.fullmatch(r"v(\d{6})", p.name)
+            if m and int(m.group(1)) <= version - max(keep, 1):
+                _shutil.rmtree(p, ignore_errors=True)
 
     @property
     def docs(self) -> str:
-        return str(self.root / "docs")
+        return str(self.snapshot_root / "docs")
 
     @property
     def blocks(self) -> str:
-        return str(self.root / "blocks")
+        return str(self.snapshot_root / "blocks")
 
     @property
     def dictionary(self) -> str:
-        return str(self.root / "dictionary")
+        return str(self.snapshot_root / "dictionary")
 
     @property
     def dict_partials(self) -> str:
         # per-pbucket dictionary aggregates (pbucket-partitioned):
         # CDC recomputes only touched partitions and the global
         # dictionary folds these partials instead of all block stats
-        return str(self.root / "dict_partials")
+        return str(self.snapshot_root / "dict_partials")
 
     @property
     def prefixes(self) -> str:
-        return str(self.root / "prefixes")
+        return str(self.snapshot_root / "prefixes")
 
     @property
     def pairs(self) -> str:
-        return str(self.root / "pairs")
+        return str(self.snapshot_root / "pairs")
 
     @property
     def meta(self) -> Path:
-        return self.root / "meta.json"
+        return self.snapshot_root / "meta.json"
 
     @property
     def manifest(self) -> Path:
+        # build-stage resume state: root-level (spans snapshots)
         return self.root / "manifest.json"
 
 
@@ -1412,8 +1477,31 @@ class IndexBuilder:
     def __init__(self, spark: SparkSession, cfg: EngineConfig, out_dir: str):
         self.spark = spark
         self.cfg = cfg
-        self.paths = IndexPaths(Path(out_dir))
-        self.paths.root.mkdir(parents=True, exist_ok=True)
+        root = Path(out_dir)
+        base = IndexPaths(root)
+        curv = base.current_version()
+        # fresh dir → flat layout (version 0, tables under root).
+        # rebuild over a VERSIONED index (a full reset after CDC
+        # batches) → stage the whole build into the next snapshot dir
+        # and publish atomically at the end, so concurrent readers of
+        # the current snapshot never see the rebuild in progress
+        self._publish_version: int | None = (
+            curv + 1 if curv is not None else None
+        )
+        self.paths = (
+            IndexPaths(root, self._publish_version)
+            if self._publish_version is not None
+            else base
+        )
+        self.paths.snapshot_root.mkdir(parents=True, exist_ok=True)
+        if self._publish_version is not None:
+            # a resume manifest from a DIFFERENT snapshot must not
+            # skip stages of this one
+            m = self._manifest()
+            if m.get("build_version") != self._publish_version:
+                self.paths.manifest.write_text(json.dumps(
+                    {"stages": {}, "build_version": self._publish_version}
+                ))
         self.metrics: dict = {"stages": {}}
 
     # --- manifest / resume -------------------------------------------------
@@ -1463,7 +1551,7 @@ class IndexBuilder:
         cfg = self.cfg
         spark = self.spark
 
-        scratch = str(self.paths.root / "_analyzed")
+        scratch = str(self.paths.snapshot_root / "_analyzed")
 
         # stage 1: dense ids + per-doc analysis → ONE scratch parquet
         # (doc columns + nested token aggregates + dl). Intermediates
@@ -1603,6 +1691,11 @@ class IndexBuilder:
         meta = json.loads(self.paths.meta.read_text())
         meta["build_metrics"] = self.metrics["stages"]
         self.paths.meta.write_text(json.dumps(meta, indent=2))
+        if self._publish_version is not None:
+            # atomic cutover: readers switch snapshots only here
+            IndexPaths(self.paths.root).publish(
+                self._publish_version, keep=self.cfg.snapshot_keep
+            )
         return self.paths
 
 

@@ -3,17 +3,21 @@
 Re-expresses the reference's per-document ``_action ∈ {index, update,
 delete}`` path (``/root/reference/addok/ds.py:58-75``,
 ``addok/helpers/index.py:57-92`` index/deindex) as *bucket-granular
-partition rewrites*:
+snapshot publication*:
 
 - every posting block holds only docs from one doc-range bucket, and
   buckets are grouped into ``pbucket`` partition directories;
 - an upsert/delete therefore invalidates exactly the pbuckets of the
-  touched doc_indexes: those directories are recomputed from the
-  (updated) docs partition and overwritten atomically (dynamic
-  partition overwrite ≙ Iceberg ``REPLACE WHERE``); nothing else is
-  read or written — the distributed analog of the reference's
-  per-key ZREM/ZADD, but O(touched-bucket) instead of O(doc·token)
-  round-trips;
+  touched doc_indexes: a batch builds the NEXT snapshot dir
+  (``root/v{N+1}``) by hardlinking every untouched partition dir from
+  the current snapshot (O(#files) metadata ops, zero data copy — the
+  local-FS analog of Iceberg manifest reuse) and recomputing only the
+  touched ones, then atomically flips ``CURRENT.json``
+  (``IndexPaths.publish``, one ``os.replace``). Readers pinned to the
+  previous snapshot (``IndexPaths.pin()``) are never torn: no live
+  path is ever rewritten or removed mid-batch — the property the
+  reference gets from Redis per-command atomicity, ≙ Iceberg
+  ``REPLACE WHERE`` + snapshot commit;
 - the token dictionary is re-derived from block *metadata* (no text
   re-analysis), so global df/cf stay exactly consistent after any
   sequence of actions — the invariant the reference's deindex tests
@@ -32,6 +36,8 @@ streaming checkpoint + the manifest's applied-batch record.
 from __future__ import annotations
 
 import json
+import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +63,46 @@ def _with_pbucket(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def _link_tree(src: Path, dst: Path) -> None:
+    """Hardlink every file under ``src`` into the same relative
+    layout under ``dst`` — O(#files) metadata ops, zero data copy
+    (falls back to copy2 if the filesystem refuses links)."""
+    for p in src.rglob("*"):
+        q = dst / p.relative_to(src)
+        if p.is_dir():
+            q.mkdir(parents=True, exist_ok=True)
+            continue
+        q.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            os.link(p, q)
+        except OSError:
+            shutil.copy2(p, q)
+
+
+def _stage_partitions(src: str, dst: str, skip, prefix: str) -> None:
+    """Populate a staging table dir with hardlinks to every partition
+    dir of ``src`` except ``{prefix}{v}`` for v in ``skip`` (the
+    caller rewrites those). Loose table files are linked too, except
+    _SUCCESS (the staged write drops a fresh one). Nothing under
+    ``src`` is modified — this is how a snapshot shares unchanged
+    data files with its predecessor."""
+    s, d = Path(src), Path(dst)
+    d.mkdir(parents=True, exist_ok=True)
+    if not s.exists():
+        return
+    skip_names = {f"{prefix}{v}" for v in skip}
+    for p in s.iterdir():
+        if p.name in skip_names or p.name == "_SUCCESS":
+            continue
+        if p.is_dir():
+            _link_tree(p, d / p.name)
+        else:
+            try:
+                os.link(p, d / p.name)
+            except OSError:
+                shutil.copy2(p, d / p.name)
+
+
 def apply_actions(
     spark: SparkSession,
     paths: IndexPaths | str,
@@ -66,11 +112,12 @@ def apply_actions(
     """Apply a batch of document actions to an existing index.
 
     ``changes``: transcripts columns + optional ``_action`` column
-    (default "index"). Returns metrics {upserts, deletes,
-    touched_pbuckets}.
+    (default "index"). Builds and atomically publishes the next
+    snapshot (see module docstring). Returns metrics {upserts,
+    deletes, touched_pbuckets, version}.
     """
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(Path(paths))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cur = paths.pin()  # the consistent snapshot every read comes from
 
     if "_action" not in changes.columns:
         changes = changes.withColumn("_action", F.lit("index"))
@@ -109,7 +156,7 @@ def apply_actions(
         .drop("__rn", *(["_seq"] if "_seq" in changes.columns else []))
     )
 
-    docs = spark.read.parquet(paths.docs)
+    docs = spark.read.parquet(cur.docs)
     keyed = changes.select(
         "conv_id", "turn_idx", "_action",
         *[c for c in changes.columns if c not in ("conv_id", "turn_idx", "_action")],
@@ -169,6 +216,14 @@ def apply_actions(
     if not touched_pb:
         return {"upserts": 0, "deletes": 0, "touched_pbuckets": []}
 
+    # --- staging snapshot: all writes land here; nothing under the
+    # current snapshot is ever modified ------------------------------
+    stg_version = (cur.version or 0) + 1
+    stg = IndexPaths(cur.root, stg_version)
+    if stg.snapshot_root.exists():  # crashed, never-published staging
+        shutil.rmtree(stg.snapshot_root)
+    stg.snapshot_root.mkdir(parents=True)
+
     # rebuild the touched doc partitions: survivors + upserts
     doc_cols = [c for c in docs.columns if c not in ("dl", "pbucket")]
     survivors = (
@@ -188,9 +243,9 @@ def apply_actions(
     )
     new_docs = survivors.unionByName(ups_cols)
 
-    # old stats of the touched doc partitions (partition-pruned read),
-    # materialized BEFORE the overwrite — lets n_docs / sum_dl update
-    # incrementally instead of re-scanning the whole docs table
+    # old stats of the touched doc partitions (partition-pruned read)
+    # — lets n_docs / sum_dl update incrementally instead of
+    # re-scanning the whole docs table
     old_stats = (
         docs.filter(F.col("pbucket").isin(touched_pb))
         .agg(
@@ -208,26 +263,19 @@ def apply_actions(
     docs_part = _with_pbucket(
         analyzed_new.withColumn("dl", F.col("__an.dl")).drop("__an"), cfg
     ).persist()
-    docs_part.write.mode("overwrite").partitionBy("pbucket").parquet(paths.docs)
+    # untouched partitions: hardlinked into the staging snapshot;
+    # touched partitions: appended fresh (a partition that became
+    # EMPTY is neither linked nor written — no orphan postings, the
+    # reference's deindex invariant, tests/test_index_utils.py:94-114)
+    _stage_partitions(cur.docs, stg.docs, set(touched_pb), "pbucket=")
+    docs_part.write.mode("append").partitionBy("pbucket").parquet(stg.docs)
 
     # rebuild the touched posting partitions (filter-set rows are
     # synthesized inside the local packer, same as the bulk build)
     blocks = build_blocks_from_analyzed(analyzed_new, cfg)
-    blocks.write.mode("overwrite").partitionBy("pbucket").parquet(paths.blocks)
+    _stage_partitions(cur.blocks, stg.blocks, set(touched_pb), "pbucket=")
+    blocks.write.mode("append").partitionBy("pbucket").parquet(stg.blocks)
     analyzed_new.unpersist()
-
-    # dynamic overwrite can't clear a partition that became EMPTY
-    # (no rows written for it) — drop those dirs explicitly so a
-    # full-bucket delete leaves no orphan postings (the reference's
-    # deindex invariant, tests/test_index_utils.py:94-114)
-    import shutil
-
-    present = {
-        r["pbucket"] for r in docs_part.select("pbucket").distinct().collect()
-    }
-    for pb in set(touched_pb) - present:
-        for base in (paths.docs, paths.blocks):
-            shutil.rmtree(Path(base) / f"pbucket={pb}", ignore_errors=True)
 
     new_stats = (
         docs_part.filter(F.col("pbucket").isin(touched_pb))
@@ -243,39 +291,28 @@ def apply_actions(
 
     # --- dictionary: per-pbucket partials, touched partitions only --
     # (O(touched) — untouched pbuckets' block files are never read;
-    # the global fold reads only the tiny partials table)
-    scratch = Path(paths.root) / "_cdc_scratch"
-    blocks_touched = spark.read.parquet(paths.blocks).filter(
+    # the global fold reads only the tiny partials table. The old
+    # partials stay readable at the current snapshot, so no scratch
+    # materialization is needed to know the previously-present tokens)
+    blocks_touched = spark.read.parquet(stg.blocks).filter(
         F.col("pbucket").isin(touched_pb)
     )
     changed_tokens = None  # None → unknown → full prefix rewrite
-    if Path(paths.dict_partials).exists():
-        # tokens previously present in the touched partitions — must
-        # be materialized (scratch parquet) before the partials
-        # overwrite invalidates the read
-        old_tok_path = str(scratch / "old_tokens")
-        (
-            spark.read.parquet(paths.dict_partials)
-            .filter(F.col("pbucket").isin(touched_pb))
-            .select("token")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(old_tok_path)
+    if Path(cur.dict_partials).exists():
+        _stage_partitions(
+            cur.dict_partials, stg.dict_partials, set(touched_pb), "pbucket="
         )
         dict_partials_from_blocks(blocks_touched).repartitionByRange(
             cfg.build_partitions, "pbucket", "token"
         ).sortWithinPartitions("pbucket", "token").write.mode(
-            "overwrite"
-        ).partitionBy("pbucket").parquet(paths.dict_partials)
-        for pb in set(touched_pb) - present:
-            shutil.rmtree(
-                Path(paths.dict_partials) / f"pbucket={pb}",
-                ignore_errors=True,
-            )
+            "append"
+        ).partitionBy("pbucket").parquet(stg.dict_partials)
         changed_tokens = (
-            spark.read.parquet(old_tok_path)
+            spark.read.parquet(cur.dict_partials)
+            .filter(F.col("pbucket").isin(touched_pb))
+            .select("token")
             .unionByName(
-                spark.read.parquet(paths.dict_partials)
+                spark.read.parquet(stg.dict_partials)
                 .filter(F.col("pbucket").isin(touched_pb))
                 .select("token")
             )
@@ -285,29 +322,29 @@ def apply_actions(
         # legacy index (pre-partials layout): one full derivation
         # upgrades it; subsequent batches are incremental
         dict_partials_from_blocks(
-            spark.read.parquet(paths.blocks)
+            spark.read.parquet(stg.blocks)
         ).repartitionByRange(
             cfg.build_partitions, "pbucket", "token"
         ).sortWithinPartitions(
             "pbucket", "token"
         ).write.mode("overwrite").partitionBy("pbucket").parquet(
-            paths.dict_partials
+            stg.dict_partials
         )
 
     new_dict = dictionary_from_partials(
-        spark.read.parquet(paths.dict_partials)
+        spark.read.parquet(stg.dict_partials)
     )
     # tokens whose COMMON status flips this batch invalidate pair
     # partitions beyond the touched set (the pair table excludes the
     # Zipf head by global df) — detect them against the OLD
-    # dictionary before overwriting it
+    # dictionary (still intact at the current snapshot)
     crossing: list[str] = []
     if (
         changed_tokens is not None
-        and Path(paths.pairs).exists()
+        and Path(cur.pairs).exists()
         and cfg.cdc_rebuild_pairs
     ):
-        old_df = spark.read.parquet(paths.dictionary).select(
+        old_df = spark.read.parquet(cur.dictionary).select(
             "token", F.col("df").alias("odf")
         )
         crossing = [
@@ -328,32 +365,28 @@ def apply_actions(
     new_dict.repartitionByRange(
         cfg.build_partitions, "token"
     ).sortWithinPartitions("token").write.mode("overwrite").parquet(
-        paths.dictionary
+        stg.dictionary
     )
-    dict_disk = spark.read.parquet(paths.dictionary)
+    dict_disk = spark.read.parquet(stg.dictionary)
 
     # --- prefixes: rewrite only the hash buckets of changed tokens --
-    if Path(paths.prefixes).exists():
-        _refresh_prefixes(spark, paths, dict_disk, changed_tokens, scratch, cfg)
+    if Path(cur.prefixes).exists():
+        _refresh_prefixes(spark, cur, stg, dict_disk, changed_tokens, cfg)
 
     # --- pairs: rebuild touched partitions (+ partitions holding a
     # common-threshold-crossing token), never the whole corpus ------
-    if Path(paths.pairs).exists():
-        if cfg.cdc_rebuild_pairs:
-            _refresh_pairs(
-                spark, paths, dict_disk, touched_pb, crossing, cfg
-            )
-        else:
-            shutil.rmtree(paths.pairs, ignore_errors=True)
-    shutil.rmtree(scratch, ignore_errors=True)
+    if Path(cur.pairs).exists() and cfg.cdc_rebuild_pairs:
+        _refresh_pairs(spark, cur, stg, dict_disk, touched_pb, crossing, cfg)
+    # (cdc_rebuild_pairs=False → pairs simply absent from the new
+    # snapshot; the engine degrades to pairs=None expansion pruning)
 
     # refresh meta (n_docs / avgdl) incrementally + lineage record
-    meta = json.loads(paths.meta.read_text())
+    meta = json.loads(cur.meta.read_text())
     if "sum_dl" in meta:
         n_docs = meta["n_docs"] - int(old_stats["cnt"]) + int(new_stats["cnt"])
         sum_dl = meta["sum_dl"] - int(old_stats["sdl"]) + int(new_stats["sdl"])
     else:  # legacy meta: one full single-column scan re-baselines it
-        docs_now = spark.read.parquet(paths.docs)
+        docs_now = spark.read.parquet(stg.docs)
         n_docs = docs_now.count()
         sum_dl = int(docs_now.agg(F.sum("dl")).collect()[0][0] or 0)
     meta["n_docs"] = int(n_docs)
@@ -362,38 +395,51 @@ def apply_actions(
     n_up = upserted.count()
     n_del = deletes.count()
     meta.setdefault("applied_batches", []).append(
-        {"upserts": n_up, "deletes": n_del, "touched_pbuckets": touched_pb}
+        {
+            "upserts": n_up,
+            "deletes": n_del,
+            "touched_pbuckets": touched_pb,
+            "version": stg_version,
+        }
     )
-    paths.meta.write_text(json.dumps(meta, indent=2))
-    return {"upserts": n_up, "deletes": n_del, "touched_pbuckets": touched_pb}
+    stg.meta.write_text(json.dumps(meta, indent=2))
+
+    # --- atomic publish: one os.replace of CURRENT.json ------------
+    IndexPaths(cur.root).publish(stg_version, keep=cfg.snapshot_keep)
+    return {
+        "upserts": n_up,
+        "deletes": n_del,
+        "touched_pbuckets": touched_pb,
+        "version": stg_version,
+    }
 
 
 def _refresh_prefixes(
     spark: SparkSession,
-    paths: IndexPaths,
+    cur: IndexPaths,
+    stg: IndexPaths,
     dict_disk: DataFrame,
     changed_tokens: DataFrame | None,
-    scratch: Path,
     cfg: EngineConfig,
 ) -> None:
-    """Rewrite only the prefix hash buckets containing changed
-    tokens: keep-rows (bucket members minus changed tokens) union the
-    changed tokens' freshly derived rows, staged through scratch to
-    break the read-from/overwrite-to-same-path cycle."""
-    import shutil
-
+    """Stage the prefix table for the next snapshot: hash buckets
+    holding no changed token are hardlinked; buckets with changed
+    tokens are rewritten as keep-rows (members minus changed tokens)
+    union the changed tokens' freshly derived rows. A bucket whose
+    every token vanished is simply not staged — no removal from any
+    live path, and no read-from/overwrite-to-same-path cycle (reads
+    come from ``cur``, writes go to ``stg``)."""
     legacy = not any(
         p.name.startswith("pfx_bucket=")
-        for p in Path(paths.prefixes).iterdir()
+        for p in Path(cur.prefixes).iterdir()
         if p.is_dir()
     )
     if legacy or changed_tokens is None:
-        shutil.rmtree(paths.prefixes, ignore_errors=True)
         prefixes_from_dictionary(dict_disk, cfg).repartitionByRange(
             cfg.build_partitions, "pfx_bucket", "prefix"
         ).sortWithinPartitions("pfx_bucket", "prefix").write.mode(
             "overwrite"
-        ).partitionBy("pfx_bucket").parquet(paths.prefixes)
+        ).partitionBy("pfx_bucket").parquet(stg.prefixes)
         return
     buckets = [
         r["b"]
@@ -405,114 +451,84 @@ def _refresh_prefixes(
         .distinct()
         .collect()
     ]
+    _stage_partitions(cur.prefixes, stg.prefixes, set(buckets), "pfx_bucket=")
     if not buckets:
         return
     keep = (
-        spark.read.parquet(paths.prefixes)
+        spark.read.parquet(cur.prefixes)
         .filter(F.col("pfx_bucket").isin(buckets))
         .join(changed_tokens, "token", "left_anti")
     )
     fresh = prefixes_from_dictionary(
         dict_disk.join(changed_tokens, "token", "left_semi"), cfg
     )
-    staged = str(scratch / "prefixes")
     keep.select("prefix", "token", "df", "max_boost", "pfx_bucket").unionByName(
         fresh.select("prefix", "token", "df", "max_boost", "pfx_bucket")
-    ).write.mode("overwrite").parquet(staged)
-    try:
-        merged = spark.read.parquet(staged)
-        # a bucket whose every token vanished gets no rows in
-        # `merged` — dynamic overwrite leaves its old dir; drop it
-        written = {
-            r["pfx_bucket"]
-            for r in merged.select("pfx_bucket").distinct().collect()
-        }
-    except Exception:  # zero-row staged write has no readable schema
-        written = set()
-    if written:
-        merged.repartitionByRange(
-            cfg.build_partitions, "pfx_bucket", "prefix"
-        ).sortWithinPartitions(
-            "pfx_bucket", "prefix"
-        ).write.mode("overwrite").partitionBy("pfx_bucket").parquet(
-            paths.prefixes
-        )
-    for b in set(buckets) - written:
-        shutil.rmtree(
-            Path(paths.prefixes) / f"pfx_bucket={b}", ignore_errors=True
-        )
+    ).repartitionByRange(
+        cfg.build_partitions, "pfx_bucket", "prefix"
+    ).sortWithinPartitions(
+        "pfx_bucket", "prefix"
+    ).write.mode("append").partitionBy("pfx_bucket").parquet(stg.prefixes)
 
 
 def _refresh_pairs(
     spark: SparkSession,
-    paths: IndexPaths,
+    cur: IndexPaths,
+    stg: IndexPaths,
     dict_disk: DataFrame,
     touched_pb: list[int],
     crossing: list[str],
     cfg: EngineConfig,
 ) -> None:
-    """Rebuild the pair table's touched pbucket partitions (plus any
-    partition holding a token that crossed the common threshold this
-    batch) from those partitions' blocks only. The written-partition
-    set comes from the NEW data before the write — a partition
-    rebuilt to zero pairs gets its stale dir dropped (a read-back
-    check cannot see this: dynamic overwrite skips partitions with
-    no rows and leaves the old files answering)."""
-    import shutil
-
+    """Stage the pair table's next snapshot: untouched pbucket
+    partitions hardlinked, touched ones (plus any partition holding a
+    token that crossed the common threshold this batch) re-derived
+    from the staged blocks only. A partition rebuilt to zero pairs is
+    simply not written — the stale-dir hazard of in-place dynamic
+    overwrite cannot occur."""
     legacy = not any(
         p.name.startswith("pbucket=")
-        for p in Path(paths.pairs).iterdir()
+        for p in Path(cur.pairs).iterdir()
         if p.is_dir()
     )
     rebuild = set(touched_pb)
     if not legacy and crossing:
         rebuild.update(
             r["pbucket"]
-            for r in spark.read.parquet(paths.dict_partials)
+            for r in spark.read.parquet(stg.dict_partials)
             .filter(F.col("token").isin(crossing))
             .select("pbucket")
             .distinct()
             .collect()
         )
     if legacy:
-        shutil.rmtree(paths.pairs, ignore_errors=True)
-        src = spark.read.parquet(paths.blocks)
+        src = spark.read.parquet(stg.blocks)
+        mode = "overwrite"
     else:
-        src = spark.read.parquet(paths.blocks).filter(
+        _stage_partitions(cur.pairs, stg.pairs, rebuild, "pbucket=")
+        src = spark.read.parquet(stg.blocks).filter(
             F.col("pbucket").isin(sorted(rebuild))
         )
-    from pyspark import StorageLevel
-
-    # persist is SAFE here (unlike prefixes): the lineage reads only
-    # blocks + dictionary, neither of which this function overwrites
-    new_pairs = pairs_from_blocks(src, dict_disk, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    written = {
-        r["pbucket"] for r in new_pairs.select("pbucket").distinct().collect()
-    }
-    if written:
-        new_pairs.repartitionByRange(
-            cfg.build_partitions, "pbucket", "token_a", "token_b"
-        ).sortWithinPartitions(
-            "pbucket", "token_a", "token_b"
-        ).write.mode("overwrite").partitionBy("pbucket").parquet(paths.pairs)
-    new_pairs.unpersist()
-    if not legacy:
-        for pb in rebuild - written:
-            shutil.rmtree(
-                Path(paths.pairs) / f"pbucket={pb}", ignore_errors=True
-            )
+        mode = "append"
+    # HASH repartition (not range): the range sampler re-executes the
+    # pair-expansion child — the measured 2× of the bulk stage; files
+    # stay (token_a, token_b)-sorted within partitions for row-group
+    # pruning, which is the part the probes need
+    pairs_from_blocks(src, dict_disk, cfg).repartition(
+        cfg.build_partitions, "pbucket", "token_a"
+    ).sortWithinPartitions("pbucket", "token_a", "token_b").write.mode(
+        mode
+    ).partitionBy("pbucket").parquet(stg.pairs)
     # a pair table emptied of every partition has no readable schema
-    # left — drop the dir; the engine treats a missing pairs dir as
-    # pairs=None (expansion pruning degrades to dictionary presence,
-    # which is exact here: with zero co-occurring non-common pairs no
-    # multi-token expansion could match anyway)
-    if Path(paths.pairs).exists() and not any(
-        q.name.startswith("pbucket=") for q in Path(paths.pairs).iterdir()
+    # left — drop the STAGED dir (never a live path); the engine
+    # treats a missing pairs dir as pairs=None (expansion pruning
+    # degrades to dictionary presence, which is exact here: with zero
+    # co-occurring non-common pairs no multi-token expansion could
+    # match anyway)
+    if Path(stg.pairs).exists() and not any(
+        q.name.startswith("pbucket=") for q in Path(stg.pairs).iterdir()
     ):
-        shutil.rmtree(paths.pairs, ignore_errors=True)
+        shutil.rmtree(stg.pairs, ignore_errors=True)
 
 
 def stream_transcripts(

@@ -252,7 +252,12 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, paths: IndexPaths | str, cfg: EngineConfig):
         self.spark = spark
         self.cfg = cfg
-        self.paths = paths if isinstance(paths, IndexPaths) else IndexPaths(Path(paths))
+        # pin to the snapshot published right now: every table this
+        # engine reads comes from ONE consistent index version even
+        # while CDC batches publish new snapshots concurrently
+        self.paths = (
+            paths if isinstance(paths, IndexPaths) else IndexPaths(Path(paths))
+        ).pin()
         self.meta = json.loads(self.paths.meta.read_text())
         self.blocks = spark.read.parquet(self.paths.blocks)
         self.docs = spark.read.parquet(self.paths.docs)

@@ -222,10 +222,13 @@ class ParquetIndex(ExpansionMixin):
 
         self._pads = pads
         self.cfg = cfg or EngineConfig()
+        # pin to the currently-published snapshot: all lazy posting /
+        # doc / prefix reads of this serving view come from ONE index
+        # version; refresh() re-pins to pick up a newer publish
         self.paths = (
             index_dir if isinstance(index_dir, IndexPaths)
             else IndexPaths(Path(index_dir))
-        )
+        ).pin()
         # shard mode: this node owns [lo, hi) of the pbucket space —
         # every blocks/docs read is partition-pruned to that range
         self.pbucket_range = pbucket_range

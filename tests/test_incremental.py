@@ -208,13 +208,19 @@ def _bigger_corpus(spark, n=24):
 
 
 def _pb_files(base, skip_pb):
-    """(path, mtime_ns, size) of every parquet file NOT under the
-    given pbucket partitions."""
+    """{relative path: (inode, mtime_ns, size)} of every parquet file
+    NOT under the given pbucket partitions. Snapshot publication
+    HARDLINKS untouched partition files into the next version dir, so
+    "not rewritten" ⟺ the new snapshot's file is the same inode with
+    the same mtime — zero bytes recomputed or copied."""
     out = {}
-    for p in Path(base).rglob("*.parquet"):
+    base = Path(base)
+    for p in base.rglob("*.parquet"):
         if not any(f"pbucket={pb}" in p.parts for pb in skip_pb):
             st = p.stat()
-            out[str(p)] = (st.st_mtime_ns, st.st_size)
+            out[str(p.relative_to(base))] = (
+                st.st_ino, st.st_mtime_ns, st.st_size
+            )
     return out
 
 
@@ -373,3 +379,96 @@ def test_backfill_batch_routes_through_range_assigner(spark, cfg, built):
     assert ids == list(range(max0 + 1, max0 + 61))
     keys = [(r["conv_id"], r["turn_idx"]) for r in new]
     assert keys == sorted(keys)
+
+
+def test_snapshot_publish_atomic_and_versioned(spark, cfg, built):
+    """Every CDC batch publishes a complete NEW snapshot dir and
+    flips CURRENT.json atomically; the previous snapshot's tables
+    stay intact for pinned readers (no rmtree on a live path)."""
+    assert built.current_version() is None  # fresh bulk build = flat
+    pinned = built.pin()
+    changes = spark.createDataFrame(
+        [("conv-a", 0, "user", "rue des Tulipes", None, 0.5, "index")],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double, _action string",
+    )
+    m1 = apply_actions(spark, built, changes, cfg)
+    assert m1["version"] == 1 and built.current_version() == 1
+    # dynamic paths follow the publish; the pinned reader does not
+    assert "tulipes" in _tokens(spark, built)
+    assert "tulipes" not in _tokens(spark, pinned)
+    assert "lilas" in _tokens(spark, pinned)
+    # a second batch lands in v2 and v1 survives (snapshot_keep=2)
+    changes2 = spark.createDataFrame(
+        [("conv-a", 0, "user", "rue des Roses", None, 0.5, "index")],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double, _action string",
+    )
+    m2 = apply_actions(spark, built, changes2, cfg)
+    assert m2["version"] == 2 and built.current_version() == 2
+    assert (built.root / "v000001").exists()
+    assert "roses" in _tokens(spark, built)
+    v1 = built.root / "v000001"
+    assert (v1 / "dictionary").exists() and (v1 / "meta.json").exists()
+
+
+def test_concurrent_readers_never_torn(spark, cfg, tmp_path):
+    """Readers opened at ANY moment during a stream of CDC batches
+    see a complete index: dictionary loaded, prefix table present,
+    queries answer — the torn-read window of in-place partition
+    rewrites (empty prefix dir mid-refresh) must not exist."""
+    import threading
+
+    from addok_spark.data.transcripts import transcripts_df
+    from addok_spark.serving.local import ParquetIndex
+
+    out = str(tmp_path / "cidx")
+    corpus = transcripts_df(spark, 10, seed=42)
+    paths = build_index(spark, corpus, cfg, out)
+    probe = ParquetIndex(out, cfg)
+    # pick a live prefix straight from the table
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(probe.paths.prefixes, partitioning="hive").to_table(
+        columns=["prefix"]
+    )
+    a_prefix = tbl.column("prefix")[0].as_py()
+    n_tokens0 = len(probe.df)
+
+    errors: list = []
+    openings = [0]
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                idx = ParquetIndex(out, cfg)  # fresh open → pins CURRENT
+                assert idx.n_docs > 0
+                assert len(idx.df) >= n_tokens0 - 5, "torn dictionary"
+                assert idx.prefix_candidates(a_prefix), "torn prefix table"
+                openings[0] += 1
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append(e)
+                stop.set()
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(3):
+            changes = spark.createDataFrame(
+                [(f"conv-n{i}", 0, "user", f"fresh snapshot text {i}",
+                  None, 0.1, "index")],
+                "conv_id string, turn_idx int, role string, text string,"
+                " tool string, importance double, _action string",
+            )
+            apply_actions(spark, paths, changes, cfg)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors[:1]
+    assert openings[0] > 0
+    assert paths.current_version() == 3
+    # GC kept the published + previous snapshot only (keep=2)
+    vdirs = sorted(p.name for p in Path(out).iterdir()
+                   if p.name.startswith("v00"))
+    assert vdirs == ["v000002", "v000003"]
