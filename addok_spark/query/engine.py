@@ -628,8 +628,18 @@ class SearchEngine:
         # common case) it is broadcast and the filter runs map-side
         # inside the same stage that decodes, so the big stream never
         # reaches an exchange at all.
+        # ...engaged only when the estimated decode volume (Σ df of
+        # all phrase tokens, known driver-side) clears the same floor
+        # the non-phrase bucket pruning uses: below it, the extra
+        # rare-decode job costs more than the decode it saves
+        est_decode = sum(
+            st.group_df.get(g, 0)
+            for st in live.values()
+            for g in st.groups
+            if g < FILTER_GID_BASE
+        )
         rare_docs = None
-        if cfg.phrase_rare_prune:
+        if cfg.phrase_rare_prune and est_decode > cfg.prune_min_postings:
             rare_rows = []
             est_rare = 0
             for qid, st in live.items():

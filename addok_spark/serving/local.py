@@ -733,12 +733,28 @@ class FastSearch(SpecSearch):
         intersection: (doc, anchor) pairs packed into int64 keys,
         np.isin intersection across sequence offsets, per-doc counts
         from one unique pass — value-identical to the dict/set spec
-        (same pairs, same counts)."""
+        (same pairs, same counts).
+
+        Same scale bound as the Spark engine's phrase collection: a
+        match doc must contain EVERY phrase token, so each stream is
+        first restricted to the smallest stream's doc set — a
+        stopword's position occurrences then never enter the packed-
+        key intersection (the dominant cost on Zipf-head tokens)."""
         index = self.index
         L = len(seq)
         arrs = [index.token_position_arrays(t) for t in seq]
         if not arrs or any(len(a[0]) == 0 for a in arrs):
             return {}
+        rare_docs = np.unique(min(arrs, key=lambda a: len(a[0]))[0])
+        bounded = []
+        for docs, pos in arrs:
+            m = np.isin(docs, rare_docs)
+            if not m.all():
+                docs, pos = docs[m], pos[m]
+            if not len(docs):
+                return {}
+            bounded.append((docs, pos))
+        arrs = bounded
         maxpos = max(int(a[1].max()) for a in arrs)
         m = maxpos + L + 2
         keys = None

@@ -7,6 +7,13 @@ explain``).
 Commands (case-insensitive; anything else is a SEARCH):
     <free text>            search the index
     EXPLAIN <q>            search + per-stage timings and token groups
+    BUCKET <q>             search returning the WHOLE collected bucket
+    BENCH [n] <q>          repeat a search n times (default 10), p50/p95
+    INTERSECT <toks> [LIMIT n]  raw conjunctive Σboost top-n (≙ zinter)
+    PAIR <token>           tokens co-occurring with token (p| set view)
+    BESTSCORE <word>       top docs of a token by posting boost
+    GET <conv_id> <turn>   fetch one document by natural key
+    STRDISTANCE <a>|<b>    string comparison score (≙ compare_str)
     TOKENIZE <q>           analyzer output (fold + synonyms + tokens)
     FUZZY <word>           edit-1 neighbors in reference emission order
     FREQ <token> [...]     document frequency of token(s)
@@ -99,6 +106,165 @@ class Shell:
             f"{t}: df={stats.get(t, (0, 0.0))[0]}" for t in toks
         )
 
+    def do_intersect(self, arg: str) -> str:
+        """Raw conjunctive Σboost top-n over exact tokens, bypassing
+        planning/relaxation (≙ shell INTERSECT → ZINTERSTORE +
+        ZREVRANGE, reference shell.py:291-307)."""
+        from pyspark.sql import functions as F
+
+        from .functions.text import analyze_str
+
+        import re
+
+        limit = 100
+        m = re.search(r"\s+LIMIT\s+(\d+)\s*$", arg, re.I)
+        if m:
+            limit = int(m.group(1))
+            arg = arg[: m.start()]
+        toks = analyze_str(arg, self.cfg.synonyms)
+        if not toks:
+            return "(no tokens)"
+        t0 = time.time()
+        plan_rows = [
+            {"qid": "ix", "gid": g, "token": t, "n_required": len(set(toks)),
+             "is_scan": False}
+            for g, t in enumerate(dict.fromkeys(toks))
+        ]
+        import pandas as pd
+
+        got = self.engine._run_round(pd.DataFrame(plan_rows), topn=limit)
+        if not len(got):
+            return "(0 in %.2fs)" % (time.time() - t0)
+        ids = [int(d) for d in got["doc_index"]]
+        rows = {
+            r["doc_index"]: r
+            for r in self.engine.docs.filter(
+                F.col("doc_index").isin(ids)
+            ).collect()
+        }
+        out = [
+            f"{r.rn:>3}  {r.prescore:.4f}  "
+            f"{rows[r.doc_index]['conv_id']}#{rows[r.doc_index]['turn_idx']} "
+            f"{(rows[r.doc_index]['text'] or '')[:80]}"
+            for r in got.itertuples(index=False)
+        ]
+        out.append(f"({len(got)} in {time.time() - t0:.2f}s)")
+        return "\n".join(out)
+
+    def do_pair(self, token: str) -> str:
+        """Tokens co-occurring with ``token`` (≙ inspecting the p|
+        set; served from the pairs table, commons excluded by
+        design)."""
+        from pyspark.sql import functions as F
+
+        from .functions.text import analyze_str
+
+        toks = analyze_str(token, self.cfg.synonyms)
+        if not toks:
+            return "(no token)"
+        t = toks[0]
+        if self.engine.pairs is None:
+            return "(no pairs table)"
+        rows = (
+            self.engine.pairs.filter(
+                (F.col("token_a") == t) | (F.col("token_b") == t)
+            )
+            .select("token_a", "token_b")
+            .collect()
+        )
+        others = sorted(
+            {r["token_b"] if r["token_a"] == t else r["token_a"] for r in rows}
+        )
+        return f"{t}: {len(others)} pairs\n" + ", ".join(others[:100])
+
+    def do_bestscore(self, word: str) -> str:
+        """Top docs of one token by posting boost (≙ BESTSCORE →
+        ZREVRANGE WITHSCORES, reference shell.py:469-476)."""
+        from pyspark.sql import functions as F
+
+        from .functions.text import analyze_str
+        from .query.engine import _exploded_postings
+
+        toks = analyze_str(word, self.cfg.synonyms)
+        if not toks:
+            return "(no token)"
+        t = toks[0]
+        posts = (
+            _exploded_postings(
+                self.engine.blocks.filter(F.col("token") == t), []
+            )
+            .orderBy(F.desc("boost"), F.asc("doc_index"))
+            .limit(20)
+            .collect()
+        )
+        if not posts:
+            return f"{t}: no postings"
+        ids = [int(r["doc_index"]) for r in posts]
+        rows = {
+            r["doc_index"]: r
+            for r in self.engine.docs.filter(
+                F.col("doc_index").isin(ids)
+            ).collect()
+        }
+        return "\n".join(
+            f"{r['boost']:.4f}  {rows[r['doc_index']]['conv_id']}"
+            f"#{rows[r['doc_index']]['turn_idx']} "
+            f"{(rows[r['doc_index']]['text'] or '')[:80]}"
+            for r in posts
+        )
+
+    def do_get(self, arg: str) -> str:
+        """One document by natural key (≙ GET, shell.py:421-430)."""
+        from pyspark.sql import functions as F
+
+        parts = shlex.split(arg)
+        if len(parts) != 2:
+            return "usage: GET <conv_id> <turn_idx>"
+        rows = self.engine.docs.filter(
+            (F.col("conv_id") == parts[0])
+            & (F.col("turn_idx") == int(parts[1]))
+        ).collect()
+        if not rows:
+            return f'id "{arg}" not found'
+        r = rows[0]
+        return "\n".join(f"{k} {r[k]}" for k in r.asDict())
+
+    def do_strdistance(self, arg: str) -> str:
+        """≙ STRDISTANCE (shell.py:523-532): compare_str on the two
+        |-separated strings."""
+        from .functions.text import compare_str
+
+        parts = arg.split("|")
+        if len(parts) != 2:
+            return "Malformed string. Use | between the two strings."
+        return str(compare_str(parts[0], parts[1]))
+
+    def do_bench(self, arg: str) -> str:
+        """≙ BENCH (shell.py:282-289): repeat a search, report p50/p95."""
+        from .query.engine import Query
+
+        parts = arg.split(None, 1)
+        count, q = 10, arg
+        if parts and parts[0].isdigit():
+            count, q = int(parts[0]), (parts[1] if len(parts) > 1 else "")
+        if not q.strip():
+            return "usage: BENCH [n] <query>"
+        times = []
+        for i in range(count):
+            self.qid += 1
+            t0 = time.time()
+            self.engine.search(
+                [Query(qid=f"b{self.qid}", q=q, k=self.k,
+                       autocomplete=self.autocomplete, filters=self.filters)]
+            ).collect()
+            times.append(time.time() - t0)
+        times.sort()
+        return (
+            f"n={count} p50={times[len(times) // 2]:.3f}s "
+            f"p95={times[min(len(times) - 1, int(len(times) * 0.95))]:.3f}s "
+            f"best={times[0]:.3f}s"
+        )
+
     def do_dbinfo(self) -> str:
         from pyspark.sql import functions as F
 
@@ -125,6 +291,25 @@ class Shell:
             return HELP
         if cmd == "EXPLAIN":
             return self.do_search(rest, explain=True)
+        if cmd == "BUCKET":
+            # whole collected bucket, not just k (≙ do_BUCKET)
+            k0, self.k = self.k, max(self.cfg.bucket_max, self.k)
+            try:
+                return self.do_search(rest)
+            finally:
+                self.k = k0
+        if cmd == "BENCH":
+            return self.do_bench(rest)
+        if cmd == "INTERSECT":
+            return self.do_intersect(rest)
+        if cmd == "PAIR":
+            return self.do_pair(rest)
+        if cmd == "BESTSCORE":
+            return self.do_bestscore(rest)
+        if cmd == "GET":
+            return self.do_get(rest)
+        if cmd == "STRDISTANCE":
+            return self.do_strdistance(rest)
         if cmd == "TOKENIZE":
             return self.do_tokenize(rest)
         if cmd == "FUZZY":

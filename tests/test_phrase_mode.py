@@ -137,3 +137,38 @@ def test_phrase_mixed_with_normal_queries_in_one_batch(env):
     ])
     assert set(_ids(want, pdf_sorted, "n1")) >= {"d-ab", "d-ba", "d-2x", "d-dup"}
     assert set(_ids(want, pdf_sorted, "p1")) == {"d-ba", "d-dup"}
+
+
+def test_phrase_rare_pruned_path_identical(env, spark, tmp_index_root):
+    """The rarest-token doc conjunction + broadcast semi-join (the
+    100-TB bound, engaged above prune_min_postings) must be
+    result-identical to the decode-everything path on the same
+    index — forced open here with a zero floor."""
+    import dataclasses
+
+    from pathlib import Path
+
+    cfg = dataclasses.replace(env["cfg"], prune_min_postings=0)
+    eng = SearchEngine(spark, str(Path(tmp_index_root) / "phrase_mode"), cfg)
+    queries = [
+        Query(qid="p1", q="alpha beta", k=10, phrase=True),
+        Query(qid="p2", q="common here", k=10, phrase=True),
+        Query(qid="p3", q="alpha beta gamma", k=10, phrase=True),
+        Query(qid="p4", q="common here", k=10, phrase=True,
+              filters={"role": ["user"]}),
+    ]
+    pruned = eng.search(queries).toPandas()
+    want = oracle_search(env["oracle"], queries, env["cfg"])
+    gg = {q: list(g.sort_values("rank")["doc_index"])
+          for q, g in pruned.groupby("qid")}
+    ww = {q: list(g.sort_values("rank")["doc_index"])
+          for q, g in want.groupby("qid")}
+    assert gg == ww
+    # tiny-volume batches skip the extra rare-decode job entirely
+    cfg_off = dataclasses.replace(env["cfg"], prune_min_postings=10**9)
+    eng_off = SearchEngine(
+        spark, str(Path(tmp_index_root) / "phrase_mode"), cfg_off
+    )
+    off = eng_off.search(queries).toPandas()
+    assert {q: list(g.sort_values("rank")["doc_index"])
+            for q, g in off.groupby("qid")} == ww

@@ -642,3 +642,18 @@ def test_document_without_text_is_not_searchable(spark, tmp_index_root):
     assert len(engine.search([Query(qid="e1", q="montceau", k=5)]).toPandas()) == 0
     res = engine.search([Query(qid="e2", q="avenue paris", k=5)]).toPandas()
     assert list(res["conv_id"]) == ["normal-doc"]
+
+
+def test_result_from_natural_key(setup):
+    # test_search.py:567-570 (Result.from_id): direct doc fetch by
+    # the natural key, served without a Spark job
+    row = setup[3].get("doc-conflans", 0)
+    assert row is not None and row["text"] == "Conflans"
+    assert setup[3].get("doc-nope", 3) is None
+
+
+def test_unchanged_text_is_default_label(setup):
+    # test_search.py:592-595: a result's label is the stored text,
+    # byte-identical — no normalization leaks into the output
+    res = _search(setup, "rue d'Andrésy")
+    assert res.iloc[0]["text"] == "rue d'Andrésy"

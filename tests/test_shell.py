@@ -80,3 +80,31 @@ def test_shell_dbinfo_help_errors(shell):
     # bad JSON must not kill the loop (loop() catches; dispatch raises)
     with pytest.raises(Exception):
         shell.dispatch("FILTERS {bad json")
+
+
+def test_shell_intersect(shell):
+    out = shell.dispatch("INTERSECT des lilas LIMIT 5")
+    assert "doc-0" in out and "doc-1" in out and "doc-2" not in out
+    # raw conjunction, no relaxation: disjoint tokens → empty
+    assert "(0 in" in shell.dispatch("INTERSECT rue montparnasse")
+
+
+def test_shell_pair(shell):
+    out = shell.dispatch("PAIR lilas")
+    assert out.startswith("lilas:")
+    assert "rue" in out and "avenue" in out
+
+
+def test_shell_bestscore(shell):
+    out = shell.dispatch("BESTSCORE lilas")
+    assert "doc-0" in out and "doc-1" in out
+
+
+def test_shell_get_strdistance_bucket_bench(shell):
+    out = shell.dispatch("GET doc-2 0")
+    assert "montparnasse" in out
+    assert 'not found' in shell.dispatch("GET nope 9")
+    d = float(shell.dispatch("STRDISTANCE rue des lilas|rue des lilas"))
+    assert d == 1.0
+    assert "doc-0" in shell.dispatch("BUCKET rue des lilas")
+    assert "p50=" in shell.dispatch("BENCH 2 lilas")
