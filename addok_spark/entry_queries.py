@@ -832,6 +832,78 @@ LIMIT 50
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style duplicate-trigram fraction per document (the
+    repetition data-quality filter) — one scan, in-row array math."""
+    return textstats.repetition_score(
+        _docs(spark, sf_dir), "doc_id", "text", n=3
+    )
+
+
+SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+g AS (
+  SELECT id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_transform(range(0, len(ts) - 3 + 1),
+                          i -> array_to_string(list_slice(ts, i + 1, i + 3), ' '))
+         ELSE []::varchar[] END AS ng
+  FROM t
+)
+SELECT id,
+       len(ng)::bigint AS n_ngrams,
+       len(list_distinct(ng))::bigint AS n_distinct,
+       round((len(ng) - len(list_distinct(ng)))
+             / greatest(len(ng), 1), 6) AS dup_ngram_frac
+FROM g
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination sweep: docs sharing a word 5-gram with
+    the deterministic pseudo-eval subset (doc_id % 97 == 0) — the
+    train/test decontamination pass; the eval side broadcasts."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = textstats.contamination(
+        docs, "doc_id", "text", bench, "doc_id", "text", k=3,
+        exclude_self=True,
+    )
+    return out.filter(F.col("n_shared") > 0)
+
+
+SQL_CONTAMINATION = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         array_to_string(list_slice(ts, i + 1, i + 3), ' ') AS shingle
+  FROM (SELECT doc_id, ts,
+               unnest(range(0, greatest(len(ts) - 3, 0) + 1)) AS i FROM t)
+  WHERE array_to_string(list_slice(ts, i + 1, i + 3), ' ') <> ''
+),
+bsh AS (SELECT id AS bench_id, shingle FROM sh WHERE id % 97 = 0),
+sizes AS (SELECT id, count(*)::bigint AS n_shingles FROM sh GROUP BY id),
+hits AS (SELECT s.id, s.shingle, b.bench_id
+         FROM sh s JOIN bsh b ON b.shingle = s.shingle AND b.bench_id <> s.id),
+agg AS (SELECT id, count(DISTINCT shingle)::bigint AS n_shared,
+               count(DISTINCT bench_id)::bigint AS n_bench_docs
+        FROM hits GROUP BY id)
+SELECT z.id, z.n_shingles, a.n_shared, a.n_bench_docs,
+       round(a.n_shared / greatest(z.n_shingles, 1), 6) AS containment
+FROM sizes z JOIN agg a ON a.id = z.id
+WHERE a.n_shared > 0
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=3)
 
@@ -1131,6 +1203,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stateful_sessions": q_stateful_sessions,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "repetition_score": q_repetition,
+    "contamination": q_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -1170,4 +1244,6 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "repetition_score": SQL_REPETITION,
+    "contamination": SQL_CONTAMINATION,
 }

@@ -110,6 +110,81 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
     )
 
 
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Repetition filter (after the published Gopher data-quality
+    rules: fraction of duplicated word n-grams within a document —
+    boilerplate/spam text repeats itself). All in-row codegen array
+    math, one scan, zero shuffle: n-grams via transform over an index
+    sequence, dup fraction = 1 - distinct/total. Returns
+    (id, n_ngrams, n_distinct, dup_ngram_frac)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("ts")
+    )
+    ng = F.when(
+        F.size("ts") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - n),
+            lambda i: F.array_join(F.slice("ts", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = toks.select("id", ng.alias("ng"))
+    total = F.size("ng")
+    dist = F.size(F.array_distinct("ng"))
+    return out.select(
+        "id",
+        total.cast("long").alias("n_ngrams"),
+        dist.cast("long").alias("n_distinct"),
+        F.round(
+            (total - dist) / F.greatest(total, F.lit(1)).cast("double"), 6
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    k: int = 5,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Benchmark-contamination detection: which corpus documents
+    share word k-grams with an evaluation set (the standard
+    train/test decontamination pass). The benchmark side is tiny by
+    definition, so its distinct shingles BROADCAST — the join runs
+    map-side against the corpus scan, one pass at 100 TB; per-doc
+    aggregation shuffles only the matching (doc, shingle) pairs.
+    Returns (id, n_shingles, n_shared, n_bench_docs, containment)
+    for contaminated docs plus zero rows for clean ones (filter
+    n_shared > 0 downstream to keep only hits)."""
+    d_sh = word_shingles(df, id_col, text_col, k)
+    b_sh = word_shingles(bench, bench_id_col, bench_text_col, k)
+    b_sh = b_sh.withColumnRenamed("id", "bench_id")
+    sizes = d_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = d_sh.join(F.broadcast(b_sh), "shingle")
+    if exclude_self:
+        hits = hits.filter(F.col("id") != F.col("bench_id"))
+    agg = hits.groupBy("id").agg(
+        F.countDistinct("shingle").alias("n_shared"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )
+    return sizes.join(agg, "id", "left").select(
+        "id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.coalesce("n_bench_docs", F.lit(0)).cast("long").alias("n_bench_docs"),
+        F.round(
+            F.coalesce("n_shared", F.lit(0))
+            / F.greatest("n_shingles", F.lit(1)).cast("double"),
+            6,
+        ).alias("containment"),
+    )
+
+
 def collocations_pmi(
     df: DataFrame,
     id_col: str,

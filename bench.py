@@ -104,6 +104,8 @@ HEADLINE = [
     "events_sessionize",
     "dedup_clusters",
     "collocations_pmi",
+    "repetition_score",
+    "contamination",
 ]
 
 
