@@ -49,6 +49,11 @@ class EngineConfig:
     # default.py:161, and f| sets, helpers/keys.py:16-17), so query
     # filters constrain candidate COLLECTION, not just post-scoring
     filter_fields: tuple[str, ...] = ("role", "tool")
+    # HTTP filter values additionally split on this separator inside
+    # each query-string parameter (≙ FILTERS_MULTI_VALUE_SEPARATOR,
+    # reference default.py:24, http/base.py:88-122). None disables
+    # splitting: only repeated parameters produce multiple values.
+    filters_multi_value_separator: str | None = " "
 
     # --- tokenizer / analyzer ---
     min_edge_ngram: int = 3   # default.py:45

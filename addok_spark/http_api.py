@@ -64,6 +64,38 @@ def _handle_health(engine) -> tuple[int, dict]:
     return 200, body
 
 
+def _match_filters(
+    cfg: EngineConfig, params: dict[str, list[str]]
+) -> dict[str, list[str]]:
+    """Filter parsing ≙ reference ``View.match_filters``
+    (``addok/http/base.py:88-122``): repeated parameters of one field
+    OR together; when ``filters_multi_value_separator`` is set
+    (default space, ≙ FILTERS_MULTI_VALUE_SEPARATOR default.py:24)
+    each parameter value is additionally split on it; values are
+    whitespace-stripped and empties dropped. Different fields AND."""
+    filters: dict[str, list[str]] = {}
+    sep = cfg.filters_multi_value_separator
+    for name in cfg.filter_fields:
+        values = params.get(name)
+        if not values:
+            continue
+        if sep:
+            expanded = []
+            for value in values:
+                if sep in value:
+                    expanded.extend(
+                        v.strip() for v in value.split(sep) if v.strip()
+                    )
+                else:
+                    expanded.append(value.strip())
+            vals = [v for v in expanded if v]
+        else:
+            vals = [v.strip() for v in values if v.strip()]
+        if vals:
+            filters[name] = vals
+    return filters
+
+
 def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[int, dict]:
     q = (params.get("q") or [""])[0]
     if not q:
@@ -77,9 +109,7 @@ def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[
     limit = max(1, min(100, limit))  # http/base.py:176-178
     autocomplete = (params.get("autocomplete") or ["0"])[0] in ("1", "true")
     phrase = (params.get("phrase") or ["0"])[0] in ("1", "true")
-    filters = {
-        k: params[k] for k in engine.cfg.filter_fields if params.get(k)
-    }  # repeated param = OR; multiple fields = AND (≙ FILTERS config)
+    filters = _match_filters(engine.cfg, params)
     out = engine.search(
         [Query(qid="http", q=q, k=limit, autocomplete=autocomplete,
                filters=filters, phrase=phrase)]

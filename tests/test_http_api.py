@@ -77,6 +77,59 @@ def test_role_filter(server):
     assert all(h["role"] in ("user", "tool") for h in body["hits"])
 
 
+def test_filter_space_separator(server):
+    """≙ reference test_multi_value_filter_with_space_separator
+    (tests/test_http.py:321-340): FILTERS_MULTI_VALUE_SEPARATOR
+    defaults to space, so ``role=user tool`` in ONE parameter ORs
+    both values."""
+    base, _ = server
+    code, body, _ = _get(f"{base}/search/?q=the+run&role=user+tool&limit=20")
+    assert code == 200
+    assert body["hits"], "space-separated filter matched nothing"
+    assert all(h["role"] in ("user", "tool") for h in body["hits"])
+
+
+def test_filter_parsing_separator_modes():
+    """≙ reference custom-separator / disabled-multi-value tests
+    (tests/test_http.py:297-363): the separator is config, values are
+    stripped, empties dropped, unknown fields ignored."""
+    from addok_spark.http_api import _match_filters
+
+    params = {"role": ["user|tool", " assistant "], "nope": ["x"]}
+    pipe = EngineConfig(filters_multi_value_separator="|")
+    assert _match_filters(pipe, params) == {
+        "role": ["user", "tool", "assistant"]
+    }
+    off = EngineConfig(filters_multi_value_separator=None)
+    assert _match_filters(off, {"role": ["user tool", ""]}) == {
+        "role": ["user tool"]
+    }
+    default = EngineConfig()
+    assert _match_filters(default, {"role": ["user tool"]}) == {
+        "role": ["user", "tool"]
+    }
+
+
+def test_query_not_split_on_commas(server):
+    """≙ reference test_search_should_not_split_querystring_on_commas
+    (tests/test_http.py:226-232): a comma inside q is query text, not
+    a value separator — the echoed query keeps it intact."""
+    base, _ = server
+    code, body, _ = _get(f"{base}/search/?q=the,run&limit=5")
+    assert code == 200
+    assert body["query"] == "the,run"
+
+
+def test_trailing_slash_equivalence(server):
+    """≙ reference no-redirect tests (tests/test_http.py:31-34,
+    100-103): /search and /search/ answer identically, no 3xx hop."""
+    base, _ = server
+    c1, b1, _ = _get(f"{base}/search?q=the&limit=3")
+    c2, b2, _ = _get(f"{base}/search/?q=the&limit=3")
+    assert c1 == c2 == 200
+    assert b1 == b2
+
+
 def test_404(server):
     base, _ = server
     code, _, _ = _get(f"{base}/nope")
