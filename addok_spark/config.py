@@ -44,6 +44,14 @@ class EngineConfig:
     )
     default_boost: float = 1.0
     importance_weight: float = 0.1  # addok/helpers/results.py:51-57
+    # optional array<string> column carrying extra label VARIANTS of
+    # the primary (first) field — ≙ the reference's list-valued name
+    # (index_document list handling, tests/test_index_utils.py:170-201,
+    # and best-of-labels scoring, results.py:80-104 over `labels`).
+    # Each variant is tokenized and weighted independently
+    # (default_boost / n_variant_tokens * field_boost, max per token)
+    # and scoring compares the query against the BEST variant.
+    alt_text_field: str = "alt_texts"
     # filterable columns — indexed as f|name|value doc-set postings in
     # the SAME blocks table (≙ the reference FILTERS config,
     # default.py:161, and f| sets, helpers/keys.py:16-17), so query

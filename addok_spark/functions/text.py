@@ -428,6 +428,95 @@ def str_distance_keys(query: str, labels: list[str]) -> list[float]:
     return out
 
 
+def ref_string_score_best(
+    query: str, labels: list[str], autocomplete: bool
+) -> float:
+    """Best-of-labels string sub-score (≙ reference results.py:80-104
+    iterating ``self.labels`` — a list-valued name scores by its BEST
+    variant). Inputs pre-folded; empty label list scores like one
+    empty label (singleton lists are bit-equal to the plain call)."""
+    if not labels:
+        return ref_string_score(query, "", autocomplete)
+    return max(ref_string_score(query, l, autocomplete) for l in labels)
+
+
+def str_distance_keys_multi(
+    query: str, label_lists: list[list[str]]
+) -> list[float]:
+    """Batched best-of-labels ``str_distance_key``: ONE DP over all
+    labels of all candidates, then max per candidate — bit-equal to
+    per-label calls (and to ``str_distance_keys`` when every list is
+    a singleton). Empty lists compare against ''."""
+    flat: list[str] = []
+    owners: list[int] = []
+    for i, labels in enumerate(label_lists):
+        for l in labels or [""]:
+            flat.append(l)
+            owners.append(i)
+    vals = str_distance_keys(query, flat)
+    out = [float("-inf")] * len(label_lists)
+    for o, v in zip(owners, vals):
+        if v > out[o]:
+            out[o] = v
+    return out
+
+
+def _labels_of(text, alts) -> list[str]:
+    """Fold text + alt variants into the compare label list (shared
+    by the engine UDFs; oracle/serving build the same list via
+    ExpansionMixin.folded_labels)."""
+    labels = [fold_str(text or "")]
+    if alts is not None and not (
+        isinstance(alts, float) and np.isnan(alts)
+    ):
+        labels.extend(fold_str(v or "") for v in alts)
+    return labels
+
+
+def make_compare_best_udf():
+    """Best-of-labels str_distance tie-break UDF (alt-variant path):
+    folds inside, batches the DP per distinct query over ALL labels
+    of its rows, takes max per row."""
+
+    def _cmp(q: pd.Series, lbl: pd.Series, alts: pd.Series) -> pd.Series:
+        out = np.empty(len(q), dtype=np.float64)
+        qv = q.fillna("").map(fold_str).to_numpy()
+        lists = [
+            _labels_of(t, a) for t, a in zip(lbl.tolist(), alts.tolist())
+        ]
+        for query in pd.unique(qv):
+            m = np.flatnonzero(qv == query)
+            out[m] = str_distance_keys_multi(query, [lists[i] for i in m])
+        return pd.Series(out)
+
+    return F.pandas_udf(_cmp, T.DoubleType())
+
+
+def make_ref_score_best_udf(iw: float = 0.1):
+    """Best-of-labels reference score fold (alt-variant path)."""
+
+    def _rs(
+        q: pd.Series, lbl: pd.Series, alts: pd.Series,
+        ac: pd.Series, imp: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                ref_fold_score(
+                    float(i or 0.0),
+                    ref_string_score_best(
+                        fold_str(a or ""), _labels_of(b, al), bool(c)
+                    ),
+                    iw,
+                )
+                for a, b, al, c, i in zip(
+                    q, lbl.tolist(), alts.tolist(), ac, imp
+                )
+            ]
+        )
+
+    return F.pandas_udf(_rs, T.DoubleType())
+
+
 def make_compare_str_udf():
     """str_distance tie-break UDF: rows arrive grouped by query (the
     scoring join fans one query out over its candidates), so each

@@ -279,7 +279,9 @@ def _varint_len(values: np.ndarray) -> np.ndarray:
     return nb
 
 
-def make_doc_tokens_udf(cfg: EngineConfig, field_names: list[str]):
+def make_doc_tokens_udf(
+    cfg: EngineConfig, field_names: list[str], with_alt: bool = False
+):
     """Per-DOCUMENT analysis + aggregation in ONE Arrow batch pass —
     the readable REFERENCE twin of the vectorized ``_make_doc_analyzer``
     the build actually runs (equivalence-tested in
@@ -297,15 +299,20 @@ def make_doc_tokens_udf(cfg: EngineConfig, field_names: list[str]):
     (addok/helpers/index.py:30-37,121-141). Positions are global
     across fields in config field order; dl = total token count.
     """
-    from ..functions.text import analyze_series
+    from ..functions.text import analyze_series, analyze_str
 
     fields = [(f.name, f.boost) for f in cfg.fields if f.name in field_names]
     syn = dict(cfg.synonyms)
     default_boost, iw = cfg.default_boost, cfg.importance_weight
 
     def run(*cols: pd.Series) -> pd.DataFrame:
+        # column order: field columns, [alt variants list], importance
         imp = cols[-1].fillna(0.0).to_numpy(dtype=np.float64)
-        per_field = [analyze_series(c, syn) for c in cols[:-1]]
+        alt_col = cols[-2] if with_alt else None
+        per_field = [
+            analyze_series(c, syn)
+            for c in cols[: len(fields)]
+        ]
         n_rows = len(imp)
         # per-doc token aggregation (python dicts over ~40 tokens/doc)
         doc_pairs: list = []   # per doc: [(token, tf, boost, pos_list), ...]
@@ -317,8 +324,20 @@ def make_doc_tokens_udf(cfg: EngineConfig, field_names: list[str]):
             tfs: dict = {}
             boosts: dict = {}
             positions: dict = {}
-            for (fname, fboost), toks_s in zip(fields, per_field):
-                toks = toks_s.iat[i]
+            segments = []
+            for fi, ((fname, fboost), toks_s) in enumerate(
+                zip(fields, per_field)
+            ):
+                segments.append((toks_s.iat[i], fboost))
+                if fi == 0 and alt_col is not None:
+                    variants = alt_col.iat[i]
+                    if variants is not None:
+                        for v in variants:
+                            # each variant weighted by its OWN length
+                            segments.append(
+                                (analyze_str(v or "", syn), fboost)
+                            )
+            for toks, fboost in segments:
                 if toks is None or len(toks) == 0:
                     continue
                 w = default_boost / len(toks) * fboost
@@ -401,7 +420,11 @@ def _expand_synonyms(flat, rows, syn: dict[str, str]):
     return vals.take(pa.array(base + within)), out_rows
 
 
-def _make_doc_analyzer(cfg: EngineConfig, fields: list[tuple[str, float]]):
+def _make_doc_analyzer(
+    cfg: EngineConfig,
+    fields: list[tuple[str, float]],
+    alt_field: str | None = None,
+):
     """mapInArrow analyzer: the fully-vectorized twin of
     ``make_doc_tokens_udf`` (kept as the readable reference — their
     outputs are equivalence-tested). Tokens are split JVM→Arrow→C++
@@ -437,7 +460,64 @@ def _make_doc_analyzer(cfg: EngineConfig, fields: list[tuple[str, float]]):
                 imp = np.zeros(n_rows)
             row_parts, tok_parts, w_parts, pos_parts = [], [], [], []
             pos_base = np.zeros(n_rows, dtype=np.int64)
-            for fname, fboost in fields:
+
+            def _emit(flat, rows0, w_tok, cnt_row):
+                nonlocal pos_base
+                # positions continue per row across segments; within a
+                # segment the flattened order is row-major, so the
+                # in-row offset is index-minus-row-start
+                starts_r = np.cumsum(cnt_row) - cnt_row
+                pos_in = np.arange(len(rows0), dtype=np.int64) - np.repeat(
+                    starts_r, cnt_row
+                )
+                row_parts.append(rows0)
+                tok_parts.append(flat)
+                w_parts.append(w_tok)
+                pos_parts.append(pos_base[rows0] + pos_in)
+                pos_base = pos_base + cnt_row
+
+            def _alt_segment(fboost):
+                # list-valued label variants (≙ reference list-value
+                # name, index_document): each variant weighted by ITS
+                # OWN token count; tokens appended right after the
+                # primary field's, per doc
+                col = b.column(alt_field)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                ll = (
+                    pc.list_value_length(col).fill_null(0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                vrow = np.repeat(np.arange(n_rows, dtype=np.int64), ll)
+                if len(vrow) == 0:
+                    return
+                folded = fold_series(col.flatten().to_pandas())
+                sp = pc.split_pattern_regex(
+                    pa.array(folded, type=pa.string()), "[^a-z0-9_]+"
+                )
+                counts_v = pc.list_value_length(sp).fill_null(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                flat = _one_chunk(sp.flatten())
+                vid0 = np.repeat(
+                    np.arange(len(vrow), dtype=np.int64), counts_v
+                )
+                ne = np.flatnonzero(
+                    pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+                )
+                flat = flat.take(pa.array(ne))
+                vid0 = vid0[ne]
+                if syn and len(vid0):
+                    flat, vid0 = _expand_synonyms(flat, vid0, syn)
+                cnt_v = np.bincount(vid0, minlength=len(vrow))
+                w_v = np.zeros(len(vrow))
+                nzv = cnt_v > 0
+                w_v[nzv] = db / cnt_v[nzv] * fboost
+                rows0 = vrow[vid0]
+                cnt_row = np.bincount(rows0, minlength=n_rows)
+                _emit(flat, rows0, w_v[vid0], cnt_row)
+
+            for fi, (fname, fboost) in enumerate(fields):
                 folded = fold_series(b.column(fname).to_pandas())
                 sp = pc.split_pattern_regex(
                     pa.array(folded, type=pa.string()), "[^a-z0-9_]+"
@@ -458,15 +538,9 @@ def _make_doc_analyzer(cfg: EngineConfig, fields: list[tuple[str, float]]):
                 w_row = np.zeros(n_rows)
                 nz = counts_f > 0
                 w_row[nz] = db / counts_f[nz] * fboost
-                starts_f = np.cumsum(counts_f) - counts_f
-                pos_in = np.arange(len(rows0), dtype=np.int64) - np.repeat(
-                    starts_f, counts_f
-                )
-                row_parts.append(rows0)
-                tok_parts.append(flat)
-                w_parts.append(w_row[rows0])
-                pos_parts.append(pos_base[rows0] + pos_in)
-                pos_base = pos_base + counts_f
+                _emit(flat, rows0, w_row[rows0], counts_f)
+                if fi == 0 and alt_field is not None and alt_field in names:
+                    _alt_segment(fboost)
             rows_all = (
                 np.concatenate(row_parts)
                 if row_parts
@@ -552,16 +626,65 @@ def _make_doc_analyzer(cfg: EngineConfig, fields: list[tuple[str, float]]):
     return run
 
 
+def field_null_violation(docs: DataFrame, cfg: EngineConfig):
+    """Boolean Column: true for docs violating a ``null=False`` field
+    constraint (≙ reference FieldSpec ``null`` key,
+    addok/helpers/index.py:121-141 via config FIELDS: a document
+    whose required field is missing/empty is not indexed at all).
+    Null / empty-after-trim strings violate; for array-valued fields,
+    null or no non-blank element violates. Returns None when every
+    configured field allows null (the default) — callers skip the
+    filter entirely, so the scan predicate only exists when asked
+    for."""
+    pred = None
+    for f in cfg.fields:
+        if f.allow_null or f.name not in docs.columns:
+            continue
+        col = F.col(f.name)
+        if isinstance(docs.schema[f.name].dataType, T.ArrayType):
+            ok = col.isNotNull() & (
+                F.size(
+                    F.filter(
+                        col,
+                        lambda x: x.isNotNull()
+                        & (F.length(F.trim(x.cast("string"))) > 0),
+                    )
+                )
+                > 0
+            )
+        else:
+            ok = col.isNotNull() & (
+                F.length(F.trim(col.cast("string"))) > 0
+            )
+        viol = ~ok
+        pred = viol if pred is None else (pred | viol)
+    return pred
+
+
+def enforce_field_nulls(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Drop documents violating ``allow_null=False`` field specs
+    before id assignment (bulk build path)."""
+    pred = field_null_violation(docs, cfg)
+    return docs if pred is None else docs.filter(~pred)
+
+
 def analyze_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """docs → docs + ``__an`` struct (toks array + dl). One
     mapInArrow pass, no shuffle (see ``_make_doc_analyzer``)."""
     field_specs = [
         (f.name, f.boost) for f in cfg.fields if f.name in docs.columns
     ]
+    alt = (
+        cfg.alt_text_field
+        if cfg.alt_text_field and cfg.alt_text_field in docs.columns
+        else None
+    )
     out_schema = T.StructType(
         list(docs.schema.fields) + [T.StructField("__an", DOC_TOKENS_TYPE)]
     )
-    return docs.mapInArrow(_make_doc_analyzer(cfg, field_specs), out_schema)
+    return docs.mapInArrow(
+        _make_doc_analyzer(cfg, field_specs, alt_field=alt), out_schema
+    )
 
 
 def tokenize_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -1561,7 +1684,9 @@ class IndexBuilder:
         # (measured: cached pipeline 2× slower on local[32] than
         # local[8]; checkpointed stages scale).
         if not (resume and self._stage_done("analyzed")):
-            docs, cached = assign_doc_ids(transcripts, cfg.build_partitions)
+            docs, cached = assign_doc_ids(
+                enforce_field_nulls(transcripts, cfg), cfg.build_partitions
+            )
             if "importance" not in docs.columns:
                 docs = docs.withColumn("importance", F.lit(0.0))
             analyzed = analyze_docs(docs, cfg)

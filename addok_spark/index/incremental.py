@@ -156,6 +156,21 @@ def apply_actions(
         .drop("__rn", *(["_seq"] if "_seq" in changes.columns else []))
     )
 
+    # ``allow_null=False`` fields: an upsert whose required field is
+    # empty is not indexable — the reference's index_document skips
+    # it, which on an update leaves the old doc deindexed; here that
+    # is exactly a delete action (no-op if the key never existed)
+    from .build import field_null_violation
+
+    viol = field_null_violation(changes, cfg)
+    if viol is not None:
+        changes = changes.withColumn(
+            "_action",
+            F.when(
+                (F.col("_action") != "delete") & viol, F.lit("delete")
+            ).otherwise(F.col("_action")),
+        )
+
     docs = spark.read.parquet(cur.docs)
     keyed = changes.select(
         "conv_id", "turn_idx", "_action",

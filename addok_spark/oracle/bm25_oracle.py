@@ -28,8 +28,8 @@ from ..functions.text import (
     fold_str,
     make_fuzzy_str,
     ref_fold_score,
-    ref_string_score,
-    str_distance_keys,
+    ref_string_score_best,
+    str_distance_keys_multi,
 )
 
 
@@ -73,6 +73,23 @@ class ExpansionMixin:
         string comparisons (fold is deterministic, so implementations
         may cache it per doc)."""
         return fold_str(self.doc(d)["text"] or "")
+
+    def folded_labels(self, d: int) -> list[str]:
+        """Folded label VARIANTS of a doc: primary text plus the
+        optional ``alt_text_field`` list (≙ reference Result.labels,
+        results.py:80-104 — string comparisons score the BEST
+        variant). Singleton (no alt column) ⇒ identical to
+        ``folded_text`` alone, so the non-alt paths are unchanged."""
+        labels = [self.folded_text(d)]
+        alt_name = getattr(self.cfg, "alt_text_field", None)
+        if alt_name:
+            row = self.doc(d)
+            alt = row.get(alt_name) if hasattr(row, "get") else None
+            if alt is not None and not (
+                isinstance(alt, float) and math.isnan(alt)
+            ) and len(alt):
+                labels.extend(fold_str(v or "") for v in alt)
+        return labels
 
     # -- expansion helpers (mirror SearchEngine._plan_queries) -------------
     def noncommon(self, t: str) -> bool:
@@ -141,9 +158,30 @@ class OracleIndex(ExpansionMixin):
             fb: dict[str, float] = {}
             tfs: dict[str, int] = {}
             pos = 0
-            for fname, fboost in fields:
+            segments = []
+            for fi, (fname, fboost) in enumerate(fields):
                 raw = getattr(row, fname)
-                toks = analyze_str(raw if isinstance(raw, str) else "", cfg.synonyms)
+                segments.append(
+                    (
+                        analyze_str(
+                            raw if isinstance(raw, str) else "",
+                            cfg.synonyms,
+                        ),
+                        fboost,
+                    )
+                )
+                if fi == 0 and cfg.alt_text_field in corpus.columns:
+                    # list-valued label variants right after the
+                    # primary field (index build does the same)
+                    alt = getattr(row, cfg.alt_text_field, None)
+                    if alt is not None and not (
+                        isinstance(alt, float) and math.isnan(alt)
+                    ):
+                        for v in alt:
+                            segments.append(
+                                (analyze_str(v or "", cfg.synonyms), fboost)
+                            )
+            for toks, fboost in segments:
                 if not toks:
                     continue
                 w = cfg.default_boost / len(toks) * fboost
@@ -397,7 +435,9 @@ class SpecSearch:
             def _m(d: int) -> float:
                 v = cream_memo.get(d)
                 if v is None:
-                    v = ref_string_score(qf, index.folded_text(d), ac)
+                    v = ref_string_score_best(
+                        qf, index.folded_labels(d), ac
+                    )
                     cream_memo[d] = v
                 return v
 
@@ -555,8 +595,8 @@ class SpecSearch:
             if cfg.scorer == "reference":
                 score = ref_fold_score(
                     float(doc.get("importance", 0.0) or 0.0),
-                    ref_string_score(
-                        qf, index.folded_text(d),
+                    ref_string_score_best(
+                        qf, index.folded_labels(d),
                         bool(getattr(q, "autocomplete", False)),
                     ),
                     cfg.importance_weight,
@@ -584,8 +624,8 @@ class SpecSearch:
         if recs:
             # deterministic secondary sort key, one vectorized DP for
             # all candidates (bit-equal to per-pair str_distance_key)
-            dists = str_distance_keys(
-                qf, [index.folded_text(r["doc_index"]) for r in recs]
+            dists = str_distance_keys_multi(
+                qf, [index.folded_labels(r["doc_index"]) for r in recs]
             )
             for r, dv in zip(recs, dists):
                 r["str_distance"] = dv

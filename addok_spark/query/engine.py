@@ -62,11 +62,12 @@ from ..functions.text import (
     analyze_str,
     fold_str,
     fold_udf,
+    make_compare_best_udf,
     make_compare_str_udf,
     make_fuzzy_str,
+    make_ref_score_best_udf,
     make_ref_score_udf,
-    ref_string_score,
-    str_distance_key,
+    ref_string_score_best,
 )
 from ..index.build import IndexPaths
 from ..index.compress import unpack_deltas, unpack_f32, varint_decode
@@ -1264,19 +1265,28 @@ class SearchEngine:
         ids = sorted({d for st in need.values() for d in st.candidates})
         shift = self.meta["doc_bucket_bits"] + self.meta.get("pbucket_shift", 6)
         pbs = sorted({d >> shift for d in ids})
+        alt = (
+            self.cfg.alt_text_field
+            if self.cfg.alt_text_field in self.docs.columns
+            else None
+        )
         rows = (
             self.docs.filter(F.col("pbucket").isin(pbs))
             .filter(F.col("doc_index").isin(ids))
-            .select("doc_index", "text")
+            .select("doc_index", "text", *([alt] if alt else []))
             .collect()
         )
-        folded = {r["doc_index"]: fold_str(r["text"] or "") for r in rows}
+        folded = {
+            r["doc_index"]: [fold_str(r["text"] or "")]
+            + [fold_str(v or "") for v in (r[alt] if alt else None) or []]
+            for r in rows
+        }
         thr = self.cfg.match_threshold
         for qid, st in need.items():
             qf = fold_str(st.query.q)
             ac = bool(st.query.autocomplete)
             if any(
-                ref_string_score(qf, folded.get(d, ""), ac) >= thr
+                ref_string_score_best(qf, folded.get(d, [""]), ac) >= thr
                 for d in sorted(st.candidates)
             ):
                 st.done = True
@@ -1446,8 +1456,16 @@ class SearchEngine:
         )
         if len(cand_ids) <= 10_000:
             docs_src = docs_src.filter(F.col("doc_index").isin(cand_ids))
+        # alt label variants ride along only when the docs table has
+        # them (list-valued name parity) — scoring compares best-of
+        alt = (
+            self.cfg.alt_text_field
+            if self.cfg.alt_text_field in self.docs.columns
+            else None
+        )
         dl = docs_src.select("doc_index", "dl", "conv_id", "turn_idx", "role",
-                             "tool", "text", "importance")
+                             "tool", "text", "importance",
+                             *([alt] if alt else []))
         # candidates ≤ bucket_max per query → the IN-pruned docs side
         # is tiny; broadcast keeps per_group's partitioning (no SMJ
         # exchange before the per-doc fold). Above the IN-list cap the
@@ -1487,6 +1505,7 @@ class SearchEngine:
             F.first("tool").alias("tool"),
             F.first("text").alias("text"),
             F.first("importance").alias("importance"),
+            *([F.first(alt).alias(alt)] if alt else []),
         )
         # belt-and-braces filter predicate on top of the
         # filter-constrained collection (≙ f| sets → predicate,
@@ -1536,11 +1555,24 @@ class SearchEngine:
         )
         # rounding happens INSIDE the UDF (Python round, HALF_EVEN)
         # so engine and oracle share one rounding rule (str_distance_key)
-        cmp_udf = make_compare_str_udf()
-        per_doc = per_doc.withColumn(
-            "str_distance",
-            cmp_udf(fold_udf(qmap[F.col("qid")]), fold_udf(F.col("text"))),
-        )
+        if alt:
+            cmp_best = make_compare_best_udf()
+            per_doc = per_doc.withColumn(
+                "str_distance",
+                cmp_best(
+                    qmap[F.col("qid")],
+                    F.col("text"),
+                    F.coalesce(
+                        F.col(alt), F.array().cast("array<string>")
+                    ),
+                ),
+            )
+        else:
+            cmp_udf = make_compare_str_udf()
+            per_doc = per_doc.withColumn(
+                "str_distance",
+                cmp_udf(fold_udf(qmap[F.col("qid")]), fold_udf(F.col("text"))),
+            )
 
         if self.cfg.scorer == "reference":
             # reference-semantics fold (core.py:92-101): score =
@@ -1557,16 +1589,28 @@ class SearchEngine:
                     )
                 ]
             )
-            ref_udf = make_ref_score_udf(self.cfg.importance_weight)
-            per_doc = per_doc.withColumn(
-                "score",
-                ref_udf(
+            if alt:
+                ref_best = make_ref_score_best_udf(self.cfg.importance_weight)
+                score_col = ref_best(
+                    qmap[F.col("qid")],
+                    F.col("text"),
+                    F.coalesce(
+                        F.col(alt), F.array().cast("array<string>")
+                    ),
+                    amap[F.col("qid")],
+                    F.col("importance"),
+                )
+            else:
+                ref_udf = make_ref_score_udf(self.cfg.importance_weight)
+                score_col = ref_udf(
                     fold_udf(qmap[F.col("qid")]),
                     fold_udf(F.col("text")),
                     amap[F.col("qid")],
                     F.col("importance"),
-                ),
-            ).filter(F.col("score") >= F.lit(self.cfg.min_score))
+                )
+            per_doc = per_doc.withColumn("score", score_col).filter(
+                F.col("score") >= F.lit(self.cfg.min_score)
+            )
 
         w = Window.partitionBy("qid").orderBy(
             F.desc("score"),

@@ -381,6 +381,42 @@ def test_backfill_batch_routes_through_range_assigner(spark, cfg, built):
     assert keys == sorted(keys)
 
 
+def test_cdc_nullified_required_field_deindexes(spark, tmp_path):
+    """An update that blanks an ``allow_null=False`` field behaves as
+    the reference's skip-on-null (index_document refuses it after the
+    deindex step of an update): the doc disappears from the index;
+    a CREATE with a null field is a no-op rather than an error."""
+    ncfg = EngineConfig(
+        fields=(FieldSpec("text", 1.0, allow_null=False), FieldSpec("tool", 4.0)),
+        build_partitions=4, doc_bucket_bits=2, pbucket_shift=1,
+        posting_block_size=2, common_threshold=1000,
+    )
+    paths = build_index(spark, _corpus(spark), ncfg, str(tmp_path / "nidx"))
+    changes = spark.createDataFrame(
+        [
+            # blank out conv-a/0's text → must deindex it
+            ("conv-a", 0, "user", "", None, 0.5, "update"),
+            # brand-new key with null text → skipped, not an error
+            ("conv-z", 9, "user", None, "bash", 0.1, "index"),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double, _action string",
+    )
+    m = apply_actions(spark, paths, changes, ncfg)
+    cur = paths.pin()
+    keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in spark.read.parquet(cur.docs)
+        .select("conv_id", "turn_idx").collect()
+    }
+    assert ("conv-a", 0) not in keys
+    assert ("conv-z", 9) not in keys
+    assert len(keys) == 3
+    eng = SearchEngine(spark, cur, ncfg)
+    got = eng.search([Query(qid="q", q="lilas", k=5)]).toPandas()
+    assert got.empty
+
+
 def test_snapshot_publish_atomic_and_versioned(spark, cfg, built):
     """Every CDC batch publishes a complete NEW snapshot dir and
     flips CURRENT.json atomically; the previous snapshot's tables

@@ -317,6 +317,140 @@ def test_analyzer_empty_synonym_target_and_no_fields(spark):
     assert got[0]["__an"].toks == [] and got[0]["__an"].dl == 0
 
 
+ALT_ROWS = [
+    ("c", 0, "user", "Vernou-la-Celle-sur-Seine", None, 0.0, ["Vernou"]),
+    ("c", 1, "user", "rue des Lilas", "grep", 0.5, None),
+    ("c", 2, "user", "avenue des Champs", None, 0.25,
+     ["Champs", "avenue verte des champs"]),
+    ("c", 3, "user", "boulevard Voltaire", "bash", 0.0, []),
+]
+ALT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string,"
+    " tool string, importance double, alt_texts array<string>"
+)
+
+
+def test_list_value_variants_weights(spark, tmp_index_root):
+    """≙ reference test_allow_list_values
+    (tests/test_index_utils.py:170-183): a list-valued name indexes
+    every variant, each weighted by ITS OWN token count — w|vernou ==
+    field boost 4 (1-token variant), w|celle == 4/5 (5-token
+    variant) — and tf folds across variants."""
+    cfg = EngineConfig(
+        fields=(FieldSpec("text", 4.0), FieldSpec("tool", 1.0)),
+        build_partitions=2, doc_bucket_bits=2, posting_block_size=4,
+    )
+    df = spark.createDataFrame(ALT_ROWS, ALT_SCHEMA)
+    paths = build_index(
+        spark, df, cfg, str(Path(tmp_index_root) / "altidx")
+    )
+    docs = spark.read.parquet(paths.docs)
+    d0 = docs.filter(F.col("turn_idx") == 0).collect()[0]
+    from addok_spark.serving.local import ParquetIndex
+
+    idx = ParquetIndex(str(paths.root), cfg)
+    d = int(d0["doc_index"])
+    assert idx.tf_of("vernou", d) == 2
+    assert abs(idx.boost_of("vernou", d) - 4.0) < 1e-6
+    assert idx.tf_of("celle", d) == 1
+    assert abs(idx.boost_of("celle", d) - 4 / 5) < 1e-6
+    assert idx.doc_len(d) == 6
+    # deindex parity (tests/test_index_utils.py:185-201): deleting the
+    # doc removes its variant postings too
+    from addok_spark.index.incremental import apply_actions
+
+    ch = spark.createDataFrame(
+        [("c", 0, "user", None, None, 0.0, None, "delete")],
+        ALT_SCHEMA + ", _action string",
+    )
+    apply_actions(spark, paths, ch, cfg)
+    idx2 = ParquetIndex(str(paths.root), cfg)
+    assert idx2.posting_count("vernou") == 0
+    assert idx2.posting_count("celle") == 0
+
+
+def test_vectorized_analyzer_equals_pandas_udf_with_alt(spark):
+    """Alt-variant segments must keep the vectorized analyzer and the
+    pandas twin bit-identical (token set, tf, boost, position bytes,
+    dl) including synonyms inside variants."""
+    from addok_spark.index.build import analyze_docs, make_doc_tokens_udf
+
+    cfg = EngineConfig(
+        fields=(FieldSpec("text", 4.0), FieldSpec("tool", 1.0)),
+        synonyms=(("avenue", "av"),),
+    )
+    docs = spark.createDataFrame(ALT_ROWS, ALT_SCHEMA).withColumn(
+        "doc_index", F.monotonically_increasing_id()
+    )
+    new = analyze_docs(docs, cfg).select("doc_index", "__an").collect()
+    udf = make_doc_tokens_udf(cfg, ["text", "tool"], with_alt=True)
+    old = docs.withColumn(
+        "__an",
+        udf(F.col("text"), F.col("tool"), F.col("alt_texts"),
+            F.col("importance")),
+    ).select("doc_index", "__an").collect()
+
+    def canon(rows):
+        return {
+            r["doc_index"]: (
+                r["__an"].dl,
+                frozenset(
+                    (t.token, t.tf, bytes(t.pos_bin), round(t.boost, 6))
+                    for t in r["__an"].toks
+                ),
+            )
+            for r in rows
+        }
+
+    assert canon(new) == canon(old)
+
+
+def test_allow_null_false_drops_doc(spark, tmp_index_root):
+    """≙ reference test_doc_with_null_value_should_not_be_index_if_not_allowed
+    (tests/test_index_utils.py:266-281): with ``null=False`` on a
+    field, a document whose value is null or blank is not indexed at
+    all — no doc row, no postings from its OTHER fields either."""
+    cfg = EngineConfig(
+        fields=(
+            FieldSpec("text", 1.0, allow_null=False),
+            FieldSpec("tool", 4.0),
+        ),
+        build_partitions=2,
+        doc_bucket_bits=2,
+        posting_block_size=4,
+    )
+    rows = [
+        ("c", 0, "user", "rue des Lilas", None, 0.0),
+        ("c", 1, "user", "", "cergy", 0.0),        # blank text → dropped
+        ("c", 2, "user", "   ", None, 0.0),        # whitespace → dropped
+        ("c", 3, "user", None, "bash", 0.0),       # null → dropped
+        ("c", 4, "user", "avenue Voltaire", None, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double"
+    )
+    paths = build_index(
+        spark, df, cfg, str(Path(tmp_index_root) / "nullf")
+    )
+    docs = spark.read.parquet(paths.docs)
+    assert sorted(
+        r["turn_idx"] for r in docs.select("turn_idx").collect()
+    ) == [0, 4]
+    toks = {
+        r["token"] for r in spark.read.parquet(paths.dictionary).collect()
+    }
+    # the dropped doc's tool tokens must not leak into the index
+    assert "cergy" not in toks and "bash" not in toks
+    # default config (allow_null=True) keeps all five docs
+    cfg2 = EngineConfig(
+        fields=(FieldSpec("text", 1.0), FieldSpec("tool", 4.0)),
+        build_partitions=2, doc_bucket_bits=2, posting_block_size=4,
+    )
+    p2 = build_index(spark, df, cfg2, str(Path(tmp_index_root) / "nullt"))
+    assert spark.read.parquet(p2.docs).count() == 5
+
+
 def test_resume_skips_completed_stages(spark, tiny_corpus, tiny_cfg, built):
     manifest = json.loads(built.manifest.read_text())
     before = manifest["stages"]["blocks"]

@@ -644,6 +644,52 @@ def test_document_without_text_is_not_searchable(spark, tmp_index_root):
     assert list(res["conv_id"]) == ["normal-doc"]
 
 
+def test_should_compare_with_multiple_values(spark, tmp_index_root):
+    # test_search.py:573-580: a doc whose label list carries an exact
+    # variant ("Vernou") scores EQUAL to the doc named exactly that —
+    # string comparison takes the BEST variant, on all three surfaces
+    import pandas as pd
+
+    from addok_spark.oracle.bm25_oracle import OracleIndex, oracle_search
+    from addok_spark.serving.local import LocalSearchEngine
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["doc-long-name", "doc-vernou", "doc-other"],
+            "turn_idx": 0,
+            "role": "user",
+            "text": [
+                "Vernou-la-Celle-sur-Seine", "Vernou", "Montereau",
+            ],
+            "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+            "importance": 0.0,
+            "alt_texts": [["Vernou"], None, None],
+        }
+    )
+    cfg = EngineConfig(
+        scorer="reference",
+        fields=(FieldSpec("text", 1.0),),
+        build_partitions=2,
+        doc_bucket_bits=4,
+        posting_block_size=16,
+        build_pairs=False,
+    )
+    out = str(Path(tmp_index_root) / "multival")
+    paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
+    query = Query(qid="mv", q="vernou", k=10)
+    got = SearchEngine(spark, paths, cfg).search([query]).toPandas()
+    want = oracle_search(OracleIndex(pdf, cfg), [query], cfg)
+    served = LocalSearchEngine(out, cfg).search([query])
+    assert list(got["doc_index"]) == list(want["doc_index"])
+    assert list(served["doc_index"]) == list(want["doc_index"])
+    assert len(got) == 2
+    assert abs(got.iloc[0]["score"] - got.iloc[1]["score"]) < 1e-9
+    assert set(got["conv_id"]) == {"doc-long-name", "doc-vernou"}
+    # and equal on the oracle too (the reference asserts equality)
+    assert abs(want.iloc[0]["score"] - want.iloc[1]["score"]) < 1e-9
+
+
 def test_result_from_natural_key(setup):
     # test_search.py:567-570 (Result.from_id): direct doc fetch by
     # the natural key, served without a Spark job
