@@ -33,6 +33,13 @@ class FieldSpec:
     boost: float = 1.0
     # reference allows per-field null constraints (default.py:128-138)
     allow_null: bool = True
+    # per-DOCUMENT boost override: name of a numeric column whose
+    # value replaces the static ``boost`` for this field (null falls
+    # back to ``boost``) — the Spark-idiomatic analog of the
+    # reference's callable boost (``{"key": ..., "boost": lambda
+    # doc: ...}``, tests/test_index_utils.py:247-263): a callable
+    # can't vectorize, a column expression can
+    boost_col: str | None = None
 
 
 @dataclass

@@ -301,18 +301,28 @@ def make_doc_tokens_udf(
     """
     from ..functions.text import analyze_series, analyze_str
 
-    fields = [(f.name, f.boost) for f in cfg.fields if f.name in field_names]
+    fields = [
+        (f.name, f.boost, f.boost_col)
+        for f in cfg.fields
+        if f.name in field_names
+    ]
+    # fields with a per-doc boost column, in field order — their
+    # columns follow the field columns in the UDF argument list
+    boosted = [i for i, (_, _, bc) in enumerate(fields) if bc]
     syn = dict(cfg.synonyms)
     default_boost, iw = cfg.default_boost, cfg.importance_weight
 
     def run(*cols: pd.Series) -> pd.DataFrame:
-        # column order: field columns, [alt variants list], importance
+        # column order: field columns, boost-override columns (for
+        # fields with boost_col, in field order), [alt variants
+        # list], importance
         imp = cols[-1].fillna(0.0).to_numpy(dtype=np.float64)
-        alt_col = cols[-2] if with_alt else None
-        per_field = [
-            analyze_series(c, syn)
-            for c in cols[: len(fields)]
-        ]
+        n_f = len(fields)
+        bseries = {
+            fi: cols[n_f + j] for j, fi in enumerate(boosted)
+        }
+        alt_col = cols[n_f + len(boosted)] if with_alt else None
+        per_field = [analyze_series(c, syn) for c in cols[:n_f]]
         n_rows = len(imp)
         # per-doc token aggregation (python dicts over ~40 tokens/doc)
         doc_pairs: list = []   # per doc: [(token, tf, boost, pos_list), ...]
@@ -325,9 +335,12 @@ def make_doc_tokens_udf(
             boosts: dict = {}
             positions: dict = {}
             segments = []
-            for fi, ((fname, fboost), toks_s) in enumerate(
+            for fi, ((fname, fboost, _bc), toks_s) in enumerate(
                 zip(fields, per_field)
             ):
+                bs = bseries.get(fi)
+                if bs is not None and not pd.isna(bs.iat[i]):
+                    fboost = float(bs.iat[i])
                 segments.append((toks_s.iat[i], fboost))
                 if fi == 0 and alt_col is not None:
                     variants = alt_col.iat[i]
@@ -476,11 +489,11 @@ def _make_doc_analyzer(
                 pos_parts.append(pos_base[rows0] + pos_in)
                 pos_base = pos_base + cnt_row
 
-            def _alt_segment(fboost):
+            def _alt_segment(bvals):
                 # list-valued label variants (≙ reference list-value
                 # name, index_document): each variant weighted by ITS
-                # OWN token count; tokens appended right after the
-                # primary field's, per doc
+                # OWN token count (x the owning row's field boost);
+                # tokens appended right after the primary field's
                 col = b.column(alt_field)
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
@@ -512,12 +525,21 @@ def _make_doc_analyzer(
                 cnt_v = np.bincount(vid0, minlength=len(vrow))
                 w_v = np.zeros(len(vrow))
                 nzv = cnt_v > 0
-                w_v[nzv] = db / cnt_v[nzv] * fboost
+                w_v[nzv] = db / cnt_v[nzv] * bvals[vrow][nzv]
                 rows0 = vrow[vid0]
                 cnt_row = np.bincount(rows0, minlength=n_rows)
                 _emit(flat, rows0, w_v[vid0], cnt_row)
 
-            for fi, (fname, fboost) in enumerate(fields):
+            for fi, (fname, fboost, bcol) in enumerate(fields):
+                # per-doc boost override column (≙ callable boost)
+                if bcol and bcol in names:
+                    bvals = (
+                        b.column(bcol).to_pandas()
+                        .astype("float64").fillna(fboost)
+                        .to_numpy(dtype=np.float64)
+                    )
+                else:
+                    bvals = np.full(n_rows, float(fboost))
                 folded = fold_series(b.column(fname).to_pandas())
                 sp = pc.split_pattern_regex(
                     pa.array(folded, type=pa.string()), "[^a-z0-9_]+"
@@ -537,10 +559,10 @@ def _make_doc_analyzer(
                 counts_f = np.bincount(rows0, minlength=n_rows)
                 w_row = np.zeros(n_rows)
                 nz = counts_f > 0
-                w_row[nz] = db / counts_f[nz] * fboost
+                w_row[nz] = db / counts_f[nz] * bvals[nz]
                 _emit(flat, rows0, w_row[rows0], counts_f)
                 if fi == 0 and alt_field is not None and alt_field in names:
-                    _alt_segment(fboost)
+                    _alt_segment(bvals)
             rows_all = (
                 np.concatenate(row_parts)
                 if row_parts
@@ -672,7 +694,9 @@ def analyze_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """docs → docs + ``__an`` struct (toks array + dl). One
     mapInArrow pass, no shuffle (see ``_make_doc_analyzer``)."""
     field_specs = [
-        (f.name, f.boost) for f in cfg.fields if f.name in docs.columns
+        (f.name, f.boost, f.boost_col)
+        for f in cfg.fields
+        if f.name in docs.columns
     ]
     alt = (
         cfg.alt_text_field

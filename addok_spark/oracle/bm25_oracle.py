@@ -147,7 +147,11 @@ class OracleIndex(ExpansionMixin):
         self.tf: dict[str, dict[int, int]] = defaultdict(dict)
         self.boost: dict[str, dict[int, float]] = defaultdict(dict)
         self.dl = np.zeros(len(corpus), dtype=np.int64)
-        fields = [(f.name, f.boost) for f in cfg.fields if f.name in corpus.columns]
+        fields = [
+            (f.name, f.boost, f.boost_col)
+            for f in cfg.fields
+            if f.name in corpus.columns
+        ]
         # per-(token, doc) position lists in the concatenated field
         # token stream — same counter the index build packs into
         # pos_bin (phrase-mode positional matching)
@@ -159,7 +163,14 @@ class OracleIndex(ExpansionMixin):
             tfs: dict[str, int] = {}
             pos = 0
             segments = []
-            for fi, (fname, fboost) in enumerate(fields):
+            for fi, (fname, fboost, bcol) in enumerate(fields):
+                if bcol and bcol in corpus.columns:
+                    # per-doc boost override (≙ callable boost)
+                    bv = getattr(row, bcol, None)
+                    if bv is not None and not (
+                        isinstance(bv, float) and math.isnan(bv)
+                    ):
+                        fboost = float(bv)
                 raw = getattr(row, fname)
                 segments.append(
                     (

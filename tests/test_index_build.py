@@ -405,6 +405,80 @@ def test_vectorized_analyzer_equals_pandas_udf_with_alt(spark):
     assert canon(new) == canon(old)
 
 
+def test_boost_col_overrides_field_boost(spark, tmp_index_root):
+    """≙ reference test_should_be_possible_to_override_boost_with_callable
+    (tests/test_index_utils.py:247-263): a per-document boost — a
+    callable in the reference, a numeric COLUMN here (callables don't
+    vectorize; column expressions do) — replaces the field's static
+    boost: w|lilas == 5, w|cergy == 1; null falls back to the static
+    boost. Vectorized analyzer and pandas twin stay bit-identical."""
+    from addok_spark.index.build import analyze_docs, make_doc_tokens_udf
+    from addok_spark.serving.local import ParquetIndex
+
+    cfg = EngineConfig(
+        fields=(
+            FieldSpec("text", 1.0, boost_col="text_boost"),
+            FieldSpec("tool", 1.0),
+        ),
+        build_partitions=2, doc_bucket_bits=2, posting_block_size=4,
+    )
+    rows = [
+        ("c", 0, "user", "Lilas", "Cergy", 0.0, 5.0),
+        ("c", 1, "user", "Voltaire", None, 0.0, None),  # null → static
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, importance double, text_boost double")
+    df = spark.createDataFrame(rows, schema)
+    paths = build_index(
+        spark, df, cfg, str(Path(tmp_index_root) / "bcol")
+    )
+    idx = ParquetIndex(str(paths.root), cfg)
+    docs = {
+        r["turn_idx"]: int(r["doc_index"])
+        for r in spark.read.parquet(paths.docs).collect()
+    }
+    assert abs(idx.boost_of("lilas", docs[0]) - 5.0) < 1e-6
+    assert abs(idx.boost_of("cergy", docs[0]) - 1.0) < 1e-6
+    assert abs(idx.boost_of("voltaire", docs[1]) - 1.0) < 1e-6
+    # twin equivalence with the boost column in play
+    docs_df = df.withColumn("doc_index", F.monotonically_increasing_id())
+    new = analyze_docs(docs_df, cfg).select("doc_index", "__an").collect()
+    udf = make_doc_tokens_udf(cfg, ["text", "tool"])
+    old = docs_df.withColumn(
+        "__an",
+        udf(F.col("text"), F.col("tool"), F.col("text_boost"),
+            F.col("importance")),
+    ).select("doc_index", "__an").collect()
+
+    def canon(rs):
+        return {
+            r["doc_index"]: (
+                r["__an"].dl,
+                frozenset(
+                    (t.token, t.tf, bytes(t.pos_bin), round(t.boost, 6))
+                    for t in r["__an"].toks
+                ),
+            )
+            for r in rs
+        }
+
+    assert canon(new) == canon(old)
+    # oracle mirrors the same per-doc boost override
+    import pandas as pd
+
+    from addok_spark.oracle.bm25_oracle import OracleIndex
+
+    pdf = pd.DataFrame(
+        [list(r) for r in rows],
+        columns=["conv_id", "turn_idx", "role", "text", "tool",
+                 "importance", "text_boost"],
+    )
+    oi = OracleIndex(pdf, cfg)
+    assert abs(oi.boost_of("lilas", 0) - 5.0) < 1e-6
+    assert abs(oi.boost_of("cergy", 0) - 1.0) < 1e-6
+    assert abs(oi.boost_of("voltaire", 1) - 1.0) < 1e-6
+
+
 def test_allow_null_false_drops_doc(spark, tmp_index_root):
     """≙ reference test_doc_with_null_value_should_not_be_index_if_not_allowed
     (tests/test_index_utils.py:266-281): with ``null=False`` on a
