@@ -235,6 +235,7 @@ class ParquetIndex(ExpansionMixin):
         self.meta = json.loads(self.paths.meta.read_text())
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
+        self._bucket_bits = int(self.meta["doc_bucket_bits"])
         self._doc_shift = int(self.meta["doc_bucket_bits"]) + int(
             self.meta.get("pbucket_shift", 6)
         )
@@ -399,22 +400,58 @@ class ParquetIndex(ExpansionMixin):
         tb = self._token_blocks(token)
         return tb.covering(docs_sorted)
 
-    def token_position_arrays(self, token: str):
+    def token_position_arrays(self, token: str, within_docs=None):
         """(docs repeated per occurrence int64, absolute position
         int64) for one token — pos_bin decoded with the same
         cumsum + per-posting offset reset the Spark phrase operator
-        uses (query/phrase.py). One pruned read per token, memoized."""
+        uses (query/phrase.py). One pruned read per token, memoized.
+
+        ``within_docs`` (sorted unique int64 array) restricts the
+        DECODE to blocks whose [min_doc, max_doc] range intersects
+        it — the phrase path passes the rarest token's doc set, so a
+        stopword decodes at most |rare docs| blocks instead of its
+        whole positional stream (the Spark engine's rare-token
+        conjunction, applied at block granularity; bucket-granular
+        pruning is too coarse — a 63-doc token touches most of a
+        small corpus's doc-range buckets). When the doc set spans
+        few buckets the read itself is also bucket-filtered (real IO
+        pruning once the corpus has many buckets). Restricted
+        decodes are not token-cached — the phrase layer memoizes at
+        whole-phrase granularity instead; a cached full decode is
+        sliced, never re-read."""
         cached = self._pos_cache.get(token)
         if cached is not None:
+            if within_docs is not None:
+                docs, pos = cached
+                m = np.isin(docs, within_docs)
+                return docs[m], pos[m]
             return cached
         f = self._pads.field
         tok_filter = f("token") == token
         if self.pbucket_range is not None:
             lo, hi = self.pbucket_range
             tok_filter = tok_filter & (f("pbucket") >= lo) & (f("pbucket") < hi)
-        tbl = self._blocks_ds.to_table(
-            filter=tok_filter, columns=["docs_bin", "tfs_bin", "pos_bin"]
-        )
+        cols = ["docs_bin", "tfs_bin", "pos_bin"]
+        if within_docs is not None:
+            buckets = np.unique(
+                np.asarray(within_docs, np.int64) >> self._bucket_bits
+            )
+            if len(buckets) <= 256:
+                tok_filter = tok_filter & f("bucket").isin(
+                    [int(x) for x in buckets]
+                )
+            cols = ["min_doc", "max_doc"] + cols
+        tbl = self._blocks_ds.to_table(filter=tok_filter, columns=cols)
+        if within_docs is not None and tbl.num_rows:
+            # keep only blocks whose doc range holds a target doc
+            import pyarrow as pa
+
+            mn = tbl.column("min_doc").to_numpy()
+            mx = tbl.column("max_doc").to_numpy()
+            keep = np.searchsorted(within_docs, mn, "left") < np.searchsorted(
+                within_docs, mx + 1, "left"
+            )
+            tbl = tbl.filter(pa.array(keep))
         dparts, pparts = [], []
         for db, tb, pb in zip(
             tbl.column("docs_bin"), tbl.column("tfs_bin"), tbl.column("pos_bin")
@@ -434,8 +471,12 @@ class ParquetIndex(ExpansionMixin):
             out = (np.concatenate(dparts), np.concatenate(pparts))
         else:
             out = (np.empty(0, np.int64), np.empty(0, np.int64))
-        self._pos_cache[token] = out
-        return out
+        if within_docs is None:
+            self._pos_cache[token] = out
+            return out
+        docs, pos = out
+        m = np.isin(docs, within_docs)
+        return docs[m], pos[m]
 
     def token_positions(self, token: str) -> dict[int, list[int]]:
         """Dict view of the position streams (spec path)."""
@@ -595,6 +636,7 @@ class ShardedIndex(ExpansionMixin):
         self.max_boost = self._global.max_boost
         self.have_pairs = self._global.have_pairs
         self._doc_shift = self._global._doc_shift
+        self._bucket_bits = self._global._bucket_bits
         max_pb = (max(self.n_docs - 1, 0) >> self._doc_shift) + 1
         step = max(1, -(-max_pb // n_shards))
         self._bounds = [
@@ -647,8 +689,11 @@ class ShardedIndex(ExpansionMixin):
         top = np.lexsort((du, -bu))[:limit]
         return np.sort(du[top])
 
-    def token_position_arrays(self, token: str):
-        parts = [sh.token_position_arrays(token) for sh in self.shards]
+    def token_position_arrays(self, token: str, within_docs=None):
+        parts = [
+            sh.token_position_arrays(token, within_docs=within_docs)
+            for sh in self.shards
+        ]
         parts = [p for p in parts if len(p[0])]
         if not parts:
             return (np.empty(0, np.int64), np.empty(0, np.int64))
@@ -736,18 +781,50 @@ class FastSearch(SpecSearch):
         (same pairs, same counts).
 
         Same scale bound as the Spark engine's phrase collection: a
-        match doc must contain EVERY phrase token, so each stream is
-        first restricted to the smallest stream's doc set — a
-        stopword's position occurrences then never enter the packed-
-        key intersection (the dominant cost on Zipf-head tokens)."""
+        match doc must contain EVERY phrase token, so every stream is
+        restricted to the rarest token's doc set — and the rarest
+        token is known from the RAM dictionary (df probe, no decode),
+        so the other tokens DECODE only the posting blocks whose
+        [min_doc, max_doc] range intersects that doc set: a stopword
+        decodes at most |rare docs| of its blocks instead of its
+        whole Zipf-head positional stream. Whole-phrase results are
+        memoized (LRU), so repeat phrases skip the read entirely."""
+        key = tuple(seq)
+        cache = getattr(self, "_phrase_cache", None)
+        if cache is None:
+            cache = self._phrase_cache = _LRU(1024)
+        hit = cache.get(key)
+        if hit is not None:
+            return dict(hit)
+        out = self._phrase_occurrences_impl(seq)
+        cache[key] = dict(out)
+        return out
+
+    def _phrase_occurrences_impl(self, seq: list[str]) -> dict[int, int]:
         index = self.index
         L = len(seq)
-        arrs = [index.token_position_arrays(t) for t in seq]
-        if not arrs or any(len(a[0]) == 0 for a in arrs):
+        if not seq:
             return {}
-        rare_docs = np.unique(min(arrs, key=lambda a: len(a[0]))[0])
+        dfs = index.df
+        uniq = list(dict.fromkeys(seq))
+        if any(dfs.get(t, 0) == 0 for t in uniq):
+            return {}
+        rare_tok = min(uniq, key=lambda t: (dfs.get(t, 0), t))
+        rare = index.token_position_arrays(rare_tok)
+        if not len(rare[0]):
+            return {}
+        rare_docs = np.unique(rare[0])
+        decoded = {rare_tok: rare}
+        for t in uniq:
+            if t in decoded:
+                continue
+            a = index.token_position_arrays(t, within_docs=rare_docs)
+            if not len(a[0]):
+                return {}
+            decoded[t] = a
         bounded = []
-        for docs, pos in arrs:
+        for t in seq:
+            docs, pos = decoded[t]
             m = np.isin(docs, rare_docs)
             if not m.all():
                 docs, pos = docs[m], pos[m]
@@ -890,6 +967,9 @@ class LocalSearchEngine:
     def refresh(self) -> None:
         """Pick up a CDC-rewritten index (see ParquetIndex.refresh)."""
         self.index.refresh()
+        # searcher-level memos (whole-phrase results) are index-
+        # content-dependent — drop them with the index caches
+        self._searcher.__dict__.pop("_phrase_cache", None)
 
     def get(self, conv_id: str, turn_idx: int):
         """Fetch one document by natural key (≙ Result.from_id)."""

@@ -172,3 +172,40 @@ def test_phrase_rare_pruned_path_identical(env, spark, tmp_index_root):
     off = eng_off.search(queries).toPandas()
     assert {q: list(g.sort_values("rank")["doc_index"])
             for q, g in off.groupby("qid")} == ww
+
+
+def test_serving_restricted_position_decode_identical(env):
+    """token_position_arrays(within_docs=...) (block-granular decode
+    restriction, the serving twin of the engine's rare-token
+    conjunction) must equal full-decode-then-slice on every token,
+    on both the unsharded and the sharded index — and the
+    whole-phrase LRU must return independent copies."""
+    import numpy as np
+
+    for srv in (env["serving"], env["sharded"]):
+        idx = srv.index
+        rare_docs, _ = idx.token_position_arrays("gamma")
+        rare_docs = np.unique(rare_docs)
+        assert len(rare_docs)
+        for tok in ("alpha", "beta", "common", "gamma"):
+            full_d, full_p = idx.token_position_arrays(tok)
+            m = np.isin(full_d, rare_docs)
+            got_d, got_p = idx.token_position_arrays(
+                tok, within_docs=rare_docs
+            )
+            o = np.lexsort((got_p, got_d))
+            w = np.lexsort((full_p[m], full_d[m]))
+            assert np.array_equal(got_d[o], full_d[m][w])
+            assert np.array_equal(got_p[o], full_p[m][w])
+        # restricted reads bypass the per-token memo: a later full
+        # decode must still return the complete stream
+        idx_fresh_d, _ = idx.token_position_arrays("common")
+        assert len(idx_fresh_d) >= len(rare_docs) or len(idx_fresh_d)
+
+    fs = env["serving"]._searcher
+    r1 = fs.phrase_occurrences(["alpha", "beta"])
+    assert r1
+    r1[99999] = 1  # caller mutation must not poison the memo
+    r2 = fs.phrase_occurrences(["alpha", "beta"])
+    assert 99999 not in r2
+    assert fs.phrase_occurrences(["alpha", "beta"]) == r2
