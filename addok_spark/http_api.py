@@ -158,7 +158,9 @@ def make_server(engine: SearchEngine, host: str = "127.0.0.1", port: int = 0):
             payload = json.dumps(body).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
-            self.send_header("Access-Control-Allow-Origin", "*")  # http CORS parity
+            # CORS parity with reference http/base.py (cors plugin)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Headers", "X-Requested-With")
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)

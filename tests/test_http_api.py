@@ -166,3 +166,31 @@ def test_health_serving_backend(server, tmp_index_root):
         assert body["n_tokens"] == len(local.index.df)
     finally:
         srv.shutdown()
+
+
+def test_cors_headers(server):
+    """≙ reference test_search_should_have_cors_headers
+    (tests/test_http.py:24-29): every response carries the open CORS
+    origin + the X-Requested-With allow-header."""
+    base, _ = server
+    code, _, headers = _get(f"{base}/search/?q=the&limit=1")
+    assert code == 200
+    assert headers["Access-Control-Allow-Origin"] == "*"
+    assert headers["Access-Control-Allow-Headers"] == "X-Requested-With"
+
+
+def test_multi_mixed_params_and_separator(server):
+    """≙ reference test_multi_mixed (tests/test_http.py:381-400):
+    repeated filter parameters AND separator-joined values in one
+    request combine into a single OR list."""
+    base, _ = server
+    code, body, _ = _get(
+        f"{base}/search/?q=the+run&role=assistant&role=user+tool&limit=20"
+    )
+    assert code == 200
+    assert body["hits"], "mixed multi-value filter matched nothing"
+    assert all(
+        h["role"] in ("assistant", "user", "tool") for h in body["hits"]
+    )
+    roles = {h["role"] for h in body["hits"]}
+    assert len(roles) >= 2, f"expected OR across values, got {roles}"
