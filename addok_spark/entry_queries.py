@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .pipelines import ann, dedup, sampling, textstats
+from .pipelines import ann, dedup, retrieval, sampling, textstats
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -904,6 +904,55 @@ WHERE a.n_shared > 0
 """
 
 
+def q_retrieval_topk(spark, sf_dir):
+    """Distributed bulk retrieval (pipelines/retrieval.py): top-5
+    BM25 docs for a TABLE of queries (docs with doc_id % 17 == 0
+    play the query role) — the mass-geocoding / retrieval-pair
+    mining path, zero driver state."""
+    docs = _docs(spark, sf_dir)
+    qids = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    return retrieval.retrieval_topk(docs, "doc_id", "text", qids, k=5)
+
+
+SQL_RETRIEVAL_TOPK = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, count(*)::bigint AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::double AS n_docs, avg(dl)::double AS avgdl FROM dl),
+df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token),
+qtok AS (
+  SELECT qid, token FROM (
+    SELECT tf.doc_id AS qid, tf.token,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY df.df, tf.token) AS qrn
+    FROM tf JOIN df USING (token) CROSS JOIN stats
+    WHERE tf.doc_id % 17 = 0
+      AND df.df >= 2 AND df.df <= stats.n_docs * 0.05
+  ) WHERE qrn <= 6
+),
+terms AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * {K1 + 1.0})
+           / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)) AS ts
+  FROM qtok q JOIN tf USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df USING (token) CROSS JOIN stats
+),
+scored AS (
+  SELECT qid, doc_id, round(sum(ts), 6) AS score,
+         count(*)::bigint AS n_terms
+  FROM terms WHERE doc_id <> qid GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank, score, n_terms FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id)::bigint AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=3)
 
@@ -1205,6 +1254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "repetition_score": q_repetition,
     "contamination": q_contamination,
+    "retrieval_topk": q_retrieval_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1246,4 +1296,5 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "repetition_score": SQL_REPETITION,
     "contamination": SQL_CONTAMINATION,
+    "retrieval_topk": SQL_RETRIEVAL_TOPK,
 }

@@ -1,0 +1,121 @@
+"""Distributed bulk retrieval: top-k BM25 documents for a whole
+TABLE of queries in one declarative plan — zero driver-held state.
+
+This is the batch analog of the reference's mass-geocoding entry
+point (``addok batch``, reference addok/batch.py) re-expressed as a
+training-data operator: mining retrieval pairs / hard negatives for
+millions of queries at once. The interactive engine
+(query/engine.py) batches queries but accumulates per-query buckets
+on the driver, mirroring the reference's Redis-side bucket — right
+for ≤10^4 interactive queries, wrong for 10^7 offline ones. Here
+everything stays in the cluster:
+
+- query tokens are DF-FILTERED (stopwords dropped by a df ceiling,
+  hapax noise by a df floor) and capped to the ``max_q_tokens``
+  rarest per query, so per-query candidate volume is bounded by the
+  df cap, never by corpus size;
+- candidate generation is one equi-join token↔token (shuffle keyed
+  on token, the inverted-index access pattern);
+- scoring is the same BM25 fold as the single-query flagship
+  (entry_queries.q_bm25_topk), OR semantics over matched terms;
+- the final cap is a row_number window partitioned by qid — at
+  10^7 queries that is 10^7 independent partitions, each bounded by
+  the df ceiling, so no single-task scan exists anywhere.
+
+Ranking order uses the ROUNDED score (6 dp) so float summation
+order — which differs across engines and partitionings — cannot
+flip near-ties; residual ties break by doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import tokens_col
+
+K1, B = 1.2, 0.75
+
+
+def retrieval_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_ids: DataFrame,
+    k: int = 5,
+    max_q_tokens: int = 6,
+    min_df: int = 2,
+    max_df_frac: float = 0.05,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-``k`` BM25 docs per query. ``query_ids`` is a one-column
+    DataFrame (``qid``) naming which docs play the query role (the
+    query text is that doc's text). Returns
+    (qid, doc_id, rank, score, n_terms)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("ts")
+    ).select("doc_id", F.explode("ts").alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # query token selection: df-banded, rarest-first, capped — the
+    # per-query volume bound (a stopword never generates candidates)
+    qw = Window.partitionBy("qid").orderBy(F.asc("df"), F.asc("token"))
+    qtok = (
+        tf.join(
+            F.broadcast(query_ids.select(F.col("qid").cast("long"))),
+            tf.doc_id == F.col("qid"),
+            "inner",
+        )
+        .select("qid", "token")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("n_docs") * max_df_frac)
+        )
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= max_q_tokens)
+        .select("qid", "token")
+    )
+    terms = (
+        qtok.join(tf, "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "ts",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (
+                F.col("tf") * F.lit(K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+                )
+            ),
+        )
+    )
+    scored = terms.groupBy("qid", "doc_id").agg(
+        F.round(F.sum("ts"), 6).alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("doc_id") != F.col("qid"))
+    rw = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score", "n_terms")
+    )

@@ -106,6 +106,7 @@ HEADLINE = [
     "collocations_pmi",
     "repetition_score",
     "contamination",
+    "retrieval_topk",
 ]
 
 
