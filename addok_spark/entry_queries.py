@@ -913,7 +913,12 @@ def q_retrieval_topk(spark, sf_dir):
     qids = docs.filter(F.col("doc_id") % 17 == 0).select(
         F.col("doc_id").alias("qid")
     )
-    return retrieval.retrieval_topk(docs, "doc_id", "text", qids, k=5)
+    # the synthetic documents vocabulary is tiny (~31 tokens, almost
+    # all corpus-wide), so the df ceiling is opened to 0.9 here; real
+    # corpora use the default 0.05 stopword guard
+    return retrieval.retrieval_topk(
+        docs, "doc_id", "text", qids, k=5, max_df_frac=0.9
+    )
 
 
 SQL_RETRIEVAL_TOPK = f"""
@@ -929,7 +934,7 @@ qtok AS (
                               ORDER BY df.df, tf.token) AS qrn
     FROM tf JOIN df USING (token) CROSS JOIN stats
     WHERE tf.doc_id % 17 = 0
-      AND df.df >= 2 AND df.df <= stats.n_docs * 0.05
+      AND df.df >= 2 AND df.df <= stats.n_docs * 0.9
   ) WHERE qrn <= 6
 ),
 terms AS (
