@@ -99,9 +99,23 @@ def q_postings_topk(spark, sf_dir):
     """R12: top-3 postings per token by (tf desc, doc_id asc) — the
     score-ordered posting read (ZREVRANGE analog)."""
     tf = q_tokenize_tf(spark, sf_dir)
+    # two-level top-n: a Zipf-head token's full posting list must
+    # never land in ONE window task — local top-3 per doc-shard
+    # first (32 bounded partitions per token), then the global top-3
+    # over <=96 survivors per token. Output identical to the naive
+    # single window (any global top-3 row is top-3 of its shard).
+    w1 = Window.partitionBy("token", "shard").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    local = (
+        tf.withColumn("shard", F.pmod("doc_id", F.lit(32)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 3)
+        .drop("shard", "r1")
+    )
     w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
     return (
-        tf.withColumn("rn", F.row_number().over(w).cast("long"))
+        local.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("token", "doc_id", "tf", "rn")
     )
