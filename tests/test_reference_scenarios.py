@@ -703,3 +703,250 @@ def test_unchanged_text_is_default_label(setup):
     # byte-identical — no normalization leaks into the output
     res = _search(setup, "rue d'Andrésy")
     assert res.iloc[0]["text"] == "rue d'Andrésy"
+
+
+# ---------------------------------------------------------------------------
+# round-4 ports: Lua-script primitives (reference tests/test_scripts.py)
+# replayed against the engine's batched round machinery, and many-to-many
+# relation extrapolation (reference tests/test_collectors.py) against the
+# pair index + clique extractor.
+# ---------------------------------------------------------------------------
+
+SCRIPT_DOCS = [
+    # doc_index == list position (dense ids ordered by (conv_id, turn_idx))
+    ("doc-0", "rue de la monnaie Vitry", "street", 0.0),
+    ("doc-1", "La monnaye Saint-Loup-Cammas", "street", 0.0),
+    ("doc-2", "rue de la monnaie Paris", "street", 1.0),
+    ("doc-3", "rue de la monnaie Condom", "street", 0.9),
+    ("doc-4", "Vitry", "city", 0.0),
+]
+
+
+def _env_with_importance(spark, tmp_index_root, name, docs, **cfg_kw):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [d[0] for d in docs],
+            "turn_idx": 0,
+            "role": [d[2] for d in docs],
+            "text": [d[1] for d in docs],
+            "tool": None,
+            "ts": pd.Timestamp("2026-01-01"),
+            "importance": [d[3] for d in docs],
+        }
+    )
+    base = dict(
+        scorer="reference",
+        fields=(FieldSpec("text", 1.0),),
+        build_partitions=2,
+        doc_bucket_bits=4,
+        posting_block_size=16,
+        min_score=0.0,
+    )
+    base.update(cfg_kw)
+    cfg = EngineConfig(**base)
+    out = str(Path(tmp_index_root) / name)
+    paths = build_index(spark, spark.createDataFrame(pdf), cfg, out)
+    return SearchEngine(spark, paths, cfg), cfg
+
+
+@pytest.fixture(scope="module")
+def scripts_env(spark, tmp_index_root):
+    """The reference's script-test corpus (tests/test_scripts.py:4-50)
+    as transcript rows; ``role`` plays the ``type=`` filter field."""
+    return _env_with_importance(
+        spark, tmp_index_root, "ref_scripts", SCRIPT_DOCS
+    )[0]
+
+
+def _round(engine, groups, topn, scan_gid=None):
+    """Run ONE collection round over explicit group expansions — the
+    exact plan shape ``round_plan`` emits (engine.py) for one query —
+    returning doc_index in bucket order. This is the engine analog of
+    calling ``scripts.zinter`` / ``scripts.manual_scan`` directly."""
+    rows = [
+        ("q", gid, tok, len(groups), gid == scan_gid)
+        for gid, toks in enumerate(groups)
+        for tok in toks
+    ]
+    plan = pd.DataFrame(
+        rows, columns=["qid", "gid", "token", "n_required", "is_scan"]
+    )
+    out = engine._run_round(plan, topn)
+    return list(out.sort_values("rn")["doc_index"])
+
+
+def test_zinter_sums_scores_and_limits(scripts_env):
+    # tests/test_scripts.py:32-50 (lua/zinter.lua): conjunctive
+    # intersect ordered by summed boost (importance-biased), capped
+    assert _round(scripts_env, [["monnaie"], ["rue"], ["de"]], 2) == [2, 3]
+    assert _round(scripts_env, [["monnaie"], ["rue"], ["de"]], 3) == [2, 3, 0]
+
+
+def test_manual_scan_probes_best_first(scripts_env):
+    # tests/test_scripts.py:4-13 (lua/manual_scan.lua): the probe
+    # side's best-boost docs are checked against the other sets; the
+    # two importance-boosted streets come back first
+    assert _round(
+        scripts_env, [["monnaie"], ["rue"], ["de"]], 2, scan_gid=0
+    ) == [2, 3]
+
+
+def test_manual_scan_with_filter(scripts_env):
+    # tests/test_scripts.py:16-29: f| sets join the conjunction like
+    # any token set; an unknown filter value matches nothing
+    assert _round(
+        scripts_env, [["rue"], ["de"], ["f|role|street"]], 2, scan_gid=0
+    ) == [2, 3]
+    assert _round(
+        scripts_env, [["rue"], ["de"], ["f|role|whatever"]], 2, scan_gid=0
+    ) == []
+    assert _round(
+        scripts_env, [["vitry"], ["f|role|city"]], 2, scan_gid=0
+    ) == [4]
+
+
+FREQ_DOCS = [
+    ("doc-0", "rue de la monnaie Vitry", "street", 0.0),
+    ("doc-1", "rue des lilas Vitry", "street", 0.0),
+    ("doc-2", "rue des figues Vitry", "street", 0.0),
+    ("doc-3", "rue des lilas Pantin", "street", 0.0),
+    ("doc-4", "Vitry", "city", 0.5),
+]
+
+
+@pytest.fixture(scope="module")
+def freq_env(spark, tmp_index_root):
+    return _env_with_importance(
+        spark, tmp_index_root, "ref_scripts_freq", FREQ_DOCS
+    )[0]
+
+
+def test_order_by_frequency(freq_env):
+    # tests/test_scripts.py:52-59: tokens ordered by df desc (the
+    # reference corpus ties rue/vitry once the importance doc is
+    # added, so `des` stands in for `rue` to keep the order strict)
+    stats = freq_env._token_stats({"monnaie", "des", "lilas", "vitry"})
+    got = sorted(stats, key=lambda t: -stats[t][0])
+    assert got == ["vitry", "des", "lilas", "monnaie"]
+
+
+def test_order_by_max_score(freq_env):
+    # tests/test_scripts.py:62-70 (lua/order_by_max_score.lua): the
+    # token whose best doc carries importance 0.5 (boost 1.0+0.05)
+    # outranks tokens whose docs are all importance 0
+    stats = freq_env._token_stats({"monnaie", "lilas", "vitry", "rue"})
+    best = max(stats, key=lambda t: stats[t][1])
+    assert best == "vitry"
+    assert stats["vitry"][1] == pytest.approx(1.05, abs=1e-6)
+
+
+# --- many-to-many relation extrapolation (tests/test_collectors.py) -------
+
+
+def _relations(engine, cfg, qtokens):
+    """≙ ``_extract_manytomany_relations`` (reference
+    collectors.py:175-214) through the engine's own primitives: df
+    probe → meaningful set (0 < df ≤ COMMON_THRESHOLD) → pair-index
+    probe → maximal cliques (≥2) over the co-occurrence graph."""
+    from addok_spark.query.cliques import maximal_cliques
+
+    stats = engine._token_stats(set(qtokens))
+    meaningful = sorted(
+        t
+        for t in set(qtokens)
+        if 0 < stats.get(t, (0, 0.0))[0] <= cfg.common_threshold
+    )
+    checks = {
+        (a, b)
+        for i, a in enumerate(meaningful)
+        for b in meaningful[i + 1:]
+    }
+    present = engine._pairs_probe(checks)
+    idx = {t: i for i, t in enumerate(meaningful)}
+    edges = {(idx[a], idx[b]) for a, b in present}
+    cliques = [
+        c
+        for c in maximal_cliques(sorted(idx.values()), edges)
+        if len(c) >= 2
+    ]
+    return {frozenset(meaningful[i] for i in c) for c in cliques}
+
+
+def test_extract_manytomany_relations(spark, tmp_index_root):
+    # tests/test_collectors.py:5-13: rue/de are common; the only
+    # interlinked meaningful group is {fecamp, paris}
+    engine, cfg = _env_with_importance(
+        spark, tmp_index_root, "ref_m2m_1",
+        [
+            ("doc-0", "rue de Paris Fecamp", "street", 0.0),
+            ("doc-1", "rue de la porte", "street", 0.0),
+            ("doc-2", "rue de dieppe 506", "street", 0.0),
+        ],
+        common_threshold=2,
+    )
+    got = _relations(
+        engine, cfg, "rue de paris porte 506 fecamp".split()
+    )
+    assert got == {frozenset({"fecamp", "paris"})}
+
+
+def test_extract_manytomany_relations_2(spark, tmp_index_root):
+    # tests/test_collectors.py:16-39: two overlapping relations share
+    # dieppe/76370; neuville and la stay singletons and drop out
+    engine, cfg = _env_with_importance(
+        spark, tmp_index_root, "ref_m2m_2",
+        [
+            ("doc-0", "rue de falaise dieppe 76370 1", "street", 0.0),
+            ("doc-1", "chemin du semaphore dieppe 76370 1", "street", 0.0),
+            ("doc-2", "chemin de neuville", "street", 0.0),
+            ("doc-3", "chemin de la tour 1", "street", 0.0),
+        ],
+        common_threshold=2,
+    )
+    got = _relations(
+        engine, cfg,
+        "1 chemin de la falaise le semaphore neuville les 76370 dieppe"
+        .split(),
+    )
+    assert got == {
+        frozenset({"dieppe", "falaise", "76370"}),
+        frozenset({"dieppe", "76370", "semaphore"}),
+    }
+
+
+def test_extract_manytomany_relations_3(spark, tmp_index_root):
+    # tests/test_collectors.py:42-69: de reaches df 3 via
+    # Saint-Pierre-de-Rouergue and goes common; typo/zero-df tokens
+    # (tassign, pleiade, porte) and the unrelated `a` drop out,
+    # leaving the single 4-clique
+    engine, cfg = _env_with_importance(
+        spark, tmp_index_root, "ref_m2m_3",
+        [
+            (
+                "doc-0",
+                "Rue Maréchal de Lattre de Tassigny Mont-Saint-Aignan "
+                "76130 45 3",
+                "street", 0.0,
+            ),
+            ("doc-1", "rue du port Saint-Denis 76370 45 3", "street", 0.0),
+            ("doc-2", "rue à l'eau Saint-Pierre-de-Rouergue", "street", 0.0),
+            ("doc-3", "rue de Saint-Jean 45 3", "street", 0.0),
+        ],
+        common_threshold=2,
+    )
+    got = _relations(
+        engine, cfg,
+        "45 rue de lattre de tassign pleiade a 3 porte 76130 mont saint "
+        "aignan".split(),
+    )
+    assert got == {frozenset({"lattre", "aignan", "76130", "mont"})}
+
+
+def test_allow_to_set_result_values(setup):
+    # test_search.py:581-589: plugins may mutate result fields —
+    # result frames expose plain writable columns
+    res = _search(setup, "rue de paris")
+    res.loc[res.index[0], "text"] = "blah"
+    res.loc[res.index[0], "score"] = 22.0
+    assert res.iloc[0]["text"] == "blah"
+    assert res.iloc[0]["score"] == 22.0
