@@ -364,6 +364,20 @@ class SpecSearch:
                 return {}
         return {d: len(s) for d, s in (per_doc or {}).items()}
 
+    def phrase_candidates(
+        self, seq: list[str], filter_docsets: list[set[int]], bucket_limit: int
+    ) -> list[int]:
+        """Phrase candidate doc ids ordered (-occurrences, doc),
+        filter-set constrained BEFORE the cap. Pure-dict spec; the
+        serving tier overrides with a twin that caches the ORDERED
+        match arrays, so a repeat phrase pays a slice instead of
+        re-sorting a possibly corpus-scale match map."""
+        matched = self.phrase_occurrences(seq)
+        for fdocs in filter_docsets:
+            matched = {d: c for d, c in matched.items() if d in fdocs}
+        ordered = sorted(matched.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [d for d, _ in ordered[:bucket_limit]]
+
     def _one(self, q) -> pd.DataFrame | None:
         index, cfg = self.index, self.cfg
         is_phrase = bool(getattr(q, "phrase", False))
@@ -470,18 +484,16 @@ class SpecSearch:
         if is_phrase:
             # candidates = positional phrase matches, filter-set
             # constrained BEFORE the cap, ordered (-occurrences, doc)
-            matched = (
-                self.phrase_occurrences(seq)
-                if seq and all(index.df.get(t, 0) > 0 for t in seq)
-                else {}
-            )
-            for gid in filter_gids:
-                fdocs: set[int] = set()
-                for fk in groups[gid]:
-                    fdocs |= set(index.postings(fk))
-                matched = {d: c for d, c in matched.items() if d in fdocs}
-            ordered_m = sorted(matched.items(), key=lambda kv: (-kv[1], kv[0]))
-            candidates.update(d for d, _ in ordered_m[:bucket_limit])
+            if seq and all(index.df.get(t, 0) > 0 for t in seq):
+                fsets: list[set[int]] = []
+                for gid in filter_gids:
+                    fdocs: set[int] = set()
+                    for fk in groups[gid]:
+                        fdocs |= set(index.postings(fk))
+                    fsets.append(fdocs)
+                candidates.update(
+                    self.phrase_candidates(seq, fsets, bucket_limit)
+                )
             done = True
 
         for round_no in (1, 3, 4):
