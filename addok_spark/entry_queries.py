@@ -1234,6 +1234,113 @@ FROM documents
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII detection + redaction (textstats.pii_redact): counts per
+    class + sequentially-redacted text, pure regexp column math. The
+    synthetic corpus carries no PII, so each doc is deterministically
+    augmented (doc_id % 5 selects email / ipv4 / ssn / phone / clean)
+    identically in Spark and the oracle — the op itself sees only an
+    (id, text) table."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" contact user"), d.cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit(" host 10.0."), (d % 256).cast("string"),
+                F.lit("."), (d % 100).cast("string"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit(" id 123-45-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            d % 5 == 3,
+            F.concat(
+                F.lit(" call +1 555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", aug.alias("aug"))
+    return textstats.pii_redact(docs, "doc_id", "aug")
+
+
+def _sql_pii_redact() -> str:
+    # chain the four replacements in PII_PATTERNS order (the op's
+    # sequential-redaction semantics), counts from the original text
+    chain = "aug"
+    for _, p, r in textstats.PII_PATTERNS:
+        chain = f"regexp_replace({chain}, '{p}', '{r}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(aug, '{p}'))::bigint AS n_{n}"
+        for n, p, _ in textstats.PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(aug, '{p}'))"
+        for _, p, _ in textstats.PII_PATTERNS
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id AS id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' contact user' || cast(doc_id AS varchar) || '@example.com'
+           WHEN 1 THEN ' host 10.0.' || cast(doc_id % 256 AS varchar)
+                       || '.' || cast(doc_id % 100 AS varchar)
+           WHEN 2 THEN ' id 123-45-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+           WHEN 3 THEN ' call +1 555-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+           ELSE ''
+         END AS aug
+  FROM documents
+)
+SELECT id, {counts}, ({total})::bigint AS n_pii, {chain} AS redacted
+FROM a
+"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (sampling.chunk_documents): 64-token
+    windows every 48 tokens — in-row sequence/slice math, no
+    shuffle."""
+    return sampling.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_size=64, stride=48
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+s AS (
+  SELECT id, ts, unnest(range(0, len(ts), 48)) AS start_tok
+  FROM t WHERE len(ts) > 0
+)
+SELECT id,
+       (start_tok // 48)::bigint AS chunk_idx,
+       start_tok::bigint AS start_tok,
+       least(64, len(ts) - start_tok)::bigint AS n_chunk_tokens,
+       array_to_string(list_slice(ts, start_tok + 1,
+                                  least(start_tok + 64, len(ts))), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_tf": q_tokenize_tf,
     "token_dictionary": q_token_dictionary,
@@ -1274,6 +1381,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_score": q_repetition,
     "contamination": q_contamination,
     "retrieval_topk": q_retrieval_topk,
+    "pii_redact": q_pii_redact,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -1316,4 +1425,6 @@ ORACLES: dict[str, str] = {
     "repetition_score": SQL_REPETITION,
     "contamination": SQL_CONTAMINATION,
     "retrieval_topk": SQL_RETRIEVAL_TOPK,
+    "pii_redact": _sql_pii_redact(),
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }

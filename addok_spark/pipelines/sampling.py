@@ -223,6 +223,45 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG / context-window
+    prep op: split each document into ``chunk_size``-token windows
+    every ``stride`` tokens (overlap = chunk_size - stride).
+
+    All IN-ROW array math (sequence → posexplode → slice →
+    array_join): one scan, zero shuffle, parallelism follows the
+    input partitioning — the 100-TB-safe shape (a per-doc window or
+    self-join would shuffle the corpus for a per-row computation).
+    Empty documents produce no chunks. Returns
+    (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+    """
+    from .dedup import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("ts"))
+    starts = F.when(
+        F.size("ts") > 0,
+        F.sequence(F.lit(0), F.size("ts") - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = base.select(
+        "id", "ts", F.posexplode(starts).alias("chunk_idx", "start_tok")
+    )
+    piece = F.slice(F.col("ts"), F.col("start_tok") + 1, chunk_size)
+    return ex.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def pack_sequences_sql(table: str, id_col: str, text_col: str, budget: int) -> str:
     """DuckDB twin of ``pack_sequences``."""
     return f"""

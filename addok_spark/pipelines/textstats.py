@@ -185,6 +185,45 @@ def contamination(
     )
 
 
+# (name, pattern, replacement) in REDACTION ORDER — the classes are
+# disjoint by pattern construction (phone requires a leading '+',
+# ssn/ipv4/email shapes don't overlap), so counts on the original
+# text and sequential replacement agree between engines. Patterns
+# stay in the RE2 ∩ java.util.regex common subset (no lookaround)
+# so the Spark plan and the DuckDB oracle match byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+\d{1,3}([ -]?\d{2,8})+", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction — the mandatory pre-training privacy
+    pass (emails, IPv4s, SSN-shaped ids, international phone forms).
+
+    Pure ``regexp_count`` / ``regexp_replace`` column math: one scan,
+    zero shuffle, whole-stage codegen at 100 TB. Counts are measured
+    on the ORIGINAL text per class; the redacted text applies the
+    replacements sequentially in the fixed ``PII_PATTERNS`` order.
+    Returns (id, n_email, n_ipv4, n_ssn, n_phone, n_pii, redacted).
+    """
+    text = F.col(text_col)
+    cols = [F.col(id_col).alias("id")]
+    total = F.lit(0).cast("long")
+    for name, pat, _ in PII_PATTERNS:
+        c = F.regexp_count(text, F.lit(pat)).cast("long")
+        cols.append(c.alias(f"n_{name}"))
+        total = total + c
+    red = text
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    cols.append(total.alias("n_pii"))
+    cols.append(red.alias("redacted"))
+    return df.select(*cols)
+
+
 def collocations_pmi(
     df: DataFrame,
     id_col: str,

@@ -6,6 +6,7 @@ import pandas as pd
 import pytest
 
 from addok_spark.pipelines.sampling import (
+    chunk_documents,
     pack_sequences,
     rate_threshold,
     stratified_sample,
@@ -104,3 +105,37 @@ def test_pack_sequences_two_pass_layout_invariant(spark, docs):
             .toPandas()[key].sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(base, alt)
+
+
+def test_chunk_documents_windows_cover_and_overlap(spark):
+    # 100 tokens, size 10, stride 7: starts 0,7,...,98 (15 chunks)
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "solo")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_size=10, stride=7)
+    pdf = out.toPandas().sort_values(["id", "chunk_idx"]).reset_index(drop=True)
+    one = pdf[pdf.id == 1]
+    assert list(one.start_tok) == list(range(0, 100, 7))
+    assert list(one.chunk_idx) == list(range(15))
+    # every token appears in at least one chunk; overlap = 3 tokens
+    covered = set()
+    for _, r in one.iterrows():
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_chunk_tokens
+        assert toks[0] == f"t{r.start_tok}"
+        covered.update(toks)
+    assert covered == {f"t{i}" for i in range(100)}
+    # empty doc → no chunks; single-token doc → one chunk
+    assert len(pdf[pdf.id == 2]) == 0
+    three = pdf[pdf.id == 3]
+    assert len(three) == 1 and three.iloc[0].chunk_text == "solo"
+
+
+def test_chunk_documents_partition_invariant(spark, docs):
+    a = chunk_documents(docs, "doc_id", "text").toPandas()
+    b = chunk_documents(docs.repartition(13), "doc_id", "text").toPandas()
+    key = ["id", "chunk_idx"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )

@@ -1,0 +1,34 @@
+"""PII detection/redaction (pipelines/textstats.py): class counts on
+the original text, sequential replacement in PII_PATTERNS order, and
+clean-text passthrough."""
+
+from addok_spark.pipelines.textstats import pii_redact
+
+
+def test_pii_redact_counts_and_replacement(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@example.co.uk today"),
+        (2, "server 192.168.1.10 and 10.0.0.1 up"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "call +33 612-345-678 or +1 555-0042"),
+        (5, "nothing sensitive here"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in pii_redact(df, "id", "text").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["redacted"] == (
+        "mail me at <EMAIL> today"
+    )
+    assert out[2]["n_ipv4"] == 2 and out[2]["redacted"] == (
+        "server <IP> and <IP> up"
+    )
+    assert out[3]["n_ssn"] == 1 and "<SSN>" in out[3]["redacted"]
+    assert out[4]["n_phone"] == 2 and out[4]["redacted"] == (
+        "call <PHONE> or <PHONE>"
+    )
+    assert out[5]["n_pii"] == 0 and out[5]["redacted"] == rows[4][1]
+    assert out[6]["n_pii"] == 0 and out[6]["redacted"] == ""
+    for i, r in out.items():
+        assert r["n_pii"] == (
+            r["n_email"] + r["n_ipv4"] + r["n_ssn"] + r["n_phone"]
+        )
