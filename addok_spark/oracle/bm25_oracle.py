@@ -68,6 +68,24 @@ class ExpansionMixin:
         extrapolation edge test, collectors.py:166-170)."""
         return bool(set(self.tf.get(a, {})) & set(self.tf.get(b, {})))
 
+    def tf_boost_many(self, token: str, docs_sorted):
+        """(tf, boost) arrays of one token over a sorted candidate
+        array — tf 0 where the token misses the doc. Spec form: the
+        per-doc point accessors; the serving tier overrides this with
+        one block-pruned gather (serving/local.py), value-identical."""
+        tfs = np.fromiter(
+            (self.tf_of(token, int(d)) for d in docs_sorted),
+            np.int64, len(docs_sorted),
+        )
+        boosts = np.fromiter(
+            (
+                self.boost_of(token, int(d)) if t else 0.0
+                for d, t in zip(docs_sorted, tfs)
+            ),
+            np.float64, len(docs_sorted),
+        )
+        return tfs, boosts
+
     def folded_text(self, d: int) -> str:
         """Folded doc text for cream / reference-scorer / tie-break
         string comparisons (fold is deterministic, so implementations
@@ -573,7 +591,20 @@ class SpecSearch:
         n_docs, avgdl = index.n_docs, index.avgdl
         recs = []
         filters = getattr(q, "filters", None) or {}
-        for d in sorted(candidates):
+        cand_sorted = sorted(candidates)
+        # one bulk (tf, boost) gather per scoring token over the whole
+        # candidate array — the inner fold below reads positions from
+        # these instead of per-(token, doc) point lookups, with the
+        # identical scalar float path (gather is just data movement)
+        cand_arr = np.array(cand_sorted, dtype=np.int64)
+        gathered: dict[tuple[int, str], tuple] = {}
+        if len(cand_arr):
+            for gid in sorted(groups):
+                if gid >= FILTER_GID_BASE:
+                    continue
+                for tok in groups[gid]:
+                    gathered[(gid, tok)] = index.tf_boost_many(tok, cand_arr)
+        for ci, d in enumerate(cand_sorted):
             doc = index.doc(d)
             ok = True
             for col, vals in filters.items():
@@ -599,12 +630,13 @@ class SpecSearch:
                 dfm = None
                 gboost = None
                 for tok in groups[gid]:
-                    tfv = index.tf_of(tok, d)
+                    g_tf, g_b = gathered[(gid, tok)]
+                    tfv = int(g_tf[ci])
                     if tfv:
                         tf += tfv
                         tdf = index.df[tok]
                         dfm = tdf if dfm is None else min(dfm, tdf)
-                        tb = index.boost_of(tok, d)
+                        tb = float(g_b[ci])
                         gboost = tb if gboost is None else max(gboost, tb)
                 if tf == 0:
                     continue
@@ -645,20 +677,42 @@ class SpecSearch:
                 }
             )
         if recs:
-            # deterministic secondary sort key, one vectorized DP for
-            # all candidates (bit-equal to per-pair str_distance_key)
+            # deterministic secondary sort key, one vectorized DP
+            # (bit-equal to per-pair str_distance_key) — computed ONLY
+            # for candidates whose score reaches the k-th score: the
+            # primary sort key is score, so a candidate strictly below
+            # the k-th score can never enter the top-k whatever its
+            # tie-break, and the DP is the scoring stage's single
+            # largest cost at ~10× more candidates than k
+            k = int(getattr(q, "k", 0) or 0)
+            if 0 < k < len(recs):
+                sc = np.array([r["score"] for r in recs], dtype=np.float64)
+                kth = np.partition(sc, len(sc) - k)[len(sc) - k]
+                sel = np.flatnonzero(sc >= kth)
+            else:
+                sel = np.arange(len(recs))
             dists = str_distance_keys_multi(
-                qf, [index.folded_labels(r["doc_index"]) for r in recs]
+                qf, [index.folded_labels(recs[i]["doc_index"]) for i in sel]
             )
-            for r, dv in zip(recs, dists):
-                r["str_distance"] = dv
-        rdf = pd.DataFrame(recs)
-        if not len(rdf):
+            for i, dv in zip(sel, dists):
+                recs[i]["str_distance"] = dv
+        if not recs:
             return None
-        rdf = rdf.sort_values(
-            ["score", "str_distance", "boost", "importance", "doc_index"],
-            ascending=[False, False, False, False, True],
-        ).head(q.k)
+        # total order (score desc, str_distance desc, boost desc,
+        # importance desc, doc_index asc) via one lexsort on the key
+        # arrays; only the top-k records become a frame (a per-query
+        # sort_values over a 5-key candidate-sized DataFrame was a
+        # measured chunk of warm serving latency)
+        order = np.lexsort((
+            np.array([r["doc_index"] for r in recs], dtype=np.int64),
+            -np.array([r["importance"] for r in recs], dtype=np.float64),
+            -np.array([r["boost"] for r in recs], dtype=np.float64),
+            -np.array([r["str_distance"] for r in recs], dtype=np.float64),
+            -np.array([r["score"] for r in recs], dtype=np.float64),
+        ))[: q.k]
+        rdf = pd.DataFrame(
+            [recs[i] for i in order], columns=list(recs[0].keys())
+        )
         rdf["rank"] = np.arange(1, len(rdf) + 1)
         return rdf
 

@@ -107,6 +107,46 @@ class _LRU(dict):
         dict.__setitem__(self, key, value)
 
 
+def _in_sorted(
+    values: np.ndarray,
+    sorted_uniq: np.ndarray,
+    values_sorted: bool = False,
+) -> np.ndarray:
+    """Membership mask of ``values`` in a SORTED-UNIQUE array.
+    Binary searches only — unlike ``np.isin``, which re-sorts the
+    concatenation on every call; every serving set operand is already
+    sorted (decode order / np.unique / np.sort), so this is the
+    kernel's only membership primitive.
+
+    Two regimes: by default one search per value (O(n log m)). With
+    ``values_sorted`` and a much smaller set, the SET is searched
+    into the values instead (O(m log n) + matched-range gather) — the
+    shape of "restrict a Zipf-head posting list to a k-sized probe
+    set", where per-value searching would dominate the kernel."""
+    nv, ns = len(values), len(sorted_uniq)
+    if not ns or not nv:
+        return np.zeros(nv, dtype=bool)
+    if values_sorted and ns * 4 < nv:
+        lo = np.searchsorted(values, sorted_uniq, side="left")
+        hi = np.searchsorted(values, sorted_uniq, side="right")
+        lens = hi - lo
+        nz = lens > 0
+        out = np.zeros(nv, dtype=bool)
+        if nz.any():
+            starts, lens = lo[nz], lens[nz]
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            idx = (
+                np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(offs, lens)
+                + np.repeat(starts, lens)
+            )
+            out[idx] = True
+        return out
+    idx = np.searchsorted(sorted_uniq, values)
+    np.minimum(idx, ns - 1, out=idx)
+    return sorted_uniq[idx] == values
+
+
 class _TokenBlocks:
     """Block-granular lazy posting store of ONE token: metadata
     (n / max_boost / min_doc / max_doc) held as numpy, payloads
@@ -429,7 +469,7 @@ class ParquetIndex(ExpansionMixin):
         if cached is not None:
             if within_docs is not None:
                 docs, pos = cached
-                m = np.isin(docs, within_docs)
+                m = _in_sorted(docs, within_docs)
                 return docs[m], pos[m]
             return cached
         f = self._pads.field
@@ -481,7 +521,7 @@ class ParquetIndex(ExpansionMixin):
             self._pos_cache[token] = out
             return out
         docs, pos = out
-        m = np.isin(docs, within_docs)
+        m = _in_sorted(docs, within_docs)
         return docs[m], pos[m]
 
     def token_positions(self, token: str) -> dict[int, list[int]]:
@@ -527,6 +567,25 @@ class ParquetIndex(ExpansionMixin):
             len(np.intersect1d(da, db, assume_unique=True))
         )
 
+    def tf_boost_many(self, token: str, docs_sorted):
+        """Bulk (tf, boost) gather over a sorted candidate array —
+        ONE block-pruned read + one binary-search gather per token,
+        replacing per-(token, doc) point decodes in the scoring fold
+        (value-identical to the spec's point accessors; the float
+        path is the same f32 → float64 widening)."""
+        docs_sorted = np.asarray(docs_sorted, dtype=np.int64)
+        docs, tfs, boosts = self.arrays_within(token, docs_sorted)
+        n = len(docs_sorted)
+        out_tf = np.zeros(n, dtype=np.int64)
+        out_b = np.zeros(n, dtype=np.float64)
+        if len(docs):
+            idx = np.searchsorted(docs, docs_sorted)
+            np.minimum(idx, len(docs) - 1, out=idx)
+            hit = docs[idx] == docs_sorted
+            out_tf[hit] = tfs[idx[hit]]
+            out_b[hit] = boosts[idx[hit]].astype(np.float64)
+        return out_tf, out_b
+
     # -- documents ----------------------------------------------------------
     def _doc_frame(self, pbucket: int) -> pd.DataFrame:
         frame = self._doc_cache.get(pbucket)
@@ -541,7 +600,12 @@ class ParquetIndex(ExpansionMixin):
         d = int(d)
         row = self._row_cache.get(d)
         if row is None:
-            row = self._doc_frame(d >> self._doc_shift).loc[d]
+            # plain-dict rows, not pandas Series: the scoring fold
+            # reads several fields per candidate and Series scalar
+            # __getitem__ is ~50× a dict probe (it dominated the warm
+            # serving profile); dict supports the documented row[col]
+            # / row.get contract identically
+            row = self._doc_frame(d >> self._doc_shift).loc[d].to_dict()
             self._row_cache[d] = row
         return row
 
@@ -738,6 +802,23 @@ class ShardedIndex(ExpansionMixin):
     def boost_of(self, token: str, d: int) -> float:
         return self._owner(d).boost_of(token, d)
 
+    def tf_boost_many(self, token: str, docs_sorted):
+        # candidate array is sorted and shards own contiguous pbucket
+        # (= doc high-bit) ranges, so each shard's slice is one
+        # contiguous run — scatter the gather, stitch in place
+        docs_sorted = np.asarray(docs_sorted, dtype=np.int64)
+        out_tf = np.zeros(len(docs_sorted), dtype=np.int64)
+        out_b = np.zeros(len(docs_sorted), dtype=np.float64)
+        pbs = docs_sorted >> self._doc_shift
+        for (lo, hi), sh in zip(self._bounds, self.shards):
+            a = int(np.searchsorted(pbs, lo, side="left"))
+            b = int(np.searchsorted(pbs, hi, side="left"))
+            if b > a:
+                out_tf[a:b], out_b[a:b] = sh.tf_boost_many(
+                    token, docs_sorted[a:b]
+                )
+        return out_tf, out_b
+
     def any_shared_docs(self, a: str, b: str) -> bool:
         # co-occurrence happens within one doc, i.e. within one shard
         return any(sh.any_shared_docs(a, b) for sh in self.shards)
@@ -813,8 +894,8 @@ class FastSearch(SpecSearch):
         for fdocs in filter_docsets:
             if not len(docs):
                 break
-            fa = np.fromiter(fdocs, np.int64, len(fdocs))
-            docs = docs[np.isin(docs, fa)]
+            fa = np.sort(np.fromiter(fdocs, np.int64, len(fdocs)))
+            docs = docs[_in_sorted(docs, fa)]
         return docs[:bucket_limit].tolist()
 
     def _phrase_arrays(self, seq: list[str]):
@@ -858,7 +939,7 @@ class FastSearch(SpecSearch):
         bounded = []
         for t in seq:
             docs, pos = decoded[t]
-            m = np.isin(docs, rare_docs)
+            m = _in_sorted(docs, rare_docs)
             if not m.all():
                 docs, pos = docs[m], pos[m]
             if not len(docs):
@@ -873,7 +954,7 @@ class FastSearch(SpecSearch):
             if keys is None:
                 keys = k
             else:
-                keys = keys[np.isin(keys, k, assume_unique=True)]
+                keys = keys[_in_sorted(keys, k)]
             if not len(keys):
                 return _EMPTY_PHRASE
         du, cu = np.unique(keys // m, return_counts=True)
@@ -923,7 +1004,7 @@ class FastSearch(SpecSearch):
                 for t in groups[gid]:
                     docs, _, boosts = index.arrays_within(t, scan_set)
                     if len(docs):
-                        m = np.isin(docs, scan_set, assume_unique=True)
+                        m = _in_sorted(docs, scan_set, values_sorted=True)
                         if m.any():
                             parts.append(
                                 (docs[m], boosts[m].astype(np.float64))
@@ -945,7 +1026,7 @@ class FastSearch(SpecSearch):
                 top_s = np.lexsort((d_s, -b_s))[: cfg.scan_limit]
                 scan_set = np.sort(d_s[top_s])
                 for gid in gids:
-                    m = np.isin(gdocs[gid], scan_set, assume_unique=True)
+                    m = _in_sorted(gdocs[gid], scan_set, values_sorted=True)
                     gdocs[gid] = gdocs[gid][m]
                     gboost[gid] = gboost[gid][m]
 
@@ -954,7 +1035,7 @@ class FastSearch(SpecSearch):
             if common is None:
                 common = gdocs[gid]
             else:
-                common = common[np.isin(common, gdocs[gid], assume_unique=True)]
+                common = common[_in_sorted(common, gdocs[gid])]
             if not len(common):
                 return []
         if common is None or not len(common):

@@ -107,6 +107,8 @@ HEADLINE = [
     "repetition_score",
     "contamination",
     "retrieval_topk",
+    "pii_redact",
+    "chunk_documents",
 ]
 
 
