@@ -75,6 +75,15 @@ class EngineConfig:
     max_edge_ngram: int = 20  # default.py:46
     query_max_length: int = 200  # default.py:41
     synonyms: dict[str, str] = field(default_factory=dict)
+    # extra token-processor chain appended to the analyzer (fold →
+    # tokenize → synonymize → these), each ``list[str] ->
+    # iterable[str]`` — the reference's pluggable PROCESSORS pipeline
+    # (default.py:51-56, helpers/__init__.py:40-61). Entries are
+    # callables or dotted import paths ("pkg.mod.func"); dotted paths
+    # pickle cleanly into executor UDF closures. The one-analyzer
+    # invariant (B9) applies them identically at index, query, oracle
+    # and serving time.
+    token_processors: tuple = ()
     # keyboard-adjacency map limiting fuzzy substitutions; defaults to
     # the reference's AZERTY FUZZY_KEY_MAP (default.py:172-200). Set
     # to None for full-alphabet substitutions.
@@ -175,6 +184,13 @@ class EngineConfig:
     # the published one plus keep-1 predecessors, so readers pinned to
     # the previous snapshot finish their queries before GC reclaims it
     snapshot_keep: int = 2
+
+    @property
+    def processors(self) -> tuple:
+        """token_processors with dotted paths resolved to callables."""
+        from .functions.text import resolve_processors
+
+        return resolve_processors(self.token_processors)
 
     @property
     def field_names(self) -> tuple[str, ...]:

@@ -116,16 +116,60 @@ def synonymize_tokens(tokens: list[str], synonyms: dict[str, str]) -> list[str]:
     return out
 
 
-def analyze_str(s: str, synonyms: dict[str, str] | None = None) -> list[str]:
-    """The full analyzer: fold → tokenize → synonymize. The SAME
-    function runs at index time, query time and inside the oracle."""
-    return synonymize_tokens(tokenize_str(s), synonyms or {})
+def import_by_path(path):
+    """Resolve ``path.to.module.func`` to the object (pass-through
+    for non-strings) — the reference's plugin loader
+    (``addok/helpers/__init__.py:50-61``), so custom processors can
+    be configured as dotted strings that also pickle cleanly into
+    executor-side UDF closures."""
+    if not isinstance(path, str):
+        return path
+    from importlib import import_module
+
+    module_path, *name = path.rsplit(".", 1)
+    func = import_module(module_path)
+    if name:
+        func = getattr(func, name[0])
+    return func
 
 
-def analyze_series(s: pd.Series, synonyms: dict[str, str] | None = None) -> pd.Series:
+def resolve_processors(processors) -> tuple:
+    """Dotted-path-or-callable sequence → callable tuple."""
+    return tuple(import_by_path(p) for p in (processors or ()))
+
+
+def apply_processors(tokens: list[str], processors) -> list[str]:
+    """Run the configured token-processor chain (each processor:
+    ``list[str] -> iterable[str]`` — ≙ the reference PROCESSORS
+    pipeline, ``helpers/__init__.py:40-47``)."""
+    for p in processors or ():
+        tokens = list(p(tokens))
+    return tokens
+
+
+def analyze_str(
+    s: str,
+    synonyms: dict[str, str] | None = None,
+    processors=None,
+) -> list[str]:
+    """The full analyzer: fold → tokenize → synonymize → custom
+    processor chain. The SAME function runs at index time, query time
+    and inside the oracle — B9's one-analyzer invariant is what makes
+    a configured processor safe: it cannot apply on only one side."""
+    toks = synonymize_tokens(tokenize_str(s), synonyms or {})
+    return apply_processors(toks, processors)
+
+
+def analyze_series(
+    s: pd.Series,
+    synonyms: dict[str, str] | None = None,
+    processors=None,
+) -> pd.Series:
     toks = tokenize_series(s)
     if synonyms:
         toks = toks.map(lambda ts: synonymize_tokens(ts, synonyms))
+    if processors:
+        toks = toks.map(lambda ts: apply_processors(list(ts), processors))
     return toks
 
 
@@ -331,13 +375,18 @@ fold_udf = F.pandas_udf(fold_series, T.StringType())
 tokenize_udf = F.pandas_udf(tokenize_series, T.ArrayType(T.StringType()))
 
 
-def make_analyze_udf(synonyms: dict[str, str] | None = None):
-    """Analyzer UDF factory; the synonym dict rides in the closure
-    (broadcast by Spark with the serialized UDF)."""
+def make_analyze_udf(
+    synonyms: dict[str, str] | None = None, processors=None
+):
+    """Analyzer UDF factory; the synonym dict and resolved processor
+    chain ride in the closure (broadcast by Spark with the serialized
+    UDF — configure processors as dotted paths so they pickle by
+    reference)."""
     syn = dict(synonyms or {})
+    procs = resolve_processors(processors)
 
     def _an(s: pd.Series) -> pd.Series:
-        return analyze_series(s, syn)
+        return analyze_series(s, syn, procs)
 
     return F.pandas_udf(_an, T.ArrayType(T.StringType()))
 

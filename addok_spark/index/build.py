@@ -310,6 +310,7 @@ def make_doc_tokens_udf(
     # columns follow the field columns in the UDF argument list
     boosted = [i for i, (_, _, bc) in enumerate(fields) if bc]
     syn = dict(cfg.synonyms)
+    procs = cfg.processors
     default_boost, iw = cfg.default_boost, cfg.importance_weight
 
     def run(*cols: pd.Series) -> pd.DataFrame:
@@ -322,7 +323,7 @@ def make_doc_tokens_udf(
             fi: cols[n_f + j] for j, fi in enumerate(boosted)
         }
         alt_col = cols[n_f + len(boosted)] if with_alt else None
-        per_field = [analyze_series(c, syn) for c in cols[:n_f]]
+        per_field = [analyze_series(c, syn, procs) for c in cols[:n_f]]
         n_rows = len(imp)
         # per-doc token aggregation (python dicts over ~40 tokens/doc)
         doc_pairs: list = []   # per doc: [(token, tf, boost, pos_list), ...]
@@ -348,7 +349,7 @@ def make_doc_tokens_udf(
                         for v in variants:
                             # each variant weighted by its OWN length
                             segments.append(
-                                (analyze_str(v or "", syn), fboost)
+                                (analyze_str(v or "", syn, procs), fboost)
                             )
             for toks, fboost in segments:
                 if toks is None or len(toks) == 0:
@@ -433,6 +434,33 @@ def _expand_synonyms(flat, rows, syn: dict[str, str]):
     return vals.take(pa.array(base + within)), out_rows
 
 
+def _apply_procs_flat(flat, ids, procs):
+    """Apply the configured token-processor chain per contiguous
+    id-run of a flat Arrow token array (+ parallel row/variant id
+    array) — the Arrow analyzer's hook for ``cfg.token_processors``.
+    Only runs when processors are configured (the default build never
+    leaves Arrow); a processor sees one segment's ordered token list,
+    exactly like ``analyze_str`` gives it."""
+    import pyarrow as pa
+
+    from ..functions.text import apply_processors
+
+    toks = flat.to_pylist()
+    out_t: list[str] = []
+    out_i: list[int] = []
+    i, n = 0, len(toks)
+    while i < n:
+        j = i
+        rid = ids[i]
+        while j < n and ids[j] == rid:
+            j += 1
+        new = apply_processors(toks[i:j], procs)
+        out_t.extend(new)
+        out_i.extend([rid] * len(new))
+        i = j
+    return pa.array(out_t, type=pa.string()), np.array(out_i, dtype=np.int64)
+
+
 def _make_doc_analyzer(
     cfg: EngineConfig,
     fields: list[tuple[str, float]],
@@ -452,6 +480,7 @@ def _make_doc_analyzer(
     from ..functions.text import fold_series
 
     syn = dict(cfg.synonyms)
+    procs = cfg.processors
     db, iw = cfg.default_boost, cfg.importance_weight
 
     def run(batches):
@@ -522,6 +551,8 @@ def _make_doc_analyzer(
                 vid0 = vid0[ne]
                 if syn and len(vid0):
                     flat, vid0 = _expand_synonyms(flat, vid0, syn)
+                if procs and len(vid0):
+                    flat, vid0 = _apply_procs_flat(flat, vid0, procs)
                 cnt_v = np.bincount(vid0, minlength=len(vrow))
                 w_v = np.zeros(len(vrow))
                 nzv = cnt_v > 0
@@ -556,6 +587,8 @@ def _make_doc_analyzer(
                 rows0 = rows0[ne]
                 if syn and len(rows0):
                     flat, rows0 = _expand_synonyms(flat, rows0, syn)
+                if procs and len(rows0):
+                    flat, rows0 = _apply_procs_flat(flat, rows0, procs)
                 counts_f = np.bincount(rows0, minlength=n_rows)
                 w_row = np.zeros(n_rows)
                 nz = counts_f > 0

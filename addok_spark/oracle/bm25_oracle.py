@@ -195,6 +195,7 @@ class OracleIndex(ExpansionMixin):
                         analyze_str(
                             raw if isinstance(raw, str) else "",
                             cfg.synonyms,
+                            cfg.processors,
                         ),
                         fboost,
                     )
@@ -208,7 +209,7 @@ class OracleIndex(ExpansionMixin):
                     ):
                         for v in alt:
                             segments.append(
-                                (analyze_str(v or "", cfg.synonyms), fboost)
+                                (analyze_str(v or "", cfg.synonyms, cfg.processors), fboost)
                             )
             for toks, fboost in segments:
                 if not toks:
@@ -399,7 +400,7 @@ class SpecSearch:
     def _one(self, q) -> pd.DataFrame | None:
         index, cfg = self.index, self.cfg
         is_phrase = bool(getattr(q, "phrase", False))
-        seq = analyze_str(q.q, cfg.synonyms)  # ordered, duplicates kept
+        seq = analyze_str(q.q, cfg.synonyms, cfg.processors)  # ordered, duplicates kept
         toks = seq
         seen: set[str] = set()
         toks = [t for t in toks if not (t in seen or seen.add(t))]

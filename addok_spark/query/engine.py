@@ -352,7 +352,7 @@ class SearchEngine:
         for q in queries:
             if len(q.q) > cfg.query_max_length:
                 raise ValueError(f"query too long ({len(q.q)} > {cfg.query_max_length})")
-            toks = analyze_str(q.q, cfg.synonyms)
+            toks = analyze_str(q.q, cfg.synonyms, cfg.processors)
             raw_seqs[q.qid] = toks  # ordered, duplicates kept (phrase)
             # order-preserving dedup (zinterstore collapses dup keys)
             seen: set[str] = set()

@@ -67,7 +67,7 @@ def phrase_match(engine, phrase: str, k: int = 10) -> DataFrame:
     n_occurrences) ordered by (n_occurrences desc, doc_index asc),
     top k."""
     spark = engine.spark
-    toks = analyze_str(phrase, engine.cfg.synonyms)
+    toks = analyze_str(phrase, engine.cfg.synonyms, engine.cfg.processors)
     if not toks:
         return spark.createDataFrame(
             [], "conv_id string, turn_idx int, text string, n_occurrences long"

@@ -91,7 +91,7 @@ class Shell:
 
         return (
             f"folded: {fold_str(q)}\n"
-            f"tokens: {analyze_str(q, self.cfg.synonyms)}"
+            f"tokens: {analyze_str(q, self.cfg.synonyms, self.cfg.processors)}"
         )
 
     def do_fuzzy(self, word: str) -> str:
@@ -121,7 +121,7 @@ class Shell:
         if m:
             limit = int(m.group(1))
             arg = arg[: m.start()]
-        toks = analyze_str(arg, self.cfg.synonyms)
+        toks = analyze_str(arg, self.cfg.synonyms, self.cfg.processors)
         if not toks:
             return "(no tokens)"
         t0 = time.time()
@@ -159,7 +159,7 @@ class Shell:
 
         from .functions.text import analyze_str
 
-        toks = analyze_str(token, self.cfg.synonyms)
+        toks = analyze_str(token, self.cfg.synonyms, self.cfg.processors)
         if not toks:
             return "(no token)"
         t = toks[0]
@@ -185,7 +185,7 @@ class Shell:
         from .functions.text import analyze_str
         from .query.engine import _exploded_postings
 
-        toks = analyze_str(word, self.cfg.synonyms)
+        toks = analyze_str(word, self.cfg.synonyms, self.cfg.processors)
         if not toks:
             return "(no token)"
         t = toks[0]
