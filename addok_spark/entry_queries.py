@@ -1234,6 +1234,30 @@ FROM documents
 """
 
 
+def q_events_context(spark, sf_dir):
+    """Previous-3 context assembly per event (streaming/aggregate.py
+    event_context) — the training-pair construction window, one
+    per-user bounded-frame window, deterministic (ts, event_id)
+    order."""
+    from .streaming.aggregate import event_context
+
+    return event_context(_events(spark, sf_dir), n=3)
+
+
+SQL_EVENTS_CONTEXT = """
+SELECT event_id, user_id,
+       len(ctx)::bigint AS n_prev,
+       coalesce(array_to_string(ctx, ' '), '') AS prev_context
+FROM (
+  SELECT event_id, user_id,
+         coalesce(list(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), []) AS ctx
+  FROM events
+)
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII detection + redaction (textstats.pii_redact): counts per
     class + sequentially-redacted text, pure regexp column math. The
@@ -1381,6 +1405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_score": q_repetition,
     "contamination": q_contamination,
     "retrieval_topk": q_retrieval_topk,
+    "events_context": q_events_context,
     "pii_redact": q_pii_redact,
     "chunk_documents": q_chunk_documents,
 }
@@ -1425,6 +1450,7 @@ ORACLES: dict[str, str] = {
     "repetition_score": SQL_REPETITION,
     "contamination": SQL_CONTAMINATION,
     "retrieval_topk": SQL_RETRIEVAL_TOPK,
+    "events_context": SQL_EVENTS_CONTEXT,
     "pii_redact": _sql_pii_redact(),
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }

@@ -69,6 +69,43 @@ def session_windows(
     )
 
 
+def event_context(
+    df: DataFrame,
+    n: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "event_type",
+) -> DataFrame:
+    """Previous-``n`` context assembly per event — the training-pair
+    construction pattern (each turn paired with its preceding
+    conversation window) recast over the events table.
+
+    One window over (key, ts, id) with a bounded ROWS frame: the
+    shuffle is the window's partitioning on ``key_col`` (many small
+    groups — users/conversations — so parallelism follows key
+    cardinality and no task ever holds more than one key's run; at
+    100 TB this is the same per-conversation locality the index build
+    already exploits). The frame order is total ((ts, id) with id
+    unique), so the concatenated context string is deterministic on
+    any engine. Returns (event_id, user_id, n_prev, prev_context).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-n, -1)
+    )
+    ctx = F.collect_list(value_col).over(w)
+    return df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.size(ctx).cast("long").alias("n_prev"),
+        F.concat_ws(" ", ctx).alias("prev_context"),
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, checkpoint: str):
     """availableNow-triggered run into an in-memory sink (tests /
     smoke); production targets writeTo(iceberg)/kafka the same way."""

@@ -109,6 +109,7 @@ HEADLINE = [
     "retrieval_topk",
     "pii_redact",
     "chunk_documents",
+    "events_context",
 ]
 
 
