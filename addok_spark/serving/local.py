@@ -55,7 +55,7 @@ from ..config import EngineConfig
 from ..index.build import IndexPaths
 from ..index.compress import unpack_deltas, unpack_f32, varint_decode
 from ..oracle.bm25_oracle import ExpansionMixin, SpecSearch
-from ..query.engine import Query
+from ..query.engine import Query, normalize_filter_values
 
 _EMPTY = (
     np.empty(0, dtype=np.int64),
@@ -335,14 +335,9 @@ class ParquetIndex(ExpansionMixin):
         self.__dict__.update(fresh.__dict__)
 
     # -- postings -----------------------------------------------------------
-    def _token_blocks(self, token: str) -> "_TokenBlocks":
-        """Per-block lazy posting store for one token: block metadata
-        (n / max_boost / min_doc / max_doc) up front, payloads decoded
-        on demand — the serving analog of the Spark engine's block-max
-        pruning. One pruned blocks read per token per process."""
-        tb = self._blocks.get(token)
-        if tb is not None:
-            return tb
+    def _read_token_blocks(self, token: str) -> "_TokenBlocks":
+        """Uncached pruned blocks read for one token (thread-safe:
+        touches only the immutable dataset handle)."""
         f = self._pads.field
         tok_filter = f("token") == token
         if self.pbucket_range is not None:
@@ -353,9 +348,43 @@ class ParquetIndex(ExpansionMixin):
         if not is_filter:
             cols += ["tfs_bin", "boosts_bin"]
         tbl = self._blocks_ds.to_table(filter=tok_filter, columns=cols)
-        tb = _TokenBlocks(tbl, is_filter)
+        return _TokenBlocks(tbl, is_filter)
+
+    def _token_blocks(self, token: str) -> "_TokenBlocks":
+        """Per-block lazy posting store for one token: block metadata
+        (n / max_boost / min_doc / max_doc) up front, payloads decoded
+        on demand — the serving analog of the Spark engine's block-max
+        pruning. One pruned blocks read per token per process."""
+        tb = self._blocks.get(token)
+        if tb is not None:
+            return tb
+        tb = self._read_token_blocks(token)
         self._blocks[token] = tb
         return tb
+
+    def prefetch_tokens(self, tokens) -> None:
+        """Concurrent first-touch of several tokens' pruned blocks
+        reads (pyarrow releases the GIL inside ``to_table``), so a
+        cold multi-token query pays ~one parquet read latency instead
+        of one per token. Reads run in worker threads against the
+        immutable dataset; cache insertion stays on the caller's
+        thread (the _LRU is not thread-safe)."""
+        todo = [
+            t for t in dict.fromkeys(tokens)
+            if t and self._blocks.get(t) is None
+        ]
+        if not todo:
+            return
+        if len(todo) == 1:
+            self._token_blocks(todo[0])
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as ex:
+            built = list(ex.map(self._read_token_blocks, todo))
+        for t, tb in zip(todo, built):
+            if self._blocks.get(t) is None:
+                self._blocks[t] = tb
 
     def _token_arrays(self, token: str):
         """(docs asc int64, tf int64, boost float32) for one token —
@@ -802,6 +831,28 @@ class ShardedIndex(ExpansionMixin):
     def boost_of(self, token: str, d: int) -> float:
         return self._owner(d).boost_of(token, d)
 
+    def prefetch_tokens(self, tokens) -> None:
+        """Scatter the cold-read fan-out across (shard, token) pairs
+        in one thread pool — cache insertion per shard stays on this
+        thread (see ParquetIndex.prefetch_tokens)."""
+        pairs = [
+            (sh, t)
+            for t in dict.fromkeys(tokens)
+            for sh in self.shards
+            if t and sh._blocks.get(t) is None
+        ]
+        if not pairs:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(pairs))) as ex:
+            built = list(
+                ex.map(lambda p: p[0]._read_token_blocks(p[1]), pairs)
+            )
+        for (sh, t), tb in zip(pairs, built):
+            if sh._blocks.get(t) is None:
+                sh._blocks[t] = tb
+
     def tf_boost_many(self, token: str, docs_sorted):
         # candidate array is sorted and shards own contiguous pbucket
         # (= doc high-bit) ranges, so each shard's slice is one
@@ -1103,6 +1154,21 @@ class LocalSearchEngine:
         for q in queries:
             t0 = _time.perf_counter()
             b0 = len(blocks) if blocks is not None else 0
+            # cold-path fan-out: read every query token's (and filter
+            # key's) pruned blocks concurrently before the sequential
+            # spec flow touches them one by one
+            if hasattr(self.index, "prefetch_tokens"):
+                from ..functions.text import analyze_str
+
+                want = analyze_str(
+                    q.q, self.cfg.synonyms, self.cfg.processors
+                )
+                for col, vals in (getattr(q, "filters", None) or {}).items():
+                    for v in normalize_filter_values(
+                        vals, self.cfg.max_filter_values
+                    ):
+                        want.append(f"f|{col}|{v}")
+                self.index.prefetch_tokens(want)
             rdf = self._searcher.search([q])
             frames.append(rdf)
             entry = {
