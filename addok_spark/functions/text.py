@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from functools import lru_cache
 from typing import Iterable
 
 import numpy as np
@@ -133,9 +134,17 @@ def import_by_path(path):
     return func
 
 
+@lru_cache(maxsize=64)
+def _resolve_cached(procs: tuple) -> tuple:
+    return tuple(import_by_path(p) for p in procs)
+
+
 def resolve_processors(processors) -> tuple:
-    """Dotted-path-or-callable sequence → callable tuple."""
-    return tuple(import_by_path(p) for p in (processors or ()))
+    """Dotted-path-or-callable sequence → callable tuple (memoized:
+    the config property is read on hot per-query paths)."""
+    if not processors:
+        return ()
+    return _resolve_cached(tuple(processors))
 
 
 def apply_processors(tokens: list[str], processors) -> list[str]:

@@ -174,6 +174,7 @@ class OracleIndex(ExpansionMixin):
         # token stream — same counter the index build packs into
         # pos_bin (phrase-mode positional matching)
         self.positions: dict[str, dict[int, list[int]]] = defaultdict(dict)
+        syn, procs = cfg.synonyms, cfg.processors
         for row in corpus.itertuples(index=False):
             d = int(row.doc_index)
             imp = float(getattr(row, "importance", 0.0) or 0.0)
@@ -194,8 +195,8 @@ class OracleIndex(ExpansionMixin):
                     (
                         analyze_str(
                             raw if isinstance(raw, str) else "",
-                            cfg.synonyms,
-                            cfg.processors,
+                            syn,
+                            procs,
                         ),
                         fboost,
                     )
@@ -209,7 +210,7 @@ class OracleIndex(ExpansionMixin):
                     ):
                         for v in alt:
                             segments.append(
-                                (analyze_str(v or "", cfg.synonyms, cfg.processors), fboost)
+                                (analyze_str(v or "", syn, procs), fboost)
                             )
             for toks, fboost in segments:
                 if not toks:

@@ -185,17 +185,20 @@ def contamination(
     )
 
 
-# (name, pattern, replacement) in REDACTION ORDER — the classes are
-# disjoint by pattern construction (phone requires a leading '+',
-# ssn/ipv4/email shapes don't overlap), so counts on the original
-# text and sequential replacement agree between engines. Patterns
-# stay in the RE2 ∩ java.util.regex common subset (no lookaround)
-# so the Spark plan and the DuckDB oracle match byte-for-byte.
+# (name, pattern, replacement) in REDACTION ORDER. Counts are
+# per-pattern detections on the ORIGINAL text, so classes that can
+# overlap on adversarial inputs (an SSN-shaped run inside an
+# international phone number matches both) are each counted; the
+# sequential replacement resolves overlaps by order — phone runs
+# BEFORE ssn so the containing span wins and no bare country-code
+# remnant survives. Patterns stay in the RE2 ∩ java.util.regex
+# common subset (no lookaround) so the Spark plan and the DuckDB
+# oracle match byte-for-byte.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("phone", r"\+\d{1,3}([ -]?\d{2,8})+", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
 ]
 
 
@@ -205,9 +208,11 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Pure ``regexp_count`` / ``regexp_replace`` column math: one scan,
     zero shuffle, whole-stage codegen at 100 TB. Counts are measured
-    on the ORIGINAL text per class; the redacted text applies the
-    replacements sequentially in the fixed ``PII_PATTERNS`` order.
-    Returns (id, n_email, n_ipv4, n_ssn, n_phone, n_pii, redacted).
+    on the ORIGINAL text per class (overlapping classes each count —
+    see the ``PII_PATTERNS`` note — so ``n_pii`` is an upper bound on
+    distinct spans); the redacted text applies the replacements
+    sequentially in the fixed ``PII_PATTERNS`` order.
+    Returns (id, n_email, n_ipv4, n_phone, n_ssn, n_pii, redacted).
     """
     text = F.col(text_col)
     cols = [F.col(id_col).alias("id")]

@@ -314,7 +314,7 @@ class ParquetIndex(ExpansionMixin):
         self._scan_cache: dict[tuple, tuple] = _LRU(1024)
         self._dict_views: dict[str, dict[int, float]] = _LRU(10_000)
         self._doc_cache: dict[int, pd.DataFrame] = _LRU(64)
-        self._row_cache: dict[int, pd.Series] = _LRU(100_000)
+        self._row_cache: dict[int, dict] = _LRU(100_000)
         self._fold_cache: dict[int, str] = _LRU(100_000)
         self._prefix_cache: dict[str, list[str]] = _LRU(50_000)
         self._pair_cache: dict[str, set[str]] = _LRU(50_000)
@@ -1129,6 +1129,18 @@ class LocalSearchEngine:
             else SpecSearch(self.index, self.cfg)
         )
 
+    def _analyzed(self, q: str) -> list[str]:
+        cache = getattr(self, "_an_cache", None)
+        if cache is None:
+            cache = self._an_cache = _LRU(4096)
+        toks = cache.get(q)
+        if toks is None:
+            from ..functions.text import analyze_str
+
+            toks = analyze_str(q, self.cfg.synonyms, self.cfg.processors)
+            cache[q] = toks
+        return toks
+
     def refresh(self) -> None:
         """Pick up a CDC-rewritten index (see ParquetIndex.refresh)."""
         self.index.refresh()
@@ -1156,18 +1168,17 @@ class LocalSearchEngine:
             b0 = len(blocks) if blocks is not None else 0
             # cold-path fan-out: read every query token's (and filter
             # key's) pruned blocks concurrently before the sequential
-            # spec flow touches them one by one
+            # spec flow touches them one by one (analysis memoized so
+            # warm repeats don't re-analyze for a no-op prefetch)
             if hasattr(self.index, "prefetch_tokens"):
-                from ..functions.text import analyze_str
-
-                want = analyze_str(
-                    q.q, self.cfg.synonyms, self.cfg.processors
-                )
-                for col, vals in (getattr(q, "filters", None) or {}).items():
-                    for v in normalize_filter_values(
-                        vals, self.cfg.max_filter_values
-                    ):
-                        want.append(f"f|{col}|{v}")
+                want = self._analyzed(q.q)
+                if getattr(q, "filters", None):
+                    want = list(want)
+                    for col, vals in sorted(q.filters.items()):
+                        for v in normalize_filter_values(
+                            vals, self.cfg.max_filter_values
+                        ):
+                            want.append(f"f|{col}|{v}")
                 self.index.prefetch_tokens(want)
             rdf = self._searcher.search([q])
             frames.append(rdf)
