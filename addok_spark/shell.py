@@ -21,6 +21,9 @@ Commands (case-insensitive; anything else is a SEARCH):
     FILTERS [json|off]     set session filters, e.g. {"role": ["user"]}
     K <n>                  result count per query
     DBINFO                 index stats (≙ shell DBINFO)
+    DBKEY <key>            raw index key view: w|tok p|tok f|col|val d|id
+    INDEX <conv_id> <turn> per-token boost + posting rank for one doc
+    CONFIG [name]          inspect engine config (all keys or one)
     HELP                   this help
     QUIT / EXIT            leave
 
@@ -265,6 +268,123 @@ class Shell:
             f"best={times[0]:.3f}s"
         )
 
+    def do_config(self, name: str) -> str:
+        """≙ CONFIG (reference shell.py:533-545): dump the loaded
+        config, or one key."""
+        import dataclasses
+
+        items = {
+            f.name: getattr(self.cfg, f.name)
+            for f in dataclasses.fields(self.cfg)
+        }
+        name = name.strip().lower()
+        if name:
+            if name not in items:
+                return f"{name} Not found."
+            return f"{name} {items[name]!r}"
+        return "\n".join(f"{k} {v!r}" for k, v in sorted(items.items()))
+
+    def do_dbkey(self, key: str) -> str:
+        """≙ DBKEY (reference shell.py:329-340): print the raw content
+        behind one index key. Reference key grammar kept: ``w|token``
+        (postings), ``p|token`` (pair set), ``f|col|val`` (filter
+        postings), ``d|conv_id|turn`` (document row)."""
+        from pyspark.sql import functions as F
+
+        key = key.strip()
+        kind, _, rest = key.partition("|")
+        if kind == "w" and rest:
+            stats = self.engine._token_stats({rest})
+            if rest not in stats:
+                return f"type: none\nvalue: (no such token) {rest}"
+            df, mx = stats[rest]
+            nb = self.engine.blocks.filter(F.col("token") == rest).count()
+            return (
+                f"type: postings\n"
+                f"value: token={rest} df={df} max_boost={mx:.4f} blocks={nb}"
+            )
+        if kind == "p" and rest:
+            return f"type: set\nvalue:\n{self.do_pair(rest)}"
+        if kind == "f" and rest:
+            stats = self.engine._token_stats({key})
+            if key not in stats:
+                return f"type: none\nvalue: (no such filter key) {key}"
+            return f"type: postings\nvalue: key={key} df={stats[key][0]}"
+        if kind == "d" and rest:
+            conv, _, turn = rest.partition("|")
+            return f"type: hash\nvalue:\n{self.do_get(f'{conv} {turn or 0}')}"
+        return f"Unsupported key type {kind!r} (use w| p| f| d|)"
+
+    def do_index(self, arg: str) -> str:
+        """≙ INDEX (reference shell.py:458-467): per-token index
+        details for one document — each indexed token's boost for this
+        doc and the doc's rank inside that token's postings (the
+        reference's ZSCORE + ZREVRANK pair)."""
+        from pyspark.sql import functions as F
+
+        parts = shlex.split(arg)
+        if len(parts) != 2:
+            return "usage: INDEX <conv_id> <turn_idx>"
+        rows = self.engine.docs.filter(
+            (F.col("conv_id") == parts[0])
+            & (F.col("turn_idx") == int(parts[1]))
+        ).collect()
+        if not rows:
+            return f'id "{arg}" not found'
+        doc = rows[0]
+        di = int(doc["doc_index"])
+        from .functions.text import analyze_str
+        from .query.engine import _exploded_postings
+
+        toks: list[str] = []
+        for f_spec in self.cfg.fields:
+            val = doc[f_spec.name] if f_spec.name in doc.asDict() else None
+            if not val:
+                continue
+            vals = val if isinstance(val, (list, tuple)) else [val]
+            for v in vals:
+                toks.extend(
+                    analyze_str(str(v), self.cfg.synonyms,
+                                self.cfg.processors)
+                )
+        toks = list(dict.fromkeys(toks))
+        if not toks:
+            return "(no indexed tokens)"
+        exploded = _exploded_postings(
+            self.engine.blocks.filter(F.col("token").isin(toks)), ["token"]
+        ).select("token", "doc_index", "boost")
+        mine = exploded.filter(F.col("doc_index") == di).select(
+            F.col("token"), F.col("boost").alias("my_boost")
+        )
+        # rank ≙ ZREVRANK: postings strictly ahead of this doc in the
+        # (boost desc, doc_index asc) total order — one join + agg, no
+        # full-postings collect
+        ranked = (
+            exploded.join(F.broadcast(mine), "token")
+            .groupBy("token", "my_boost")
+            .agg(
+                F.sum(
+                    (
+                        (F.col("boost") > F.col("my_boost"))
+                        | (
+                            (F.col("boost") == F.col("my_boost"))
+                            & (F.col("doc_index") < F.lit(di))
+                        )
+                    ).cast("int")
+                ).alias("rank")
+            )
+            .collect()
+        )
+        by_tok = {r["token"]: r for r in ranked}
+        out = []
+        for t in toks:
+            r = by_tok.get(t)
+            if r is None:
+                out.append(f"{t} (not indexed)")
+            else:
+                out.append(f"{t} {float(r['my_boost']):.4f} {int(r['rank'])}")
+        return "\n".join(out)
+
     def do_dbinfo(self) -> str:
         from pyspark.sql import functions as F
 
@@ -318,6 +438,12 @@ class Shell:
             return self.do_freq(rest)
         if cmd == "DBINFO":
             return self.do_dbinfo()
+        if cmd == "DBKEY":
+            return self.do_dbkey(rest)
+        if cmd == "INDEX":
+            return self.do_index(rest)
+        if cmd == "CONFIG":
+            return self.do_config(rest)
         if cmd == "AUTOCOMPLETE":
             if rest.strip().lower() in ("on", "off"):
                 self.autocomplete = rest.strip().lower() == "on"

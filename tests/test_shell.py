@@ -108,3 +108,36 @@ def test_shell_get_strdistance_bucket_bench(shell):
     assert d == 1.0
     assert "doc-0" in shell.dispatch("BUCKET rue des lilas")
     assert "p50=" in shell.dispatch("BENCH 2 lilas")
+
+
+def test_shell_config(shell):
+    out = shell.dispatch("CONFIG")
+    assert "bucket_max" in out and "min_score" in out
+    assert shell.dispatch("CONFIG bucket_max").startswith("bucket_max ")
+    assert "Not found" in shell.dispatch("CONFIG nosuchkey")
+
+
+def test_shell_dbkey(shell):
+    out = shell.dispatch("DBKEY w|lilas")
+    assert "type: postings" in out and "df=2" in out
+    assert "no such token" in shell.dispatch("DBKEY w|zzz")
+    out = shell.dispatch("DBKEY p|lilas")
+    assert "type: set" in out and "rue" in out
+    out = shell.dispatch("DBKEY d|doc-2|0")
+    assert "type: hash" in out and "montparnasse" in out
+    assert "Unsupported" in shell.dispatch("DBKEY g|u09tyzfe")
+
+
+def test_shell_index(shell):
+    # doc-0 "rue des lilas": every token indexed; lilas has df=2 so
+    # rank is 0 or 1; boost is the analyzer's per-token weight
+    out = shell.dispatch("INDEX doc-0 0")
+    lines = dict(
+        (ln.split()[0], ln.split()[1:]) for ln in out.splitlines()
+    )
+    assert set(lines) == {"rue", "des", "lilas"}
+    for tok, (boost, rank) in lines.items():
+        assert float(boost) > 0
+        assert int(rank) in (0, 1)
+    assert "not found" in shell.dispatch("INDEX nope 0")
+    assert "usage" in shell.dispatch("INDEX doc-0")
