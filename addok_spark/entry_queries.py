@@ -774,6 +774,38 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Mean unigram log2-prob per doc under the corpus's own LM
+    (pipelines/textstats.py): the CCNet-style quality gate."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH t AS (
+  SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS ts
+  FROM documents),
+e AS (SELECT id, unnest(ts) AS token FROM t),
+c AS (SELECT token, count(*)::bigint AS cnt FROM e GROUP BY token),
+n AS (SELECT sum(cnt)::double AS total FROM c),
+l AS (
+  SELECT e.id, log2(c.cnt / n.total) AS logp
+  FROM e JOIN c USING (token) CROSS JOIN n),
+d AS (
+  SELECT id, count(*)::int AS n_tokens,
+    list_sort(list(logp)) AS lps
+  FROM l GROUP BY id),
+a AS (
+  SELECT id, n_tokens,
+    round(list_aggregate(lps, 'sum') / n_tokens, 6) AS avg_logprob
+  FROM d)
+SELECT id, n_tokens, avg_logprob,
+  round(pow(2.0, -avg_logprob), 4) AS ppl
+FROM a
+"""
+
+
 SQL_TOKEN_COUNTS = """
 SELECT doc_id AS id,
   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::int AS n_ws_tokens,
@@ -1390,6 +1422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
+    "unigram_logprob": q_unigram_logprob,
     "fingerprint": q_fingerprint,
     "collocations_pmi": q_collocations_pmi,
     "cosine_topk": q_cosine_topk,
@@ -1439,6 +1472,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "fingerprint": SQL_FINGERPRINT,
     "collocations_pmi": SQL_COLLOCATIONS_PMI,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -302,3 +302,46 @@ def collocations_pmi(
         .limit(top_k)
     )
     return out
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log2-probability under the corpus's
+    own unigram LM — the order-of-magnitude analog of CCNet-style
+    kenlm perplexity filtering (low avg logprob = improbable word
+    salad, high = boilerplate).
+
+    Scale shape: one tokenize scan → token count agg (map-side
+    combinable, vocabulary-sized result) → count join back (vocab
+    ≪ corpus; Spark broadcasts it when small, AQE handles the rest)
+    → per-doc agg. Per-doc sums fold over an ASCENDING-sorted array
+    so the float result is bit-deterministic across partitionings
+    (and matches the oracle's identical sorted fold)."""
+    toks = tokens_col(F.col(text_col))
+    e = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+    counts = e.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    logp = (
+        e.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.log2(F.col("cnt").cast("double") / F.col("__total")).alias(
+                "logp"
+            ),
+        )
+    )
+    per_doc = logp.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.array_sort(F.collect_list("logp")).alias("lps"),
+    )
+    avg = F.round(
+        F.aggregate("lps", F.lit(0.0), lambda a, x: a + x)
+        / F.col("n_tokens"),
+        6,
+    )
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        avg.alias("avg_logprob"),
+        F.round(F.pow(F.lit(2.0), -avg), 4).alias("ppl"),
+    )

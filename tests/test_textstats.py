@@ -32,3 +32,28 @@ def test_pii_redact_counts_and_replacement(spark):
         assert r["n_pii"] == (
             r["n_email"] + r["n_ipv4"] + r["n_ssn"] + r["n_phone"]
         )
+
+
+def test_unigram_logprob(spark):
+    from addok_spark.pipelines.textstats import unigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the the the"),   # all head-token: most probable
+        (3, "zyxq qwvz plfk"),            # hapax salad: least probable
+        (4, ""),                          # no tokens: dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in
+           unigram_logprob(df, "id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_tokens"] == 6 and out[2]["n_tokens"] == 6
+    # repetitive boilerplate scores above average; hapax salad below
+    assert out[2]["avg_logprob"] > out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    # ppl is 2^-avg_logprob of the rounded avg
+    import math
+    for r in out.values():
+        assert abs(r["ppl"] - round(2 ** -r["avg_logprob"], 4)) < 1e-9
+        assert r["avg_logprob"] < 0
+    # "the" appears 8/15 times: its logp = log2(8/15); doc 2 avg == that
+    assert out[2]["avg_logprob"] == round(math.log2(8 / 15), 6)
