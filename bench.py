@@ -110,6 +110,7 @@ HEADLINE = [
     "pii_redact",
     "chunk_documents",
     "events_context",
+    "unigram_logprob",
 ]
 
 
