@@ -1035,6 +1035,60 @@ SELECT vec_id AS id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM s ORDER BY cosine DESC, id LIMIT 10
 """
 
+N_IVF_CELLS, IVF_NPROBE = 8, 2
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate top-k (pipelines/ann.py): coarse-quantize
+    to anchor cells, probe the nprobe nearest cells, brute-force
+    within — the codebook-partitioned scale path next to sign-LSH."""
+    emb = _emb(spark, sf_dir)
+    anchors = ann.ivf_cells(emb, N_IVF_CELLS)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann.ivf_topk(
+        emb, [float(x) for x in qv], anchors,
+        k=10, nprobe=IVF_NPROBE,
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH a AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS av
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {N_IVF_CELLS})),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+za AS (SELECT e.vec_id, a.cell, unnest(e.embedding)::double AS x,
+              unnest(a.av)::double AS y
+       FROM embeddings e, a),
+sa AS (SELECT vec_id, cell, sum(x * y) AS dot, sum(x * x) AS nx,
+              sum(y * y) AS ny
+       FROM za GROUP BY vec_id, cell),
+ca AS (SELECT vec_id, cell,
+              round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos_a FROM sa),
+asg AS (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_a DESC, cell ASC) AS rn
+          FROM ca) WHERE rn = 1),
+zq AS (SELECT a.cell, unnest(a.av)::double AS x, unnest(q.qv)::double AS y
+       FROM a, q),
+sq AS (SELECT cell, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+       FROM zq GROUP BY cell),
+probe AS (SELECT cell FROM sq
+          ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC, cell
+          LIMIT {IVF_NPROBE}),
+ze AS (SELECT e.vec_id, unnest(e.embedding)::double AS x,
+              unnest(q.qv)::double AS y
+       FROM embeddings e, q),
+se AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+       FROM ze GROUP BY vec_id)
+SELECT se.vec_id AS id, asg.cell::int AS cell,
+       round(se.dot / (sqrt(se.nx) * sqrt(se.ny)), 6) AS cosine
+FROM se JOIN asg USING (vec_id)
+WHERE asg.cell IN (SELECT cell FROM probe)
+ORDER BY cosine DESC, id LIMIT 10
+"""
+
+
 N_PLANES, EMB_DIM = 6, 64
 
 
@@ -1426,6 +1480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "collocations_pmi": q_collocations_pmi,
     "cosine_topk": q_cosine_topk,
+    "ivf_topk": q_ivf_topk,
     "lsh_buckets": q_lsh_buckets,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -1476,6 +1531,7 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "collocations_pmi": SQL_COLLOCATIONS_PMI,
     "cosine_topk": SQL_COSINE_TOPK,
+    "ivf_topk": SQL_IVF_TOPK,
     "lsh_buckets": _sql_lsh_buckets(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

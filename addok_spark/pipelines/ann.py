@@ -130,3 +130,93 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+def ivf_cells(
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse-quantizer "training": the cell
+    anchors are the embeddings of the ``n_cells`` smallest ids (a
+    reproducible stand-in for a sampled k-means — the assignment and
+    search shapes below are identical to a trained codebook's).
+    Driver-held small state: n_cells vectors."""
+    rows = (
+        emb.orderBy(F.col(id_col).asc())
+        .select(vec_col)
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_assign_col(vec, anchors: list[list[float]]):
+    """Cell id = argmax over anchors of round(cosine, 6); ties take
+    the lowest cell. A fixed comparison ladder (codegen, no UDF) —
+    deterministic across partitionings."""
+    best_c = F.lit(0)
+    best_v = F.round(
+        cosine_col(vec, F.array(*[F.lit(x) for x in anchors[0]])), 6
+    )
+    for j, a in enumerate(anchors[1:], start=1):
+        cj = F.round(cosine_col(vec, F.array(*[F.lit(x) for x in a])), 6)
+        gt = cj > best_v
+        best_c = F.when(gt, F.lit(j)).otherwise(best_c)
+        best_v = F.when(gt, cj).otherwise(best_v)
+    return best_c
+
+
+def ivf_probe_cells(
+    query_vec: list[float], anchors: list[list[float]], nprobe: int
+) -> list[int]:
+    """Cells ranked by round(cosine(query, anchor), 6) desc (ties →
+    lowest cell), truncated to nprobe. Sequential index-order sums so
+    the ranking matches the column fold bit-for-bit."""
+    def _cos(a, b):
+        dot = nx = ny = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            nx += x * x
+            ny += y * y
+        return round(dot / ((nx ** 0.5) * (ny ** 0.5)), 6)
+
+    scored = sorted(
+        ((-_cos(query_vec, a), j) for j, a in enumerate(anchors))
+    )
+    return [j for _, j in scored[:nprobe]]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    anchors: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize every vector to its
+    nearest anchor cell, probe only the ``nprobe`` cells nearest the
+    query, brute-force within. At scale the cell id is the partition
+    key (write once, cluster by cell), so a probe reads nprobe
+    partitions instead of the corpus — the classic IVF-Flat layout;
+    anchors ride along as literals (broadcast-equivalent)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probes = ivf_probe_cells(query_vec, anchors, nprobe)
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            ivf_assign_col(F.col(vec_col), anchors).alias("cell"),
+        )
+        .filter(F.col("cell").isin(probes))
+        .select(
+            "id",
+            "cell",
+            F.round(cosine_col(F.col("vec"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -111,6 +111,7 @@ HEADLINE = [
     "chunk_documents",
     "events_context",
     "unigram_logprob",
+    "ivf_topk",
 ]
 
 

@@ -1,0 +1,53 @@
+"""IVF-Flat coarse quantization (pipelines/ann.py): deterministic
+anchors, cell assignment as partition, probe-restricted search, and
+full-probe equivalence to the brute-force baseline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from addok_spark.pipelines import ann
+
+N, DIM, CELLS = 80, 16, 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = rng.normal(size=(N, DIM)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+
+
+def test_ivf_assignment_partitions(emb):
+    anchors = ann.ivf_cells(emb, CELLS)
+    assert len(anchors) == CELLS and len(anchors[0]) == DIM
+    cells = emb.select(
+        "vec_id",
+        ann.ivf_assign_col(F.col("embedding"), anchors).alias("cell"),
+    ).collect()
+    assert len(cells) == N
+    got = {r["vec_id"]: r["cell"] for r in cells}
+    assert set(got.values()) <= set(range(CELLS))
+    # an anchor's own vector lands in its own cell (cosine == 1)
+    for j in range(CELLS):
+        assert got[j] == j
+
+
+def test_ivf_topk_probes_subset_and_full_probe_is_exact(emb):
+    anchors = ann.ivf_cells(emb, CELLS)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3)
+          .collect()[0]["embedding"]]
+    probes = ann.ivf_probe_cells(qv, anchors, nprobe=2)
+    assert len(probes) == 2
+    res = ann.ivf_topk(emb, qv, anchors, k=10, nprobe=2).collect()
+    assert res and all(r["cell"] in probes for r in res)
+    # the query's own vector is its best match when its cell is probed
+    assert res[0]["id"] == 3 and res[0]["cosine"] == pytest.approx(1.0)
+    # probing every cell recovers the exact brute-force ranking
+    full = ann.ivf_topk(emb, qv, anchors, k=10, nprobe=CELLS).collect()
+    brute = ann.cosine_topk(emb, qv, k=10).collect()
+    assert [r["id"] for r in full] == [r["id"] for r in brute]
+    assert [r["cosine"] for r in full] == [r["cosine"] for r in brute]
