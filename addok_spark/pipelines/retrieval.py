@@ -113,9 +113,26 @@ def retrieval_topk(
     )
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("qid"))
+    # two-level top-k: a query bearing a near-ceiling-df token has a
+    # candidate set that scales with the corpus, so a bare per-qid
+    # window would rank it in ONE task. First level takes a local
+    # head inside each of SALTS hash-salted slices (same shuffle
+    # volume, bounded per-task rows); the final per-qid rank then
+    # sees at most SALTS·k rows per query. Identical result: the
+    # global top-k is contained in the union of per-slice top-ks.
+    SALTS = 64
+    w1 = Window.partitionBy("qid", "salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    pruned = (
+        scored.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(SALTS)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("salt", "r1")
+    )
     rw = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        pruned.withColumn("rank", F.row_number().over(rw).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "score", "n_terms")
     )
