@@ -1089,6 +1089,57 @@ ORDER BY cosine DESC, id LIMIT 10
 """
 
 
+KMEANS_K = 8
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means, 2 Lloyd iterations (pipelines/ann.py) —
+    the SemDeDup clustering stage. Deterministic: anchor init from
+    the k smallest ids, round-6 cosine assignment, round-6 centroid
+    pin between iterations; the oracle unrolls the same two
+    iterations in SQL."""
+    return ann.kmeans_assign(_emb(spark, sf_dir), KMEANS_K, iters=2)
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH a AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS av
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {KMEANS_K})),
+ed AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+              unnest(embedding)::double AS x
+       FROM embeddings),
+a0d AS (SELECT cell, generate_subscripts(av, 1) - 1 AS pos,
+               unnest(av)::double AS x FROM a),
+za AS (SELECT e.vec_id, a.cell, unnest(e.embedding)::double AS x,
+              unnest(a.av)::double AS y FROM embeddings e, a),
+sa AS (SELECT vec_id, cell, sum(x * y) AS dot, sum(x * x) AS nx,
+              sum(y * y) AS ny
+       FROM za GROUP BY vec_id, cell),
+c1r AS (SELECT vec_id, cell,
+               round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos_a FROM sa),
+asg1 AS (SELECT vec_id, cell FROM (
+           SELECT vec_id, cell, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos_a DESC, cell ASC) AS rn
+           FROM c1r) WHERE rn = 1),
+cm AS (SELECT asg1.cell, ed.pos, round(avg(ed.x), 6) AS m
+       FROM ed JOIN asg1 USING (vec_id) GROUP BY asg1.cell, ed.pos),
+cent AS (SELECT a0d.cell, a0d.pos, coalesce(cm.m, a0d.x) AS m
+         FROM a0d LEFT JOIN cm ON a0d.cell = cm.cell AND a0d.pos = cm.pos),
+zb AS (SELECT ed.vec_id, cent.cell, ed.x * cent.m AS xy,
+              ed.x * ed.x AS xx, cent.m * cent.m AS yy
+       FROM ed JOIN cent USING (pos)),
+sb AS (SELECT vec_id, cell, sum(xy) AS dot, sum(xx) AS nx, sum(yy) AS ny
+       FROM zb GROUP BY vec_id, cell),
+c2r AS (SELECT vec_id, cell,
+               round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos_b FROM sb)
+SELECT vec_id AS id, cell::int AS cluster, cos_b AS cosine
+FROM (SELECT vec_id, cell, cos_b, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos_b DESC, cell ASC) AS rn FROM c2r)
+WHERE rn = 1
+"""
+
+
 N_PLANES, EMB_DIM = 6, 64
 
 
@@ -1481,6 +1532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collocations_pmi": q_collocations_pmi,
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
+    "kmeans_clusters": q_kmeans_clusters,
     "lsh_buckets": q_lsh_buckets,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -1532,6 +1584,7 @@ ORACLES: dict[str, str] = {
     "collocations_pmi": SQL_COLLOCATIONS_PMI,
     "cosine_topk": SQL_COSINE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "lsh_buckets": _sql_lsh_buckets(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

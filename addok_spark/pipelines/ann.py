@@ -220,3 +220,78 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+def _centroid_update(
+    emb_cells: DataFrame, vec_col: str, prev: list[list[float]]
+) -> list[list[float]]:
+    """One Lloyd update: per-(cell, dim) mean, ROUNDED to 6 decimals
+    so the next assignment sees identical centroids on any engine /
+    partitioning (the float-parity pin); a cell that lost every
+    member keeps its previous centroid (deterministic, and the same
+    rule the SQL oracle's left-join coalesce expresses). Map-side-
+    combinable agg; result is k×dim driver-held doubles."""
+    rows = (
+        emb_cells.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = float(r["m"])
+    out = []
+    for c, prev_c in enumerate(prev):
+        dims = by_cell.get(c)
+        out.append(
+            [dims[p] for p in range(len(prev_c))] if dims else list(prev_c)
+        )
+    return out
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """Spherical k-means with a fixed iteration budget — the SemDeDup
+    clustering stage. Deterministic end to end: anchors are the
+    ``n_clusters`` smallest ids, every assignment uses round-6
+    cosines with lowest-cell tie-break, every centroid update rounds
+    to 6 decimals before the next pass.
+
+    Scale shape per iteration: one assignment map over the corpus
+    (centroid literals ride along, broadcast-equivalent) + one
+    map-side-combinable (cell, dim) mean — no corpus-scale shuffle
+    beyond the k×dim agg. Returns (id, cluster, cosine-to-final-
+    centroid)."""
+    cents = ivf_cells(emb, n_clusters, id_col, vec_col)
+    for _ in range(max(0, iters - 1)):
+        assigned = emb.select(
+            F.col(vec_col).alias("v"),
+            ivf_assign_col(F.col(vec_col), cents).alias("cell"),
+        )
+        cents = _centroid_update(assigned, "v", cents)
+    final = F.col(vec_col)
+    out = emb.select(
+        F.col(id_col).alias("id"),
+        final.alias("v"),
+        ivf_assign_col(final, cents).alias("cluster"),
+    )
+    # cosine to the OWN cluster's centroid (the SemDeDup dedup
+    # signal: near-1 members of the same cluster are semantic dups)
+    cos_ladder = F.round(
+        cosine_col(F.col("v"), F.array(*[F.lit(x) for x in cents[0]])), 6
+    )
+    for j, c in enumerate(cents[1:], start=1):
+        cos_ladder = F.when(
+            F.col("cluster") == j,
+            F.round(
+                cosine_col(F.col("v"), F.array(*[F.lit(x) for x in c])), 6
+            ),
+        ).otherwise(cos_ladder)
+    return out.select("id", "cluster", cos_ladder.alias("cosine"))

@@ -112,6 +112,7 @@ HEADLINE = [
     "events_context",
     "unigram_logprob",
     "ivf_topk",
+    "kmeans_clusters",
 ]
 
 

@@ -51,3 +51,28 @@ def test_ivf_topk_probes_subset_and_full_probe_is_exact(emb):
     brute = ann.cosine_topk(emb, qv, k=10).collect()
     assert [r["id"] for r in full] == [r["id"] for r in brute]
     assert [r["cosine"] for r in full] == [r["cosine"] for r in brute]
+
+
+def test_kmeans_deterministic_and_improves(emb):
+    got = {
+        r["id"]: r
+        for r in ann.kmeans_assign(emb, CELLS, iters=2).collect()
+    }
+    assert len(got) == N
+    assert set(r["cluster"] for r in got.values()) <= set(range(CELLS))
+    # partition-invariance: same result from a different layout
+    re = {
+        r["id"]: r
+        for r in ann.kmeans_assign(emb.repartition(7), CELLS, iters=2)
+        .collect()
+    }
+    assert all(
+        re[i]["cluster"] == got[i]["cluster"]
+        and re[i]["cosine"] == got[i]["cosine"]
+        for i in got
+    )
+    # Lloyd improves (or keeps) mean within-cluster cosine vs iters=1
+    one = ann.kmeans_assign(emb, CELLS, iters=1).collect()
+    assert sum(r["cosine"] for r in got.values()) >= (
+        sum(r["cosine"] for r in one) - 1e-6
+    )
