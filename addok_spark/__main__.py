@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 
 def _spark(args):
@@ -144,6 +145,14 @@ def cmd_serve(args) -> None:
         engine = LocalSearchEngine(
             args.index, _cfg(args), shards=getattr(args, "shards", None)
         )
+        preload = getattr(args, "preload", 0)
+        if preload:
+            t0 = time.time()
+            n = engine.preload(preload)
+            print(
+                f"preloaded {n} hot tokens' blocks "
+                f"in {time.time() - t0:.1f}s"
+            )
     else:
         from .query.engine import SearchEngine
 
@@ -274,6 +283,8 @@ def main(argv=None) -> None:
     sv.add_argument("--synonyms")
     sv.add_argument("--shards", type=int, default=None,
                     help="serve through a pbucket-range shard coordinator")
+    sv.add_argument("--preload", type=int, default=0,
+                    help="warm the N highest-df tokens' blocks at startup")
     sv.set_defaults(fn=cmd_serve)
     s.set_defaults(fn=cmd_search)
 

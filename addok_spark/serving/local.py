@@ -386,6 +386,19 @@ class ParquetIndex(ExpansionMixin):
             if self._blocks.get(t) is None:
                 self._blocks[t] = tb
 
+    def preload_hot(self, n: int) -> int:
+        """Warm the block cache with the ``n`` highest-df tokens
+        before taking traffic — the deployment analog of the
+        reference's everything-in-RAM Redis start. The Zipf head
+        carries most query token mass, so preloading it converts the
+        bulk of first-touch cold reads into warm hits while loading
+        only n tokens' blocks, not the corpus."""
+        if n <= 0 or not self.df:
+            return 0
+        hot = sorted(self.df.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        self.prefetch_tokens([t for t, _ in hot])
+        return len(hot)
+
     def _token_arrays(self, token: str):
         """(docs asc int64, tf int64, boost float32) for one token —
         full decode, cached (the non-scan collection path)."""
@@ -831,6 +844,15 @@ class ShardedIndex(ExpansionMixin):
     def boost_of(self, token: str, d: int) -> float:
         return self._owner(d).boost_of(token, d)
 
+    def preload_hot(self, n: int) -> int:
+        """See ParquetIndex.preload_hot — the coordinator preloads
+        every shard's slice of the hot tokens' blocks."""
+        if n <= 0 or not self.df:
+            return 0
+        hot = sorted(self.df.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        self.prefetch_tokens([t for t, _ in hot])
+        return len(hot)
+
     def prefetch_tokens(self, tokens) -> None:
         """Scatter the cold-read fan-out across (shard, token) pairs
         in one thread pool — cache insertion per shard stays on this
@@ -1170,6 +1192,11 @@ class LocalSearchEngine:
             toks = analyze_str(q, self.cfg.synonyms, self.cfg.processors)
             cache[q] = toks
         return toks
+
+    def preload(self, n_hot_tokens: int = 1000) -> int:
+        """Warm the posting cache with the Zipf-head token blocks
+        before serving traffic (see ParquetIndex.preload_hot)."""
+        return self.index.preload_hot(n_hot_tokens)
 
     def refresh(self) -> None:
         """Pick up a CDC-rewritten index (see ParquetIndex.refresh)."""

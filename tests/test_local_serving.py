@@ -391,3 +391,26 @@ def test_serving_without_side_tables(spark, tmp_path, corpus_pdf):
         got = eng.search([Query(qid=qid, q=q, k=5)]).toPandas()
         want = r[r.qid == qid]
         assert list(got["doc_index"]) == list(want["doc_index"])
+
+
+def test_serving_preload_hot(index_paths, cfg, oracle, corpus_pdf):
+    eng = LocalSearchEngine(index_paths, cfg)
+    n = eng.preload(25)
+    assert n == 25
+    # the 25 highest-df tokens' blocks are resident before any query
+    hot = sorted(
+        eng.index.df.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:25]
+    assert all(eng.index._blocks.get(t) is not None for t, _ in hot)
+    # results are unchanged by preloading
+    q = Query(qid="p", q="the model output", k=5)
+    got = eng.search([q])
+    want = oracle_search(oracle, [q], cfg)
+    assert list(got["doc_index"]) == list(want["doc_index"])
+    # n larger than the vocabulary preloads everything and stops
+    assert eng.preload(10**9) == len(eng.index.df)
+    # sharded coordinator preloads every shard's slice
+    sharded = LocalSearchEngine(index_paths, cfg, shards=2)
+    assert sharded.preload(10) == 10
+    got2 = sharded.search([q])
+    assert list(got2["doc_index"]) == list(want["doc_index"])
