@@ -1140,6 +1140,32 @@ WHERE rn = 1
 """
 
 
+def q_semdedup_pairs(spark, sf_dir):
+    """SemDeDup (pipelines/ann.py): k-means cells, then exact pairwise
+    cosine only within each cell — pair volume Σ|cell|², bounded by
+    scaling k with the corpus."""
+    return ann.semdedup_pairs(
+        _emb(spark, sf_dir), KMEANS_K, threshold=0.2, iters=2
+    )
+
+
+SQL_SEMDEDUP_PAIRS = f"""
+WITH km AS ({SQL_KMEANS_CLUSTERS}),
+zp AS (SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+              unnest(e1.embedding)::double AS x,
+              unnest(e2.embedding)::double AS y
+       FROM embeddings e1
+       JOIN km k1 ON e1.vec_id = k1.id
+       JOIN km k2 ON k1.cluster = k2.cluster AND k2.id > k1.id
+       JOIN embeddings e2 ON e2.vec_id = k2.id),
+sp AS (SELECT id_a, id_b, sum(x * y) AS dot, sum(x * x) AS nx,
+              sum(y * y) AS ny
+       FROM zp GROUP BY id_a, id_b)
+SELECT id_a, id_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sp WHERE round(dot / (sqrt(nx) * sqrt(ny)), 6) >= 0.2
+"""
+
+
 N_PLANES, EMB_DIM = 6, 64
 
 
@@ -1533,6 +1559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_pairs": q_semdedup_pairs,
     "lsh_buckets": q_lsh_buckets,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -1585,6 +1612,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "semdedup_pairs": SQL_SEMDEDUP_PAIRS,
     "lsh_buckets": _sql_lsh_buckets(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

@@ -295,3 +295,42 @@ def kmeans_assign(
             ),
         ).otherwise(cos_ladder)
     return out.select("id", "cluster", cos_ladder.alias("cosine"))
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (cluster-then-compare semantic dedup): k-means cells
+    first, then exact pairwise cosine ONLY within each cell — the
+    candidate count is Σ|cell|² instead of the corpus², and k scales
+    with the corpus to bound cell sizes (the published recipe's
+    knob). Returns (id_a, id_b, cosine) with id_a < id_b for pairs
+    at or above ``threshold``; downstream keep-best reuses the same
+    connected-components / keep-rule machinery as the other dedup
+    ops. The within-cell join shuffles on the cluster id — uniform
+    by construction of the quantizer."""
+    assigned = kmeans_assign(emb, n_clusters, id_col, vec_col, iters)
+    vecs = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(assigned.select("id", "cluster"), "id")
+    a = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster"
+    )
+    b = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -113,6 +113,7 @@ HEADLINE = [
     "unigram_logprob",
     "ivf_topk",
     "kmeans_clusters",
+    "semdedup_pairs",
 ]
 
 

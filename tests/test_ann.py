@@ -76,3 +76,27 @@ def test_kmeans_deterministic_and_improves(emb):
     assert sum(r["cosine"] for r in got.values()) >= (
         sum(r["cosine"] for r in one) - 1e-6
     )
+
+
+def test_semdedup_pairs(spark):
+    # two planted near-dup groups + noise: dups must pair up within
+    # their k-means cell, noise must not
+    rng = np.random.Generator(np.random.PCG64(11))
+    base1 = rng.normal(size=DIM)
+    base2 = rng.normal(size=DIM)
+    rows = []
+    for i in range(3):  # group A: ids 0-2
+        rows.append((i, [float(x) for x in base1 + 0.01 * rng.normal(size=DIM)]))
+    for i in range(3, 6):  # group B: ids 3-5
+        rows.append((i, [float(x) for x in base2 + 0.01 * rng.normal(size=DIM)]))
+    for i in range(6, 30):  # noise
+        rows.append((i, [float(x) for x in rng.normal(size=DIM)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = ann.semdedup_pairs(df, 4, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got >= {(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)}
+    # no cross-group or noise pair reaches 0.95
+    assert all(
+        (a < 3 and b < 3) or (3 <= a < 6 and 3 <= b < 6) for a, b in got
+    )
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
