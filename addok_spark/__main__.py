@@ -37,6 +37,13 @@ def _cfg(args):
     kw = {}
     if getattr(args, "no_side_tables", False):
         kw.update(build_prefixes=False, build_pairs=False)
+    if getattr(args, "log_dir", None):
+        kw.update(
+            log_dir=args.log_dir,
+            log_queries=getattr(args, "log_queries", False),
+            log_not_found=getattr(args, "log_not_found", False),
+            slow_queries=getattr(args, "slow_queries", 0),
+        )
     if getattr(args, "synonyms", None):
         from .functions.text import load_synonyms
 
@@ -285,6 +292,12 @@ def main(argv=None) -> None:
                     help="serve through a pbucket-range shard coordinator")
     sv.add_argument("--preload", type=int, default=0,
                     help="warm the N highest-df tokens' blocks at startup")
+    sv.add_argument("--log-dir", default=None,
+                    help="write queries/notfound/slow_queries logs here")
+    sv.add_argument("--log-queries", action="store_true")
+    sv.add_argument("--log-not-found", action="store_true")
+    sv.add_argument("--slow-queries", type=int, default=0,
+                    help="log queries slower than N ms")
     sv.set_defaults(fn=cmd_serve)
     s.set_defaults(fn=cmd_search)
 

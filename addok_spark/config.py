@@ -74,6 +74,14 @@ class EngineConfig:
     min_edge_ngram: int = 3   # default.py:45
     max_edge_ngram: int = 20  # default.py:46
     query_max_length: int = 200  # default.py:41
+    # HTTP query logging (≙ LOG_DIR / LOG_QUERIES / LOG_NOT_FOUND /
+    # SLOW_QUERIES, default.py:164-168): tab-separated lines in
+    # midnight-rotated files under log_dir; slow_queries is False or
+    # a threshold in ms
+    log_dir: str | None = None
+    log_queries: bool = False
+    log_not_found: bool = False
+    slow_queries: int | bool = False
     synonyms: dict[str, str] = field(default_factory=dict)
     # extra token-processor chain appended to the analyzer (fold →
     # tokenize → synonymize → these), each ``list[str] ->

@@ -96,7 +96,57 @@ def _match_filters(
     return filters
 
 
-def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[int, dict]:
+class QueryLogs:
+    """Query / notfound / slow-query logs (≙ reference
+    ``addok/http/base.py:18-74``): tab-separated lines, midnight-
+    rotated files named ``queries.log`` / ``notfound.log`` /
+    ``slow_queries.log`` under ``cfg.log_dir``. All off by default,
+    matching the reference's config defaults."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self._loggers: dict[str, object] = {}
+
+    def _get(self, name: str):
+        logger = self._loggers.get(name)
+        if logger is None:
+            import logging
+            import logging.handlers
+            from pathlib import Path
+
+            logger = logging.getLogger(f"addok_spark.{name}")
+            logger.setLevel(logging.DEBUG)
+            logger.propagate = False
+            filename = Path(self.cfg.log_dir or ".") / f"{name}.log"
+            handler = logging.handlers.TimedRotatingFileHandler(
+                str(filename), when="midnight"
+            )
+            handler.setFormatter(logging.Formatter("%(message)s"))
+            logger.handlers = [handler]
+            self._loggers[name] = logger
+        return logger
+
+    def log(self, q: str, hits: list[dict], elapsed_ms: int) -> None:
+        first = hits[0] if hits else None
+        result = (
+            f"{first['conv_id']}#{first['turn_idx']}" if first else "-"
+        )
+        score = str(round(first["score"], 2)) if first else "-"
+        if self.cfg.log_not_found and not hits:
+            self._get("notfound").debug(q)
+        if self.cfg.log_queries:
+            self._get("queries").debug("\t".join([q, result, score]))
+        if self.cfg.slow_queries and elapsed_ms > int(self.cfg.slow_queries):
+            self._get("slow_queries").debug(
+                "\t".join([str(elapsed_ms), q, result, score])
+            )
+
+
+def _handle_search(
+    engine: SearchEngine,
+    params: dict[str, list[str]],
+    qlogs: QueryLogs | None = None,
+) -> tuple[int, dict]:
     q = (params.get("q") or [""])[0]
     if not q:
         return 400, {"error": "missing q"}
@@ -110,6 +160,9 @@ def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[
     autocomplete = (params.get("autocomplete") or ["0"])[0] in ("1", "true")
     phrase = (params.get("phrase") or ["0"])[0] in ("1", "true")
     filters = _match_filters(engine.cfg, params)
+    import time as _time
+
+    t0 = _time.perf_counter()
     out = engine.search(
         [Query(qid="http", q=q, k=limit, autocomplete=autocomplete,
                filters=filters, phrase=phrase)]
@@ -118,25 +171,30 @@ def _handle_search(engine: SearchEngine, params: dict[str, list[str]]) -> tuple[
     # (serving/local.py LocalSearchEngine) a pandas frame — same row
     # contract either way
     res = out.collect() if hasattr(out, "collect") else out.to_dict("records")
-    return 200, {
-        "query": q,
-        "limit": limit,
-        "hits": [
-            {
-                "rank": int(r["rank"]),
-                "conv_id": r["conv_id"],
-                "turn_idx": int(r["turn_idx"]),
-                "role": r["role"],
-                "tool": r["tool"],
-                "text": r["text"],
-                "score": float(r["score"]),
-            }
-            for r in res
-        ],
-    }
+    hits = [
+        {
+            "rank": int(r["rank"]),
+            "conv_id": r["conv_id"],
+            "turn_idx": int(r["turn_idx"]),
+            "role": r["role"],
+            "tool": r["tool"],
+            "text": r["text"],
+            "score": float(r["score"]),
+        }
+        for r in res
+    ]
+    if qlogs is not None:
+        qlogs.log(q, hits, int((_time.perf_counter() - t0) * 1000))
+    return 200, {"query": q, "limit": limit, "hits": hits}
 
 
 def make_server(engine: SearchEngine, host: str = "127.0.0.1", port: int = 0):
+    qlogs = QueryLogs(engine.cfg) if (
+        engine.cfg.log_queries
+        or engine.cfg.log_not_found
+        or engine.cfg.slow_queries
+    ) else None
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -152,7 +210,9 @@ def make_server(engine: SearchEngine, host: str = "127.0.0.1", port: int = 0):
                 if route == "/health":
                     code, body = _handle_health(engine)
                 else:
-                    code, body = _handle_search(engine, parse_qs(u.query))
+                    code, body = _handle_search(
+                        engine, parse_qs(u.query), qlogs
+                    )
             except Exception as e:  # engine failure → 500 with reason
                 code, body = 500, {"error": str(e)[:200]}
             payload = json.dumps(body).encode()

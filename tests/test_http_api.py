@@ -194,3 +194,39 @@ def test_multi_mixed_params_and_separator(server):
     )
     roles = {h["role"] for h in body["hits"]}
     assert len(roles) >= 2, f"expected OR across values, got {roles}"
+
+
+def test_query_logging(server, tmp_index_root, tmp_path):
+    """≙ reference LOG_QUERIES / LOG_NOT_FOUND / SLOW_QUERIES
+    (http/base.py:18-74): tab-separated midnight-rotated files."""
+    import dataclasses
+
+    from addok_spark.serving.local import LocalSearchEngine
+
+    _, engine = server
+    cfg = dataclasses.replace(
+        engine.cfg,
+        log_dir=str(tmp_path),
+        log_queries=True,
+        log_not_found=True,
+        slow_queries=1,  # 1 ms: everything counts as slow
+    )
+    local = LocalSearchEngine(f"{tmp_index_root}/http_idx", cfg)
+    srv, port = serve_background(local)
+    try:
+        _get(f"http://127.0.0.1:{port}/search/?q=the+model+output")
+        _get(f"http://127.0.0.1:{port}/search/?q=zzzznotfoundzzzz")
+    finally:
+        srv.shutdown()
+    queries = (tmp_path / "queries.log").read_text().splitlines()
+    assert len(queries) == 2
+    first = queries[0].split("\t")
+    assert first[0] == "the model output" and "#" in first[1]
+    assert float(first[2]) > 0
+    assert queries[1].split("\t")[1:] == ["-", "-"]
+    notfound = (tmp_path / "notfound.log").read_text().splitlines()
+    assert notfound == ["zzzznotfoundzzzz"]
+    slow = (tmp_path / "slow_queries.log").read_text().splitlines()
+    assert len(slow) == 2 and all(
+        int(ln.split("\t")[0]) >= 1 for ln in slow
+    )
