@@ -54,16 +54,56 @@ class Shell:
         self.k = 10
         self.qid = 0
 
+    # -- search-line grammar (≙ reference shell.py:146-205) ------------------
+    @staticmethod
+    def _match_option(key: str, string: str):
+        import re
+
+        matchs = re.findall(r"{}[= ][^ ]*".format(key), string)
+        option = None
+        if matchs:
+            option = matchs[0]
+            string = string.replace(option, "")
+            option = option.replace(key, "")
+        return string.strip(), option.strip(" =") if option else option
+
+    def _parse_filters(self, query: str):
+        """Inline ``ROLE user`` / ``TOOL bash`` filter tokens in a
+        SEARCH line; repetition (``ROLE a ROLE b``) and pipe
+        separator (``ROLE a|b``) both OR (≙ reference
+        _parse_filters, shell.py:155-205)."""
+        filters: dict[str, list[str]] = {}
+        for name in self.cfg.filter_fields:
+            values: list[str] = []
+            while True:
+                query, v = self._match_option(name.upper(), query)
+                if v is None:
+                    break
+                values.extend(v.split("|"))
+            if values:
+                filters[name] = values
+        return query, filters
+
     # -- commands -----------------------------------------------------------
     def do_search(self, q: str, explain: bool = False) -> str:
         from .query.engine import FILTER_GID_BASE, Query
 
         self.qid += 1
         qid = f"sh{self.qid}"
+        # inline options override session state for this query only
+        k, autocomplete = self.k, self.autocomplete
+        if "AUTOCOMPLETE" in q:
+            q, v = self._match_option("AUTOCOMPLETE", q)
+            autocomplete = bool(int(v))
+        if "LIMIT" in q:
+            q, v = self._match_option("LIMIT", q)
+            k = int(v)
+        q, inline_filters = self._parse_filters(q)
+        filters = inline_filters or self.filters
         t0 = time.time()
         res = self.engine.search(
-            [Query(qid=qid, q=q, k=self.k,
-                   autocomplete=self.autocomplete, filters=self.filters)]
+            [Query(qid=qid, q=q, k=k,
+                   autocomplete=autocomplete, filters=filters)]
         ).collect()
         dt = time.time() - t0
         out = []

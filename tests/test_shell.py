@@ -141,3 +141,30 @@ def test_shell_index(shell):
         assert int(rank) in (0, 1)
     assert "not found" in shell.dispatch("INDEX nope 0")
     assert "usage" in shell.dispatch("INDEX doc-0")
+
+
+def test_shell_inline_options_and_filters(shell):
+    # reference shell grammar: LIMIT / AUTOCOMPLETE / FIELD value
+    # inline in the SEARCH line (tests/test_shell.py:1-60 grammar).
+    # Pin session state first: the module-scoped shell carries
+    # whatever earlier tests set.
+    shell.dispatch("K 10")
+    shell.dispatch("FILTERS off")
+    shell.autocomplete = False
+    out = shell.dispatch("des lilas LIMIT 1")
+    assert "(1 hits in" in out
+    # repetition ORs; tool-role docs only
+    out = shell.dispatch("des lilas ROLE tool")
+    assert "doc-1" in out and "doc-0" not in out
+    # pipe separator ORs back to both
+    out = shell.dispatch("des lilas ROLE user|tool")
+    assert "doc-0" in out and "doc-1" in out
+    out_rep = shell.dispatch("des lilas ROLE user ROLE tool")
+    assert "doc-0" in out_rep and "doc-1" in out_rep
+    # equals-sign form
+    out = shell.dispatch("des lilas ROLE=tool")
+    assert "doc-1" in out and "doc-0" not in out
+    # AUTOCOMPLETE 1 expands the truncated last token
+    assert "doc-0" in shell.dispatch("rue des lil AUTOCOMPLETE 1")
+    # inline options do not leak into session state
+    assert shell.k == 10 and shell.autocomplete is False
