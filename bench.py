@@ -286,6 +286,23 @@ def _serving_latency(index_dir: str, label: str) -> dict:
         "warm_qps": round(qps, 1),
         "warm_qps_8procs": round(qps8, 1),
     }
+    # preload evidence (serve --preload): a fresh engine that warms
+    # the Zipf-head token blocks before traffic answers first-touch
+    # queries near warm latency instead of cold
+    t0 = time.time()
+    pre = LocalSearchEngine(index_dir, cfg)
+    n_pre = pre.preload(1000)
+    preload_s = time.time() - t0
+    pcold = []
+    for q in qs:
+        t0 = time.time()
+        pre.search([q])
+        pcold.append(time.time() - t0)
+    pcold.sort()
+    out["preload_s"] = round(preload_s, 3)
+    out["preload_tokens"] = n_pre
+    out["preloaded_first_p50_ms"] = round(pcold[n // 2] * 1000, 2)
+
     # serving-tier phrase + common-token-scan paths (the interactive
     # product's hardest cases: positional decode / block-max scan)
     from addok_spark.functions.text import analyze_str
