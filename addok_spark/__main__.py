@@ -37,9 +37,14 @@ def _cfg(args):
     kw = {}
     if getattr(args, "no_side_tables", False):
         kw.update(build_prefixes=False, build_pairs=False)
-    if getattr(args, "log_dir", None):
+    if (
+        getattr(args, "log_dir", None)
+        or getattr(args, "log_queries", False)
+        or getattr(args, "log_not_found", False)
+        or getattr(args, "slow_queries", 0)
+    ):
         kw.update(
-            log_dir=args.log_dir,
+            log_dir=getattr(args, "log_dir", None) or ".",
             log_queries=getattr(args, "log_queries", False),
             log_not_found=getattr(args, "log_not_found", False),
             slow_queries=getattr(args, "slow_queries", 0),
@@ -163,6 +168,9 @@ def cmd_serve(args) -> None:
     else:
         from .query.engine import SearchEngine
 
+        if getattr(args, "preload", 0):
+            print("warning: --preload applies to the local backend "
+                  "only; the Spark engine has no posting cache to warm")
         engine = SearchEngine(_spark(args), args.index, _cfg(args))
     srv = make_server(engine, host=args.host, port=args.port)
     print(f"serving on http://{args.host}:{srv.server_address[1]}/search/")

@@ -114,7 +114,12 @@ class QueryLogs:
             import logging.handlers
             from pathlib import Path
 
-            logger = logging.getLogger(f"addok_spark.{name}")
+            # per-instance logger name: two servers in one process
+            # (different log_dir) must not steal each other's
+            # handlers or cross-write log files
+            logger = logging.getLogger(
+                f"addok_spark.{name}.{id(self):x}"
+            )
             logger.setLevel(logging.DEBUG)
             logger.propagate = False
             filename = Path(self.cfg.log_dir or ".") / f"{name}.log"
@@ -126,7 +131,7 @@ class QueryLogs:
             self._loggers[name] = logger
         return logger
 
-    def log(self, q: str, hits: list[dict], elapsed_ms: int) -> None:
+    def log(self, q: str, hits: list[dict], elapsed_ms: float) -> None:
         first = hits[0] if hits else None
         result = (
             f"{first['conv_id']}#{first['turn_idx']}" if first else "-"
@@ -136,9 +141,10 @@ class QueryLogs:
             self._get("notfound").debug(q)
         if self.cfg.log_queries:
             self._get("queries").debug("\t".join([q, result, score]))
-        if self.cfg.slow_queries and elapsed_ms > int(self.cfg.slow_queries):
+        # float compare: 5.9 ms IS slower than a 5 ms threshold
+        if self.cfg.slow_queries and elapsed_ms > float(self.cfg.slow_queries):
             self._get("slow_queries").debug(
-                "\t".join([str(elapsed_ms), q, result, score])
+                "\t".join([str(int(round(elapsed_ms))), q, result, score])
             )
 
 
@@ -184,7 +190,7 @@ def _handle_search(
         for r in res
     ]
     if qlogs is not None:
-        qlogs.log(q, hits, int((_time.perf_counter() - t0) * 1000))
+        qlogs.log(q, hits, (_time.perf_counter() - t0) * 1000)
     return 200, {"query": q, "limit": limit, "hits": hits}
 
 

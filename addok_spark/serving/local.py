@@ -251,7 +251,26 @@ class _TokenBlocks:
         return self.n_blocks if self._full is not None else len(self._dec)
 
 
-class ParquetIndex(ExpansionMixin):
+class _PreloadMixin:
+    """Shared startup warm-up for anything exposing ``df`` (token →
+    document frequency) and ``prefetch_tokens``."""
+
+    def preload_hot(self, n: int) -> int:
+        """Warm the block cache with the ``n`` highest-df tokens
+        before taking traffic — the deployment analog of the
+        reference's everything-in-RAM Redis start. The Zipf head
+        carries most query token mass, so preloading it converts the
+        bulk of first-touch cold reads into warm hits while loading
+        only n tokens' blocks, not the corpus. On the shard
+        coordinator the fan-out covers every shard's slice."""
+        if n <= 0 or not self.df:
+            return 0
+        hot = sorted(self.df.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        self.prefetch_tokens([t for t, _ in hot])
+        return len(hot)
+
+
+class ParquetIndex(ExpansionMixin, _PreloadMixin):
     """OracleIndex-shaped read-only view over the on-disk index.
 
     Posting lists are numpy triples ``(docs asc, tf, boost_f32)``;
@@ -385,19 +404,6 @@ class ParquetIndex(ExpansionMixin):
         for t, tb in zip(todo, built):
             if self._blocks.get(t) is None:
                 self._blocks[t] = tb
-
-    def preload_hot(self, n: int) -> int:
-        """Warm the block cache with the ``n`` highest-df tokens
-        before taking traffic — the deployment analog of the
-        reference's everything-in-RAM Redis start. The Zipf head
-        carries most query token mass, so preloading it converts the
-        bulk of first-touch cold reads into warm hits while loading
-        only n tokens' blocks, not the corpus."""
-        if n <= 0 or not self.df:
-            return 0
-        hot = sorted(self.df.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
-        self.prefetch_tokens([t for t, _ in hot])
-        return len(hot)
 
     def _token_arrays(self, token: str):
         """(docs asc int64, tf int64, boost float32) for one token —
@@ -714,7 +720,7 @@ class ParquetIndex(ExpansionMixin):
         return hi in s
 
 
-class ShardedIndex(ExpansionMixin):
+class ShardedIndex(ExpansionMixin, _PreloadMixin):
     """Scatter-gather coordinator over pbucket-range shards — the
     horizontal-scaling shape of the serving tier at 10^12 turns.
 
@@ -843,15 +849,6 @@ class ShardedIndex(ExpansionMixin):
 
     def boost_of(self, token: str, d: int) -> float:
         return self._owner(d).boost_of(token, d)
-
-    def preload_hot(self, n: int) -> int:
-        """See ParquetIndex.preload_hot — the coordinator preloads
-        every shard's slice of the hot tokens' blocks."""
-        if n <= 0 or not self.df:
-            return 0
-        hot = sorted(self.df.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
-        self.prefetch_tokens([t for t, _ in hot])
-        return len(hot)
 
     def prefetch_tokens(self, tokens) -> None:
         """Scatter the cold-read fan-out across (shard, token) pairs

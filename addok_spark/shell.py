@@ -57,15 +57,21 @@ class Shell:
     # -- search-line grammar (≙ reference shell.py:146-205) ------------------
     @staticmethod
     def _match_option(key: str, string: str):
+        """One ``KEY value`` / ``KEY=value`` occurrence removed from
+        the line (hardened vs the reference's findall+replace: the
+        key must start at a word boundary so 'PAROLE officer' is not
+        a ROLE filter, only the matched span is removed so a value
+        containing the key survives, and a bare trailing key is left
+        as search text)."""
         import re
 
-        matchs = re.findall(r"{}[= ][^ ]*".format(key), string)
-        option = None
-        if matchs:
-            option = matchs[0]
-            string = string.replace(option, "")
-            option = option.replace(key, "")
-        return string.strip(), option.strip(" =") if option else option
+        m = re.search(r"(?<!\w){}[= ]([^ ]*)".format(key), string)
+        if not m or not m.group(1):
+            return string.strip(), None
+        return (
+            (string[: m.start()] + string[m.end():]).strip(),
+            m.group(1),
+        )
 
     def _parse_filters(self, query: str):
         """Inline ``ROLE user`` / ``TOOL bash`` filter tokens in a
@@ -90,14 +96,18 @@ class Shell:
 
         self.qid += 1
         qid = f"sh{self.qid}"
-        # inline options override session state for this query only
+        # inline options override session state for this query only;
+        # a non-numeric or missing value leaves the word as search
+        # text ('RATE LIMIT exceeded' is a query, not an option)
         k, autocomplete = self.k, self.autocomplete
         if "AUTOCOMPLETE" in q:
-            q, v = self._match_option("AUTOCOMPLETE", q)
-            autocomplete = bool(int(v))
+            q2, v = self._match_option("AUTOCOMPLETE", q)
+            if v is not None and v.isdigit():
+                q, autocomplete = q2, bool(int(v))
         if "LIMIT" in q:
-            q, v = self._match_option("LIMIT", q)
-            k = int(v)
+            q2, v = self._match_option("LIMIT", q)
+            if v is not None and v.isdigit():
+                q, k = q2, int(v)
         q, inline_filters = self._parse_filters(q)
         filters = inline_filters or self.filters
         t0 = time.time()

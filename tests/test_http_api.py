@@ -230,3 +230,32 @@ def test_query_logging(server, tmp_index_root, tmp_path):
     assert len(slow) == 2 and all(
         int(ln.split("\t")[0]) >= 1 for ln in slow
     )
+
+
+def test_query_logging_isolated_per_server(server, tmp_index_root, tmp_path):
+    """Two servers in one process with different log dirs must not
+    cross-write (per-instance logger names)."""
+    import dataclasses
+
+    from addok_spark.serving.local import LocalSearchEngine
+
+    _, engine = server
+    dirs = [tmp_path / "a", tmp_path / "b"]
+    servers = []
+    for d in dirs:
+        d.mkdir()
+        cfg = dataclasses.replace(
+            engine.cfg, log_dir=str(d), log_queries=True
+        )
+        local = LocalSearchEngine(f"{tmp_index_root}/http_idx", cfg)
+        servers.append(serve_background(local))
+    try:
+        _get(f"http://127.0.0.1:{servers[0][1]}/search/?q=alpha+one")
+        _get(f"http://127.0.0.1:{servers[1][1]}/search/?q=beta+two")
+    finally:
+        for srv, _ in servers:
+            srv.shutdown()
+    a = (dirs[0] / "queries.log").read_text()
+    b = (dirs[1] / "queries.log").read_text()
+    assert "alpha one" in a and "beta two" not in a
+    assert "beta two" in b and "alpha one" not in b

@@ -168,3 +168,23 @@ def test_shell_inline_options_and_filters(shell):
     assert "doc-0" in shell.dispatch("rue des lil AUTOCOMPLETE 1")
     # inline options do not leak into session state
     assert shell.k == 10 and shell.autocomplete is False
+
+
+def test_shell_inline_grammar_hardening(shell):
+    # option keywords without parseable values are SEARCH TEXT, not
+    # crashes ('TIME LIMIT', 'RATE LIMIT exceeded' must run a search)
+    shell.dispatch("K 10")
+    shell.dispatch("FILTERS off")
+    shell.autocomplete = False
+    assert "hits in" in shell.dispatch("TIME LIMIT")
+    assert "hits in" in shell.dispatch("RATE LIMIT exceeded")
+    assert "hits in" in shell.dispatch("USE AUTOCOMPLETE")
+    # key inside a word is not a filter ('PAROLE officer' keeps text)
+    q, filters = shell._parse_filters("PAROLE officer")
+    assert q == "PAROLE officer" and filters == {}
+    # value containing the key survives intact
+    q, v = shell._match_option("ROLE", "des lilas ROLE ROLEPLAY")
+    assert q == "des lilas" and v == "ROLEPLAY"
+    # bare trailing key stays in the search text, installs no filter
+    q, filters = shell._parse_filters("des lilas ROLE ")
+    assert filters == {} and "ROLE" in q
