@@ -152,20 +152,39 @@ def ivf_cells(
     return [[float(x) for x in r[0]] for r in rows]
 
 
+def assign_struct_col(vec, anchors: list[list[float]]):
+    """``struct(c, best)`` = (argmax cell, its cosine) over anchors by
+    round-6 cosine, ties → lowest cell. ONE linear ``aggregate`` fold
+    over an array-of-struct literal (a naive when-ladder nests every
+    step's comparison inside the next and compiles to MiB-scale
+    codegen; the fold is linear in k·dim). No UDF, no shuffle —
+    deterministic across partitionings."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("c"),
+                F.array(*[F.lit(x) for x in a]).alias("v"),
+            )
+            for j, a in enumerate(anchors)
+        ]
+    )
+
+    def step(acc, cand):
+        cos = F.round(cosine_col(vec, cand["v"]), 6)
+        better = cos > acc["best"]
+        return F.struct(
+            F.when(better, cand["c"]).otherwise(acc["c"]).alias("c"),
+            F.when(better, cos).otherwise(acc["best"]).alias("best"),
+        )
+
+    init = F.struct(F.lit(-1).alias("c"), F.lit(-2.0).alias("best"))
+    return F.aggregate(cands, init, step)
+
+
 def ivf_assign_col(vec, anchors: list[list[float]]):
     """Cell id = argmax over anchors of round(cosine, 6); ties take
-    the lowest cell. A fixed comparison ladder (codegen, no UDF) —
-    deterministic across partitionings."""
-    best_c = F.lit(0)
-    best_v = F.round(
-        cosine_col(vec, F.array(*[F.lit(x) for x in anchors[0]])), 6
-    )
-    for j, a in enumerate(anchors[1:], start=1):
-        cj = F.round(cosine_col(vec, F.array(*[F.lit(x) for x in a])), 6)
-        gt = cj > best_v
-        best_c = F.when(gt, F.lit(j)).otherwise(best_c)
-        best_v = F.when(gt, cj).otherwise(best_v)
-    return best_c
+    the lowest cell."""
+    return assign_struct_col(vec, anchors)["c"]
 
 
 def ivf_probe_cells(
@@ -276,25 +295,17 @@ def kmeans_assign(
             ivf_assign_col(F.col(vec_col), cents).alias("cell"),
         )
         cents = _centroid_update(assigned, "v", cents)
-    final = F.col(vec_col)
-    out = emb.select(
+    # one fold yields both the cluster and the cosine to the OWN
+    # cluster's centroid (the SemDeDup dedup signal: near-1 members
+    # of the same cluster are semantic dups)
+    return emb.select(
         F.col(id_col).alias("id"),
-        final.alias("v"),
-        ivf_assign_col(final, cents).alias("cluster"),
+        assign_struct_col(F.col(vec_col), cents).alias("s"),
+    ).select(
+        "id",
+        F.col("s.c").alias("cluster"),
+        F.col("s.best").alias("cosine"),
     )
-    # cosine to the OWN cluster's centroid (the SemDeDup dedup
-    # signal: near-1 members of the same cluster are semantic dups)
-    cos_ladder = F.round(
-        cosine_col(F.col("v"), F.array(*[F.lit(x) for x in cents[0]])), 6
-    )
-    for j, c in enumerate(cents[1:], start=1):
-        cos_ladder = F.when(
-            F.col("cluster") == j,
-            F.round(
-                cosine_col(F.col("v"), F.array(*[F.lit(x) for x in c])), 6
-            ),
-        ).otherwise(cos_ladder)
-    return out.select("id", "cluster", cos_ladder.alias("cosine"))
 
 
 def semdedup_pairs(
