@@ -345,3 +345,47 @@ def semdedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_write_partitioned(
+    emb: DataFrame,
+    anchors: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-Flat layout: one parquet partition dir per
+    cell. A probe then reads nprobe directories instead of the
+    corpus — partition pruning does the work, no index structure
+    needed (the claim ivf_topk's docstring makes, made literal)."""
+    emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        ivf_assign_col(F.col(vec_col), anchors).alias("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: list[float],
+    anchors: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k over a cell-partitioned layout: the cell IN-list filter
+    prunes to nprobe partition dirs at scan time (assert via
+    PartitionFilters in .explain)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probes = ivf_probe_cells(query_vec, anchors, nprobe)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probes))
+        .select(
+            "id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(cosine_col(F.col("vec"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -100,3 +100,28 @@ def test_semdedup_pairs(spark):
         (a < 3 and b < 3) or (3 <= a < 6 and 3 <= b < 6) for a, b in got
     )
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
+    anchors = ann.ivf_cells(emb, CELLS)
+    path = str(tmp_path / "ivf_cells")
+    ann.ivf_write_partitioned(emb, anchors, path)
+    import os
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+    assert len(dirs) == CELLS
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3)
+          .collect()[0]["embedding"]]
+    res = ann.ivf_topk_partitioned(spark, path, qv, anchors, k=10, nprobe=2)
+    # identical ranking to the scan-everything variant
+    base = ann.ivf_topk(emb, qv, anchors, k=10, nprobe=2).collect()
+    got = res.collect()
+    assert [(r["id"], r["cosine"]) for r in got] == [
+        (r["id"], r["cosine"]) for r in base
+    ]
+    # the physical plan prunes to the probed partition dirs
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    probes = ann.ivf_probe_cells(qv, anchors, 2)
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and all(str(c) in m.group(1) for c in probes)
