@@ -508,3 +508,28 @@ def test_concurrent_readers_never_torn(spark, cfg, tmp_path):
     vdirs = sorted(p.name for p in Path(out).iterdir()
                    if p.name.startswith("v00"))
     assert vdirs == ["v000002", "v000003"]
+
+
+def test_delete_of_nonexistent_id_is_noop(spark, cfg, built):
+    """≙ reference test_deindex_document_should_not_fail_if_id_do_not_exist
+    (tests/test_index_utils.py:203-204): deleting an id the index
+    never held must not fail and must not change the index."""
+    before = _tokens(spark, built)
+    n_before = spark.read.parquet(built.docs).count()
+    changes = spark.createDataFrame(
+        [("conv-zz", 99, "user", None, None, 0.0, "delete")],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double, _action string",
+    )
+    m = apply_actions(spark, built, changes, cfg)
+    assert m["deletes"] == 0 or m["deletes"] == 1  # counted or not —
+    # the contract is: nothing breaks and nothing changes
+    assert _tokens(spark, built) == before
+    assert spark.read.parquet(built.docs).count() == n_before
+    # a real query still works afterwards
+    from addok_spark.query.engine import Query, SearchEngine
+
+    res = SearchEngine(spark, built, cfg).search(
+        [Query(qid="x", q="rue des lilas", k=3)]
+    ).collect()
+    assert res and res[0]["conv_id"] == "conv-a"
