@@ -32,7 +32,9 @@ def _spark(args):
 
 
 def _cfg(args):
-    from .config import EngineConfig
+    import os
+
+    from .config import EngineConfig, config_from_module
 
     kw = {}
     if getattr(args, "no_side_tables", False):
@@ -54,7 +56,17 @@ def _cfg(args):
 
         with open(args.synonyms) as fh:
             kw["synonyms"] = load_synonyms(fh)
-    return EngineConfig(build_partitions=int(args.cores) * 2 if str(args.cores).isdigit() else 32, **kw)
+    kw["build_partitions"] = (
+        int(args.cores) * 2 if str(args.cores).isdigit() else 32
+    )
+    # reference-style config module (≙ ADDOK_CONFIG_MODULE,
+    # addok/config/__init__.py:32-96): file is the base, flags win
+    cfg_path = getattr(args, "config", None) or os.environ.get(
+        "ADDOK_SPARK_CONFIG"
+    )
+    if cfg_path:
+        return config_from_module(cfg_path, **kw)
+    return EngineConfig(**kw)
 
 
 def cmd_build(args) -> None:
@@ -264,6 +276,9 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="addok_spark")
     p.add_argument("--cores", default="*")
     p.add_argument("--driver-memory", default="16g")
+    p.add_argument("--config", default=None,
+                   help="reference-style Python config module "
+                        "(also read from $ADDOK_SPARK_CONFIG)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build")

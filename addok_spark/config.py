@@ -210,3 +210,94 @@ class EngineConfig:
 
 
 DEFAULT = EngineConfig()
+
+
+# -- reference-style config module loading -----------------------------------
+# The reference configures through a Python module named by
+# ADDOK_CONFIG_MODULE (addok/config/__init__.py:32-96): UPPERCASE
+# attributes override defaults. A reference user switching engines
+# keeps that workflow: point ADDOK_SPARK_CONFIG (or --config) at the
+# same kind of file and the documented knobs map onto EngineConfig.
+
+# reference name → EngineConfig field for names that differ beyond
+# lowercasing (everything else maps by str.lower())
+_REF_KEY_MAP = {
+    "MIN_EDGE_NGRAMS": "min_edge_ngram",
+    "MAX_EDGE_NGRAMS": "max_edge_ngram",
+    "FILTERS": "filter_fields",
+    "PROCESSORS_PYPATHS": "token_processors",
+}
+
+# reference knobs with no distributed analog (geo/Redis/plugin wiring)
+_REF_IGNORED = {
+    "REDIS", "GEOHASH_PRECISION", "GEO_DISTANCE_WEIGHT", "ID_FIELD",
+    "EXTRA_FIELDS", "ATTRIBUTION", "LICENCE", "URL", "LOG_DIR",
+    "QUERY_PROCESSORS_PYPATHS", "SEARCH_PREPROCESSORS_PYPATHS",
+    "BATCH_PROCESSORS_PYPATHS", "BATCH_FILE_LOADER_PYPATH",
+    "BATCH_CHUNK_SIZE", "BATCH_WORKERS", "RESULTS_COLLECTORS_PYPATHS",
+    "SEARCH_RESULT_PROCESSORS_PYPATHS",
+    "REVERSE_RESULT_PROCESSORS_PYPATHS", "RESULTS_FORMATTERS_PYPATHS",
+    "INDEXERS_PYPATHS", "DOCUMENT_SERIALIZER_PYPATH",
+    "DOCUMENT_STORE_PYPATH", "HOUSENUMBERS_FIELD",
+}
+
+
+def config_from_module(path: str, **overrides) -> "EngineConfig":
+    """Build an EngineConfig from a reference-style Python config
+    file: UPPERCASE attributes become fields (``_REF_KEY_MAP`` covers
+    renames, ``FIELDS`` dicts become FieldSpec, ``SYNONYMS_PATHS``
+    files are read); lowercase EngineConfig names work directly.
+    Unknown keys raise (a typo'd knob silently doing nothing is the
+    worst failure mode a config file can have); reference knobs with
+    no distributed analog are accepted and ignored."""
+    import dataclasses
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_addok_spark_cfg", path)
+    if spec is None or spec.loader is None:
+        raise ValueError(f"cannot load config module {path!r}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    known = {f.name for f in dataclasses.fields(EngineConfig)}
+    kw: dict = {}
+    for name in dir(mod):
+        if name.startswith("_"):
+            continue
+        val = getattr(mod, name)
+        if callable(val) and not isinstance(val, (list, tuple, dict)):
+            continue
+        if name in _REF_IGNORED:
+            continue
+        if name == "FIELDS":
+            kw["fields"] = tuple(
+                FieldSpec(
+                    name=f["key"],
+                    boost=float(f.get("boost", 1.0))
+                    if not callable(f.get("boost", 1.0)) else 1.0,
+                    allow_null=bool(f.get("null", True)),
+                    boost_col=f.get("boost_col"),
+                )
+                for f in val
+            )
+            continue
+        if name == "SYNONYMS_PATHS":
+            from .functions.text import load_synonyms
+
+            syn: dict[str, str] = {}
+            for p in val:
+                with open(p) as fh:
+                    syn.update(load_synonyms(fh))
+            kw["synonyms"] = syn
+            continue
+        key = _REF_KEY_MAP.get(name, name.lower() if name.isupper() else name)
+        if key not in known:
+            raise ValueError(
+                f"unknown config key {name!r} in {path!r} "
+                f"(no EngineConfig field {key!r})"
+            )
+        if key == "filter_fields" or key == "token_processors":
+            val = tuple(val)
+        kw[key] = val
+    kw.update(overrides)
+    return EngineConfig(**kw)

@@ -1,0 +1,88 @@
+"""Reference-style config-module loading (≙ ADDOK_CONFIG_MODULE,
+reference addok/config/__init__.py:32-96 and tests/test_base.py):
+UPPERCASE knobs from a Python file map onto EngineConfig."""
+
+import pytest
+
+from addok_spark.config import FieldSpec, config_from_module
+
+
+def _write(tmp_path, body):
+    p = tmp_path / "local_config.py"
+    p.write_text(body)
+    return str(p)
+
+
+def test_reference_knobs_map(tmp_path):
+    syn = tmp_path / "synonyms.txt"
+    syn.write_text("bd => boulevard\n")
+    path = _write(
+        tmp_path,
+        f"""
+BUCKET_MAX = 42
+COMMON_THRESHOLD = 1234
+MIN_EDGE_NGRAMS = 2
+MAX_EDGE_NGRAMS = 12
+QUERY_MAX_LENGTH = 99
+MIN_SCORE = 0.3
+FILTERS = ["role"]
+FIELDS = [
+    {{"key": "text", "boost": 2, "null": False}},
+    {{"key": "tool"}},
+]
+SYNONYMS_PATHS = [{str(syn)!r}]
+LOG_QUERIES = True
+""",
+    )
+    cfg = config_from_module(path)
+    assert cfg.bucket_max == 42
+    assert cfg.common_threshold == 1234
+    assert cfg.min_edge_ngram == 2 and cfg.max_edge_ngram == 12
+    assert cfg.query_max_length == 99 and cfg.min_score == 0.3
+    assert cfg.filter_fields == ("role",)
+    assert cfg.fields == (
+        FieldSpec("text", boost=2.0, allow_null=False),
+        FieldSpec("tool"),
+    )
+    assert cfg.synonyms == {"bd": "boulevard"}
+    assert cfg.log_queries is True
+
+
+def test_lowercase_native_names_and_overrides(tmp_path):
+    path = _write(tmp_path, "bucket_max = 7\nscorer = 'reference'\n")
+    cfg = config_from_module(path, bucket_max=9)
+    assert cfg.bucket_max == 9  # explicit overrides beat the file
+    assert cfg.scorer == "reference"
+
+
+def test_ignored_reference_knobs_are_tolerated(tmp_path):
+    path = _write(
+        tmp_path,
+        "REDIS = {'host': 'x'}\nGEOHASH_PRECISION = 9\n"
+        "ID_FIELD = '_id'\nATTRIBUTION = 'BANO'\nBUCKET_MIN = 3\n",
+    )
+    assert config_from_module(path).bucket_min == 3
+
+
+def test_unknown_key_raises(tmp_path):
+    path = _write(tmp_path, "NOT_A_KNOB = 1\n")
+    with pytest.raises(ValueError, match="NOT_A_KNOB"):
+        config_from_module(path)
+
+
+def test_missing_file_raises(tmp_path):
+    with pytest.raises(Exception):
+        config_from_module(str(tmp_path / "nope.py"))
+
+
+def test_cli_cfg_reads_env(tmp_path, monkeypatch):
+    import argparse
+
+    from addok_spark.__main__ import _cfg
+
+    path = _write(tmp_path, "BUCKET_MAX = 55\n")
+    monkeypatch.setenv("ADDOK_SPARK_CONFIG", path)
+    args = argparse.Namespace(cores="4", config=None)
+    cfg = _cfg(args)
+    assert cfg.bucket_max == 55
+    assert cfg.build_partitions == 8  # flag-derived values still win
