@@ -39,34 +39,38 @@ def _cfg(args):
     kw = {}
     if getattr(args, "no_side_tables", False):
         kw.update(build_prefixes=False, build_pairs=False)
-    if (
-        getattr(args, "log_dir", None)
-        or getattr(args, "log_queries", False)
-        or getattr(args, "log_not_found", False)
-        or getattr(args, "slow_queries", 0)
-    ):
-        kw.update(
-            log_dir=getattr(args, "log_dir", None) or ".",
-            log_queries=getattr(args, "log_queries", False),
-            log_not_found=getattr(args, "log_not_found", False),
-            slow_queries=getattr(args, "slow_queries", 0),
-        )
+    # only EXPLICITLY-GIVEN flags become overrides — a config-file
+    # knob must never be clobbered by a flag the user didn't pass
+    if getattr(args, "log_dir", None):
+        kw["log_dir"] = args.log_dir
+    if getattr(args, "log_queries", False):
+        kw["log_queries"] = True
+    if getattr(args, "log_not_found", False):
+        kw["log_not_found"] = True
+    if getattr(args, "slow_queries", 0):
+        kw["slow_queries"] = args.slow_queries
     if getattr(args, "synonyms", None):
         from .functions.text import load_synonyms
 
         with open(args.synonyms) as fh:
             kw["synonyms"] = load_synonyms(fh)
-    kw["build_partitions"] = (
-        int(args.cores) * 2 if str(args.cores).isdigit() else 32
-    )
+    if str(args.cores).isdigit():
+        kw["build_partitions"] = int(args.cores) * 2
     # reference-style config module (≙ ADDOK_CONFIG_MODULE,
     # addok/config/__init__.py:32-96): file is the base, flags win
     cfg_path = getattr(args, "config", None) or os.environ.get(
         "ADDOK_SPARK_CONFIG"
     )
-    if cfg_path:
-        return config_from_module(cfg_path, **kw)
-    return EngineConfig(**kw)
+    cfg = (
+        config_from_module(cfg_path, **kw) if cfg_path
+        else EngineConfig(**kw)
+    )
+    if (
+        (cfg.log_queries or cfg.log_not_found or cfg.slow_queries)
+        and not cfg.log_dir
+    ):
+        cfg.log_dir = "."  # logging asked for, nowhere named: cwd
+    return cfg
 
 
 def cmd_build(args) -> None:
@@ -89,12 +93,12 @@ def cmd_ngrams(args) -> None:
     import time
     from pathlib import Path
 
-    from .config import EngineConfig
     from .index.build import IndexPaths, prefixes_from_dictionary
     from .index.incremental import _link_tree
 
     spark = _spark(args)
-    cfg = EngineConfig()
+    cfg = _cfg(args)  # honors --config: prefix table must be built
+    # under the SAME min/max edge-ngram knobs as the index
     cur = IndexPaths(Path(args.index)).pin()
     versioned = cur.current_version() is not None
     if versioned:

@@ -231,7 +231,7 @@ _REF_KEY_MAP = {
 # reference knobs with no distributed analog (geo/Redis/plugin wiring)
 _REF_IGNORED = {
     "REDIS", "GEOHASH_PRECISION", "GEO_DISTANCE_WEIGHT", "ID_FIELD",
-    "EXTRA_FIELDS", "ATTRIBUTION", "LICENCE", "URL", "LOG_DIR",
+    "EXTRA_FIELDS", "ATTRIBUTION", "LICENCE", "URL",
     "QUERY_PROCESSORS_PYPATHS", "SEARCH_PREPROCESSORS_PYPATHS",
     "BATCH_PROCESSORS_PYPATHS", "BATCH_FILE_LOADER_PYPATH",
     "BATCH_CHUNK_SIZE", "BATCH_WORKERS", "RESULTS_COLLECTORS_PYPATHS",
@@ -265,9 +265,20 @@ def config_from_module(path: str, **overrides) -> "EngineConfig":
         if name.startswith("_"):
             continue
         val = getattr(mod, name)
+        import types
+
+        if isinstance(val, types.ModuleType):
+            continue  # `import os` at the top of a config file
         if callable(val) and not isinstance(val, (list, tuple, dict)):
             continue
         if name in _REF_IGNORED:
+            continue
+        if not name.isupper() and name not in known:
+            # lowercase helpers (`base = "/data"`) are the config
+            # author's business; only UPPERCASE knobs must resolve
+            continue
+        if name == "LOG_DIR":
+            kw["log_dir"] = str(val)
             continue
         if name == "FIELDS":
             kw["fields"] = tuple(

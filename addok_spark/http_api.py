@@ -114,12 +114,13 @@ class QueryLogs:
             import logging.handlers
             from pathlib import Path
 
-            # per-instance logger name: two servers in one process
-            # (different log_dir) must not steal each other's
-            # handlers or cross-write log files
-            logger = logging.getLogger(
-                f"addok_spark.{name}.{id(self):x}"
-            )
+            # a detached Logger (NOT logging.getLogger): two servers
+            # in one process must not steal each other's handlers or
+            # cross-write, and registered loggers live forever in
+            # Logger.manager — per-instance registered names would
+            # leak a logger + open fd per QueryLogs for the life of
+            # the process. Detached ones are GC'd with this object.
+            logger = logging.Logger(f"addok_spark.{name}")
             logger.setLevel(logging.DEBUG)
             logger.propagate = False
             filename = Path(self.cfg.log_dir or ".") / f"{name}.log"

@@ -65,7 +65,7 @@ class Shell:
         as search text)."""
         import re
 
-        m = re.search(r"(?<!\w){}[= ]([^ ]*)".format(key), string)
+        m = re.search(r"(?<!\w){}[= ]([^ ]*)".format(re.escape(key)), string)
         if not m or not m.group(1):
             return string.strip(), None
         return (
@@ -109,7 +109,10 @@ class Shell:
             if v is not None and v.isdigit():
                 q, k = q2, int(v)
         q, inline_filters = self._parse_filters(q)
-        filters = inline_filters or self.filters
+        # per-field merge: an inline ROLE overrides the session's
+        # role filter but leaves other session filters standing
+        # (same per-option semantics as LIMIT / AUTOCOMPLETE)
+        filters = {**self.filters, **inline_filters}
         t0 = time.time()
         res = self.engine.search(
             [Query(qid=qid, q=q, k=k,

@@ -86,3 +86,45 @@ def test_cli_cfg_reads_env(tmp_path, monkeypatch):
     cfg = _cfg(args)
     assert cfg.bucket_max == 55
     assert cfg.build_partitions == 8  # flag-derived values still win
+
+
+def test_imports_and_helpers_allowed(tmp_path):
+    path = _write(
+        tmp_path,
+        "import os\nbase = os.path.join('/tmp', 'x')\n"
+        "LOG_DIR = base\nLOG_QUERIES = True\nBUCKET_MAX = 11\n",
+    )
+    cfg = config_from_module(path)
+    assert cfg.bucket_max == 11
+    assert cfg.log_dir == "/tmp/x" and cfg.log_queries is True
+
+
+def test_cli_does_not_clobber_file_knobs(tmp_path, monkeypatch):
+    import argparse
+
+    from addok_spark.__main__ import _cfg
+
+    path = _write(
+        tmp_path,
+        "build_partitions = 64\nLOG_QUERIES = True\nLOG_DIR = '/tmp/ql'\n",
+    )
+    monkeypatch.setenv("ADDOK_SPARK_CONFIG", path)
+    # no explicit --cores, no log flags: the file rules
+    args = argparse.Namespace(cores="*", config=None)
+    cfg = _cfg(args)
+    assert cfg.build_partitions == 64
+    assert cfg.log_queries is True and cfg.log_dir == "/tmp/ql"
+    # an explicit flag still wins over the file
+    args2 = argparse.Namespace(cores="4", config=None)
+    assert _cfg(args2).build_partitions == 8
+
+
+def test_log_flags_without_dir_default_to_cwd(monkeypatch):
+    import argparse
+
+    from addok_spark.__main__ import _cfg
+
+    monkeypatch.delenv("ADDOK_SPARK_CONFIG", raising=False)
+    args = argparse.Namespace(cores="*", config=None, log_queries=True)
+    cfg = _cfg(args)
+    assert cfg.log_queries is True and cfg.log_dir == "."

@@ -188,3 +188,14 @@ def test_shell_inline_grammar_hardening(shell):
     # bare trailing key stays in the search text, installs no filter
     q, filters = shell._parse_filters("des lilas ROLE ")
     assert filters == {} and "ROLE" in q
+
+
+def test_shell_inline_filter_merges_with_session(shell):
+    shell.dispatch("K 10")
+    shell.autocomplete = False
+    # session filter on tool stays in force when an inline ROLE is
+    # given (per-field override, not wholesale replacement)
+    shell.dispatch('FILTERS {"role": ["user"]}')
+    out = shell.dispatch("des lilas ROLE tool")
+    assert "doc-1" in out and "doc-0" not in out  # inline role wins
+    shell.dispatch("FILTERS off")
