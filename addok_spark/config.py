@@ -281,11 +281,23 @@ def config_from_module(path: str, **overrides) -> "EngineConfig":
             kw["log_dir"] = str(val)
             continue
         if name == "FIELDS":
+            for f in val:
+                if callable(f.get("boost", 1.0)):
+                    # the reference allows `boost=lambda doc: ...`
+                    # (tests/test_index_utils.py:247-263); silently
+                    # indexing with boost=1.0 instead would be a knob
+                    # doing nothing — this module's worst failure mode
+                    raise ValueError(
+                        f"FIELDS[{f['key']!r}].boost is callable: "
+                        "per-document boosts are not evaluable inside "
+                        "a distributed column plan. Materialize the "
+                        "boost as a numeric document column and point "
+                        "boost_col at it (FieldSpec.boost_col)."
+                    )
             kw["fields"] = tuple(
                 FieldSpec(
                     name=f["key"],
-                    boost=float(f.get("boost", 1.0))
-                    if not callable(f.get("boost", 1.0)) else 1.0,
+                    boost=float(f.get("boost", 1.0)),
                     allow_null=bool(f.get("null", True)),
                     boost_col=f.get("boost_col"),
                 )

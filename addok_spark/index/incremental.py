@@ -229,7 +229,15 @@ def apply_actions(
         ).distinct().collect()
     )
     if not touched_pb:
-        return {"upserts": 0, "deletes": 0, "touched_pbuckets": []}
+        # no-op batch: no new snapshot — report the STILL-CURRENT
+        # version so callers reading metrics["version"] (as the
+        # docstring promises) never KeyError
+        return {
+            "upserts": 0,
+            "deletes": 0,
+            "touched_pbuckets": [],
+            "version": cur.version or 0,
+        }
 
     # --- staging snapshot: all writes land here; nothing under the
     # current snapshot is ever modified ------------------------------

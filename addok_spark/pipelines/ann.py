@@ -8,10 +8,21 @@ the dot products.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _round6_half_up(x: float) -> float:
+    """round(x, 6) with Spark's F.round semantics for doubles:
+    BigDecimal.valueOf(x) (= shortest decimal repr, like Python's
+    repr) then setScale(6, HALF_UP)."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    )
 
 
 def dot_col(a, b):
@@ -142,7 +153,8 @@ def ivf_cells(
     anchors are the embeddings of the ``n_cells`` smallest ids (a
     reproducible stand-in for a sampled k-means — the assignment and
     search shapes below are identical to a trained codebook's).
-    Driver-held small state: n_cells vectors."""
+    Driver-held small state: n_cells vectors — shipped to executors
+    as broadcast data (with_assignment), never as plan literals."""
     rows = (
         emb.orderBy(F.col(id_col).asc())
         .select(vec_col)
@@ -152,22 +164,11 @@ def ivf_cells(
     return [[float(x) for x in r[0]] for r in rows]
 
 
-def assign_struct_col(vec, anchors: list[list[float]]):
-    """``struct(c, best)`` = (argmax cell, its cosine) over anchors by
-    round-6 cosine, ties → lowest cell. ONE linear ``aggregate`` fold
-    over an array-of-struct literal (a naive when-ladder nests every
-    step's comparison inside the next and compiles to MiB-scale
-    codegen; the fold is linear in k·dim). No UDF, no shuffle —
-    deterministic across partitionings."""
-    cands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("c"),
-                F.array(*[F.lit(x) for x in a]).alias("v"),
-            )
-            for j, a in enumerate(anchors)
-        ]
-    )
+def _assign_step(vec):
+    """Fold step shared by the literal and broadcast-data assignment
+    paths — ONE function so the two are bit-identical by construction
+    (same expression tree, same sequential float order; only the leaf
+    the candidates come from differs)."""
 
     def step(acc, cand):
         cos = F.round(cosine_col(vec, cand["v"]), 6)
@@ -177,13 +178,81 @@ def assign_struct_col(vec, anchors: list[list[float]]):
             F.when(better, cos).otherwise(acc["best"]).alias("best"),
         )
 
-    init = F.struct(F.lit(-1).alias("c"), F.lit(-2.0).alias("best"))
-    return F.aggregate(cands, init, step)
+    return step
+
+
+def _assign_init():
+    return F.struct(F.lit(-1).alias("c"), F.lit(-2.0).alias("best"))
+
+
+def assign_struct_col(vec, anchors: list[list[float]]):
+    """``struct(c, best)`` = (argmax cell, its cosine) over anchors by
+    round-6 cosine, ties → lowest cell. ONE linear ``aggregate`` fold
+    (a naive when-ladder nests every step's comparison inside the
+    next and compiles to MiB-scale codegen; the fold is linear in
+    k·dim). No UDF, no shuffle — deterministic across partitionings.
+
+    LITERAL path: the anchors ride the plan as an array-of-struct
+    literal, which is fine for column-expression contexts at small k
+    but puts k·dim doubles in the Catalyst tree — at SemDeDup-scale k
+    (10^4+ cells) analysis/codegen falls over long before the data
+    does. Every DataFrame-level caller in this module therefore goes
+    through :func:`with_assignment`, which ships the codebook as
+    broadcast DATA and runs this same fold over a column."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("c"),
+                F.array(*[F.lit(x) for x in a]).alias("v"),
+            )
+            for j, a in enumerate(anchors)
+        ]
+    )
+    return F.aggregate(cands, _assign_init(), _assign_step(vec))
+
+
+def _codebook_df(spark, anchors: list[list[float]]) -> DataFrame:
+    """The codebook as a ONE-ROW DataFrame holding
+    ``array<struct<c:int, v:array<double>>>`` — k·dim doubles as data,
+    not plan literals. Broadcast + crossJoin of one row multiplies no
+    rows and shuffles nothing; the assignment fold then reads the
+    candidates from a column reference, so the expression tree stays
+    O(1) in k."""
+    rows = [([(j, [float(x) for x in a]) for j, a in enumerate(anchors)],)]
+    return spark.createDataFrame(
+        rows, "_cands array<struct<c:int,v:array<double>>>"
+    )
+
+
+def with_assignment(
+    df: DataFrame,
+    anchors: list[list[float]],
+    vec_col: str,
+    out: str = "_s",
+) -> DataFrame:
+    """Attach ``out = struct(c, best)`` (argmax cell + its round-6
+    cosine) computed against a BROADCAST codebook. Same fold — and
+    therefore bit-identical assignments — as
+    :func:`assign_struct_col`, but the centroids arrive through a
+    one-row BroadcastNestedLoopJoin instead of a k×dim literal, so k
+    can grow with the corpus (SemDeDup bounds cell sizes by raising
+    k) without blowing up Catalyst."""
+    cdf = _codebook_df(df.sparkSession, anchors)
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            out,
+            F.aggregate(
+                F.col("_cands"), _assign_init(), _assign_step(F.col(vec_col))
+            ),
+        )
+        .drop("_cands")
+    )
 
 
 def ivf_assign_col(vec, anchors: list[list[float]]):
     """Cell id = argmax over anchors of round(cosine, 6); ties take
-    the lowest cell."""
+    the lowest cell. Literal path — see assign_struct_col's caveat."""
     return assign_struct_col(vec, anchors)["c"]
 
 
@@ -191,15 +260,19 @@ def ivf_probe_cells(
     query_vec: list[float], anchors: list[list[float]], nprobe: int
 ) -> list[int]:
     """Cells ranked by round(cosine(query, anchor), 6) desc (ties →
-    lowest cell), truncated to nprobe. Sequential index-order sums so
-    the ranking matches the column fold bit-for-bit."""
+    lowest cell), truncated to nprobe. Sequential index-order sums,
+    and HALF_UP rounding on the shortest decimal repr — the exact
+    semantics of Spark's F.round on a double
+    (BigDecimal.valueOf(x).setScale(6, HALF_UP)) — so the ranking
+    matches the column fold bit-for-bit even on 6-dp midpoints
+    (Python's builtin round() is HALF_EVEN and would diverge there)."""
     def _cos(a, b):
         dot = nx = ny = 0.0
         for x, y in zip(a, b):
             dot += x * y
             nx += x * x
             ny += y * y
-        return round(dot / ((nx ** 0.5) * (ny ** 0.5)), 6)
+        return _round6_half_up(dot / ((nx ** 0.5) * (ny ** 0.5)))
 
     scored = sorted(
         ((-_cos(query_vec, a), j) for j, a in enumerate(anchors))
@@ -221,16 +294,19 @@ def ivf_topk(
     query, brute-force within. At scale the cell id is the partition
     key (write once, cluster by cell), so a probe reads nprobe
     partitions instead of the corpus — the classic IVF-Flat layout;
-    anchors ride along as literals (broadcast-equivalent)."""
+    anchors arrive as broadcast data (one-row codebook join), so k
+    scales without growing the plan."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probes = ivf_probe_cells(query_vec, anchors, nprobe)
-    return (
+    assigned = with_assignment(
         emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            ivf_assign_col(F.col(vec_col), anchors).alias("cell"),
-        )
-        .filter(F.col("cell").isin(probes))
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ),
+        anchors,
+        "vec",
+    ).select("id", "vec", F.col("_s.c").alias("cell"))
+    return (
+        assigned.filter(F.col("cell").isin(probes))
         .select(
             "id",
             "cell",
@@ -284,27 +360,27 @@ def kmeans_assign(
     to 6 decimals before the next pass.
 
     Scale shape per iteration: one assignment map over the corpus
-    (centroid literals ride along, broadcast-equivalent) + one
-    map-side-combinable (cell, dim) mean — no corpus-scale shuffle
-    beyond the k×dim agg. Returns (id, cluster, cosine-to-final-
-    centroid)."""
+    (centroids broadcast as a one-row codebook, never plan literals)
+    + one map-side-combinable (cell, dim) mean — no corpus-scale
+    shuffle beyond the k×dim agg. Returns (id, cluster,
+    cosine-to-final-centroid)."""
     cents = ivf_cells(emb, n_clusters, id_col, vec_col)
     for _ in range(max(0, iters - 1)):
-        assigned = emb.select(
-            F.col(vec_col).alias("v"),
-            ivf_assign_col(F.col(vec_col), cents).alias("cell"),
-        )
+        assigned = with_assignment(
+            emb.select(F.col(vec_col).alias("v")), cents, "v"
+        ).select("v", F.col("_s.c").alias("cell"))
         cents = _centroid_update(assigned, "v", cents)
     # one fold yields both the cluster and the cosine to the OWN
     # cluster's centroid (the SemDeDup dedup signal: near-1 members
     # of the same cluster are semantic dups)
-    return emb.select(
-        F.col(id_col).alias("id"),
-        assign_struct_col(F.col(vec_col), cents).alias("s"),
+    return with_assignment(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        cents,
+        "v",
     ).select(
         "id",
-        F.col("s.c").alias("cluster"),
-        F.col("s.best").alias("cosine"),
+        F.col("_s.c").alias("cluster"),
+        F.col("_s.best").alias("cosine"),
     )
 
 
@@ -315,6 +391,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.8,
     iters: int = 2,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (cluster-then-compare semantic dedup): k-means cells
     first, then exact pairwise cosine ONLY within each cell — the
@@ -323,20 +400,51 @@ def semdedup_pairs(
     knob). Returns (id_a, id_b, cosine) with id_a < id_b for pairs
     at or above ``threshold``; downstream keep-best reuses the same
     connected-components / keep-rule machinery as the other dedup
-    ops. The within-cell join shuffles on the cluster id — uniform
-    by construction of the quantizer."""
+    ops.
+
+    The within-cell join shuffles on the cluster id. k-means on real
+    embeddings is routinely SKEWED (one dense topic = one giant
+    cell), and a cell with m members costs m² pairs in one shuffle
+    key — so ``max_cell_size`` caps it: any cell larger than the cap
+    is re-split by a deterministic secondary hash of the id into
+    ceil(m / cap) sub-cells, the same move the posting build makes
+    for hot tokens. Semantics under the cap: pairs are emitted only
+    WITHIN a sub-cell — two members of a split cell that hash to
+    different sub-cells are never compared (the standard SemDeDup
+    approximation, equivalent to having trained a finer quantizer
+    over that region). Leave ``max_cell_size=None`` for exact
+    within-cluster-complete pairs."""
     assigned = kmeans_assign(emb, n_clusters, id_col, vec_col, iters)
     vecs = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).join(assigned.select("id", "cluster"), "id")
+    key = ["cluster"]
+    if max_cell_size is not None:
+        # ≤ k rows of (cluster, count) — always broadcastable
+        sizes = vecs.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        vecs = (
+            vecs.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "_nsub",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("_n") / F.lit(max_cell_size)).cast("int"),
+                ),
+            )
+            .withColumn("sub", F.pmod(F.hash(F.col("id")), F.col("_nsub")))
+            .drop("_n", "_nsub")
+        )
+        key = ["cluster", "sub"]
     a = vecs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster"
+        F.col("id").alias("id_a"), F.col("v").alias("va"), *key
     )
     b = vecs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster"
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), *key
     )
     return (
-        a.join(b, "cluster")
+        a.join(b, key)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -358,11 +466,15 @@ def ivf_write_partitioned(
     cell. A probe then reads nprobe directories instead of the
     corpus — partition pruning does the work, no index structure
     needed (the claim ivf_topk's docstring makes, made literal)."""
-    emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        ivf_assign_col(F.col(vec_col), anchors).alias("cell"),
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    with_assignment(
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ),
+        anchors,
+        "vec",
+    ).select("id", "vec", F.col("_s.c").alias("cell")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
 
 
 def ivf_topk_partitioned(

@@ -66,16 +66,25 @@ def retrieval_topk(
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # query token selection: df-banded, rarest-first, capped — the
-    # per-query volume bound (a stopword never generates candidates)
+    # per-query volume bound (a stopword never generates candidates).
+    #
+    # df is the FULL-CORPUS vocabulary (hapax-heavy: at transcript
+    # scale it is billions of rows), so it must never ride a
+    # F.broadcast hint. Both places that need df stats only need them
+    # for tokens the query docs actually contain, so df is first
+    # semi-joined down to that bounded set (≤ queries × tokens/doc
+    # distinct tokens) and then joined WITHOUT a hint: the join is
+    # keyed on token like everything around it, and AQE is free to
+    # broadcast at runtime when the reduced side measures small.
+    qtf = tf.join(
+        F.broadcast(query_ids.select(F.col("qid").cast("long"))),
+        tf.doc_id == F.col("qid"),
+        "inner",
+    ).select("qid", "token")
+    df_q = df.join(qtf.select("token").distinct(), "token", "left_semi")
     qw = Window.partitionBy("qid").orderBy(F.asc("df"), F.asc("token"))
     qtok = (
-        tf.join(
-            F.broadcast(query_ids.select(F.col("qid").cast("long"))),
-            tf.doc_id == F.col("qid"),
-            "inner",
-        )
-        .select("qid", "token")
-        .join(F.broadcast(df), "token")
+        qtf.join(df_q, "token")
         .crossJoin(F.broadcast(stats))
         .filter(
             (F.col("df") >= min_df)
@@ -88,7 +97,7 @@ def retrieval_topk(
     terms = (
         qtok.join(tf, "token")
         .join(dl, "doc_id")
-        .join(F.broadcast(df), "token")
+        .join(df_q, "token")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "ts",

@@ -45,6 +45,7 @@ spec exactly (tested bit-equal in tests/test_local_serving.py).
 from __future__ import annotations
 
 import json
+import threading
 import time
 from pathlib import Path
 
@@ -76,35 +77,46 @@ class _LRU(dict):
     ever touched. Hits re-insert the key at the dict tail (plain dict
     preserves insertion order), so eviction removes the least recently
     touched entry — under insertion pressure the Zipf-head working set
-    (hot token blocks, hot doc rows) stays resident."""
+    (hot token blocks, hot doc rows) stays resident.
 
-    __slots__ = ("maxsize",)
+    Thread-safe: the engine's caches are shared across the request
+    threads of ThreadingHTTPServer, and the hit path is a non-atomic
+    getitem→delitem→setitem re-insert — two concurrent hits on the
+    same hot key would race (the loser's delitem raises KeyError).
+    A per-cache lock makes each operation atomic; it is uncontended
+    in the common case and ~100 ns against block-decode work."""
+
+    __slots__ = ("maxsize", "_lock")
 
     def __init__(self, maxsize: int):
         super().__init__()
         self.maxsize = maxsize
+        self._lock = threading.Lock()
 
     def get(self, key, default=None):
-        try:
-            value = dict.__getitem__(self, key)
-        except KeyError:
-            return default
-        dict.__delitem__(self, key)
-        dict.__setitem__(self, key, value)
-        return value
+        with self._lock:
+            try:
+                value = dict.__getitem__(self, key)
+            except KeyError:
+                return default
+            dict.__delitem__(self, key)
+            dict.__setitem__(self, key, value)
+            return value
 
     def __getitem__(self, key):
-        value = dict.__getitem__(self, key)
-        dict.__delitem__(self, key)
-        dict.__setitem__(self, key, value)
-        return value
+        with self._lock:
+            value = dict.__getitem__(self, key)
+            dict.__delitem__(self, key)
+            dict.__setitem__(self, key, value)
+            return value
 
     def __setitem__(self, key, value):
-        if key in self:
-            dict.__delitem__(self, key)
-        elif len(self) >= self.maxsize:
-            del self[next(iter(self))]
-        dict.__setitem__(self, key, value)
+        with self._lock:
+            if dict.__contains__(self, key):
+                dict.__delitem__(self, key)
+            elif len(self) >= self.maxsize:
+                dict.__delitem__(self, next(iter(self)))
+            dict.__setitem__(self, key, value)
 
 
 def _in_sorted(

@@ -125,3 +125,125 @@ def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and all(str(c) in m.group(1) for c in probes)
+
+
+def test_with_assignment_bit_identical_to_literal_fold(emb):
+    """VERDICT r4 #2: the broadcast-data path (with_assignment) must be
+    bit-identical to the plan-literal fold (assign_struct_col) — same
+    expression tree, same sequential float order, only the candidate
+    leaf differs."""
+    anchors = ann.ivf_cells(emb, CELLS)
+    lit = emb.select(
+        "vec_id",
+        ann.assign_struct_col(F.col("embedding"), anchors).alias("s"),
+    ).collect()
+    bro = (
+        ann.with_assignment(emb, anchors, "embedding")
+        .select("vec_id", F.col("_s").alias("s"))
+        .collect()
+    )
+    key = lambda rows: {r["vec_id"]: (r["s"]["c"], r["s"]["best"]) for r in rows}
+    assert key(lit) == key(bro)
+
+
+def test_with_assignment_scales_to_k2048(spark):
+    """VERDICT r4 #2 'done' condition: k=2048 centroids — a scale the
+    literal path would choke on (2048x8 doubles in the Catalyst tree) —
+    assigns correctly through the broadcast codebook, and the analyzed
+    plan stays O(1) in k (the codebook is DATA, not expression)."""
+    k, dim = 2048, 8
+    rng = np.random.Generator(np.random.PCG64(23))
+    anchors = [[float(x) for x in rng.normal(size=dim)] for _ in range(k)]
+    pts = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(12)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = (
+        ann.with_assignment(df, anchors, "embedding")
+        .select("vec_id", F.col("_s.c").alias("cell"))
+        .collect()
+    )
+    got = {r["vec_id"]: r["cell"] for r in out}
+    A = np.array(anchors)
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    for i, vec in pts:
+        v = np.array(vec, dtype="float64")
+        cos = An @ (v / np.linalg.norm(v))
+        r6 = np.array([ann._round6_half_up(c) for c in cos])
+        assert got[i] == int(np.argmax(r6)), f"vec {i}"
+    # O(1)-in-k plan: the codebook must not appear as literals
+    plan = (
+        ann.with_assignment(df, anchors, "embedding")
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert len(plan) < 50_000, f"plan grew with k: {len(plan)} chars"
+
+
+def test_round6_half_up_matches_spark_f_round(spark):
+    """ADVICE r4: ivf_probe_cells' driver-side rounding must match
+    F.round's double semantics (shortest-repr BigDecimal, HALF_UP) on
+    exact 6-dp midpoints where Python's builtin round() (HALF_EVEN)
+    diverges."""
+    vals = [0.1234565, 0.1234575, -0.1234565, 1.0000005, 0.9999995,
+            5e-7, -5e-7, 0.1234564999, 2.0 / 3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["r"]
+        for r in df.select(F.round("x", 6).alias("r"))
+        .collect()
+    ]
+    assert got == [ann._round6_half_up(v) for v in vals]
+
+
+def test_semdedup_cell_cap_splits_mega_cluster(spark):
+    """VERDICT r4 #3: a mega-cluster (one dense topic) must be re-split
+    by max_cell_size so no shuffle key carries m^2 pairs. Checks (a) the
+    capped output is exactly the uncapped pairs restricted to same
+    sub-cell (the documented approximation), (b) the cap actually
+    dropped cross-sub pairs (the split happened), (c) nothing outside
+    the mega-cluster changed."""
+    rng = np.random.Generator(np.random.PCG64(31))
+    base = rng.normal(size=DIM)
+    rows = [
+        (i, [float(x) for x in base + 0.01 * rng.normal(size=DIM)])
+        for i in range(40)  # mega-topic: ids 0-39, all near-dups
+    ] + [
+        (i, [float(x) for x in rng.normal(size=DIM)])
+        for i in range(40, 56)  # noise
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k, cap = 4, 10
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in ann.semdedup_pairs(df, k, threshold=0.95).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in ann.semdedup_pairs(
+            df, k, threshold=0.95, max_cell_size=cap
+        ).collect()
+    }
+    # replicate the sub-cell assignment with the same Spark exprs
+    assigned = ann.kmeans_assign(df, k, iters=2)
+    from pyspark.sql import functions as SF
+    sizes = assigned.groupBy("cluster").agg(SF.count(SF.lit(1)).alias("n"))
+    sub = {
+        r["id"]: (r["cluster"], r["sub"])
+        for r in assigned.join(sizes, "cluster")
+        .withColumn(
+            "nsub",
+            SF.greatest(
+                SF.lit(1), SF.ceil(SF.col("n") / SF.lit(cap)).cast("int")
+            ),
+        )
+        .withColumn("sub", SF.pmod(SF.hash(SF.col("id")), SF.col("nsub")))
+        .collect()
+    }
+    expected = {
+        p: c for p, c in uncapped.items() if sub[p[0]] == sub[p[1]]
+    }
+    assert capped == expected
+    # the mega-cell really split: cross-sub pairs were dropped...
+    assert len(capped) < len(uncapped)
+    # ...but plenty survive within sub-cells
+    assert len(capped) > 0

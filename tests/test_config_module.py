@@ -128,3 +128,16 @@ def test_log_flags_without_dir_default_to_cwd(monkeypatch):
     args = argparse.Namespace(cores="*", config=None, log_queries=True)
     cfg = _cfg(args)
     assert cfg.log_queries is True and cfg.log_dir == "."
+
+
+def test_callable_fields_boost_raises(tmp_path):
+    """ADVICE r4: the reference allows FIELDS boost=lambda doc: ...;
+    silently indexing it as 1.0 would be a knob doing nothing. The
+    loader must refuse and point at the boost_col per-document
+    override."""
+    path = _write(
+        tmp_path,
+        "FIELDS = [{'key': 'text', 'boost': lambda doc: 2.0}]\n",
+    )
+    with pytest.raises(ValueError, match="boost_col"):
+        config_from_module(path)

@@ -533,3 +533,18 @@ def test_delete_of_nonexistent_id_is_noop(spark, cfg, built):
         [Query(qid="x", q="rue des lilas", k=3)]
     ).collect()
     assert res and res[0]["conv_id"] == "conv-a"
+
+
+def test_noop_batch_reports_current_version(spark, cfg, built):
+    """ADVICE r4: a batch touching nothing (delete of a nonexistent
+    key) returns early — it must still carry the promised "version"
+    key (the STILL-CURRENT snapshot), not KeyError on readers."""
+    before = built.pin().version or 0
+    changes = spark.createDataFrame(
+        [("no-such-conv", 999, "user", None, None, 0.0, "delete", 1)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double, _action string, _seq int",
+    )
+    m = apply_actions(spark, built, changes, cfg)
+    assert m["touched_pbuckets"] == [] and m["upserts"] == 0
+    assert m["version"] == before

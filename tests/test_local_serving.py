@@ -414,3 +414,46 @@ def test_serving_preload_hot(index_paths, cfg, oracle, corpus_pdf):
     assert sharded.preload(10) == 10
     got2 = sharded.search([q])
     assert list(got2["doc_index"]) == list(want["doc_index"])
+
+
+def test_lru_concurrent_hits_are_safe():
+    """ADVICE r4 (medium): the serving caches are shared across
+    ThreadingHTTPServer request threads; the LRU hit path is a
+    delete+reinsert that raced before the per-cache lock (loser's
+    delitem → KeyError → HTTP 500). Hammer one hot key plus churn
+    from many threads: no exception, size stays bounded, the hot key
+    survives."""
+    import threading
+
+    from addok_spark.serving.local import _LRU
+
+    lru = _LRU(maxsize=64)
+    lru["hot"] = "v"
+    errors = []
+    stop = threading.Event()
+
+    def hammer(tid):
+        try:
+            i = 0
+            while not stop.is_set():
+                assert lru.get("hot") in ("v", None)
+                _ = lru.get(("miss", tid, i))
+                lru[("churn", tid, i % 100)] = i
+                lru["hot"] = "v"
+                _ = lru["hot"]
+                i += 1
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    import time as _time
+
+    _time.sleep(1.5)
+    stop.set()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(lru) <= 64
+    assert lru.get("hot") == "v"

@@ -90,3 +90,38 @@ def test_pbucket_partition_pruning(spark, tmp_index_root):
     # pbucket is a directory-partition column → pruned at planning
     assert "PartitionFilters" in plan
     assert "pbucket" in plan
+
+
+def test_retrieval_topk_never_broadcasts_full_vocab(spark):
+    """retrieval_topk must not attach a broadcast HINT to the
+    full-corpus vocabulary stats (df = tf.groupBy(token).count()):
+    at transcript scale the vocabulary is hapax-heavy (billions of
+    rows) and a forced broadcast OOMs. Hints are only allowed on the
+    bounded relations (query_ids, the one-row corpus stats). Runtime
+    auto-broadcast by AQE of the semi-joined-down df remains legal —
+    this walks the ANALYZED logical plan, where the user hints live."""
+    from addok_spark.pipelines.retrieval import retrieval_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 3} shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    qids = spark.createDataFrame([(0,), (1,)], "qid long")
+    out = retrieval_topk(docs, "doc_id", "text", qids, k=3)
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    analyzed = out._jdf.queryExecution().analyzed()
+    hints = [n for n in walk(analyzed) if "Hint" in n.nodeName()]
+    assert hints, "bounded-side broadcast hints should still exist"
+    for h in hints:
+        sub = h.toString()
+        # the vocabulary aggregate aliases its count as `df`; a hint
+        # subtree containing that alias would broadcast the full vocab
+        assert " AS df#" not in sub, (
+            "broadcast hint wraps the full-vocabulary df aggregate:\n"
+            + sub[:2000]
+        )
