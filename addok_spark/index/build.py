@@ -127,22 +127,91 @@ class IndexPaths:
             return self.root
         return self.root / f"v{v:06d}"
 
-    def publish(self, version: int, keep: int = 2) -> None:
-        """Atomically flip CURRENT.json to ``version`` and GC
-        snapshot dirs older than the last ``keep`` (pinned readers on
-        the previous snapshot keep working; the flat v0 layout is
-        never deleted — it doubles as the root dir)."""
+    def snapshot_manifest_file(self, version: int) -> Path:
+        """Immutable per-snapshot manifest: {"version": N,
+        "materialized": bool, "tables": {table: {entry: root-relative
+        location}}}. Entries are partition-dir names ("pbucket=3") or
+        "" for a table wholly inside one dir. With a link-capable
+        FileIO every location points into the materialized snapshot
+        tree; without links, locations reference whichever earlier
+        snapshot dir actually holds the bytes — sharing by reference,
+        the object-store-safe substitute for hardlinks."""
+        return self.root / f"snapshot-v{int(version):06d}.json"
+
+    def read_snapshot_manifest(self) -> dict | None:
+        """The pinned version's snapshot manifest, or None (flat v0 /
+        pre-manifest snapshots)."""
+        v = self.version if self.version is not None else self.current_version()
+        if not v:
+            return None
+        f = self.snapshot_manifest_file(v)
+        if not f.exists():
+            return None
+        try:
+            return json.loads(f.read_text())
+        except Exception:
+            return None
+
+    def table_locations(self, table: str) -> list[str] | None:
+        """Manifest-resolved absolute locations of ``table``'s data,
+        or None when the table should be read as a plain directory
+        (no manifest, or a materialized snapshot)."""
+        m = self.read_snapshot_manifest()
+        if m is None or m.get("materialized", True):
+            return None
+        entries = m.get("tables", {}).get(table)
+        if not entries:
+            return None
+        return [str(self.root / rel) for rel in entries.values()]
+
+    def publish(self, version: int, keep: int = 2, fileio=None) -> None:
+        """Commit ``version``: one atomic pointer swap of
+        CURRENT.json (os.replace locally ≙ single-object PUT on an
+        object store — the only mutable object in the layout), then
+        GC snapshot dirs older than the last ``keep`` UNLESS a
+        retained manifest still references them (without hardlinks a
+        new snapshot's untouched partitions live in older dirs by
+        reference; deleting those would corrupt the live snapshot).
+        Pinned readers on the previous snapshot keep working; the
+        flat v0 layout is never deleted — it doubles as the root
+        dir."""
         import os
         import re
         import shutil as _shutil
 
-        tmp = self.root / "CURRENT.json.tmp"
-        tmp.write_text(json.dumps({"version": int(version)}))
-        os.replace(tmp, self.root / "CURRENT.json")
+        if fileio is None:
+            from .fileio import LocalFileIO
+
+            fileio = LocalFileIO()
+        pointer: dict = {"version": int(version)}
+        if self.snapshot_manifest_file(version).exists():
+            pointer["manifest"] = self.snapshot_manifest_file(version).name
+        fileio.put_pointer(
+            self.root / "CURRENT.json", json.dumps(pointer)
+        )
+        # dirs referenced by any RETAINED snapshot's manifest survive
+        referenced: set[str] = set()
+        lo = version - max(keep, 1) + 1
+        for v in range(max(lo, 1), version + 1):
+            f = self.snapshot_manifest_file(v)
+            if not f.exists():
+                continue
+            try:
+                man = json.loads(f.read_text())
+            except Exception:
+                continue
+            for entries in man.get("tables", {}).values():
+                for rel in entries.values():
+                    referenced.add(str(rel).split("/", 1)[0])
         for p in self.root.iterdir():
             m = re.fullmatch(r"v(\d{6})", p.name)
             if m and int(m.group(1)) <= version - max(keep, 1):
+                if p.name in referenced:
+                    continue
                 _shutil.rmtree(p, ignore_errors=True)
+                old = self.snapshot_manifest_file(int(m.group(1)))
+                if old.exists():
+                    old.unlink()
 
     @property
     def docs(self) -> str:
@@ -180,6 +249,87 @@ class IndexPaths:
         # build-stage resume state: root-level (spans snapshots)
         return self.root / "manifest.json"
 
+
+
+# every table a snapshot manifest can carry (each an IndexPaths
+# property resolving under snapshot_root)
+MANIFEST_TABLES = (
+    "docs", "blocks", "dictionary", "dict_partials", "prefixes", "pairs"
+)
+
+
+def read_table(spark, paths: "IndexPaths", table: str) -> DataFrame:
+    """Open an index table at the pinned snapshot.
+
+    Materialized snapshots (flat v0, or any snapshot published with a
+    link-capable FileIO) read as a plain directory — identical plan
+    to before. A reference-only snapshot (object-store publish: no
+    hardlinks) resolves through its manifest: partition dirs are
+    grouped by the snapshot-dir base they physically live in, each
+    group scanned with that ``basePath`` (so the hive partition
+    column survives), groups unioned. Partition-filter pushdown still
+    prunes inside every group, so the scan shape matches the
+    materialized layout's."""
+    pinned = paths.pin()
+    locs = pinned.table_locations(table)
+    if locs is None:
+        return spark.read.parquet(str(getattr(pinned, table)))
+    groups: dict[str, list[str]] = {}
+    singles: list[str] = []
+    for loc in locs:
+        p = Path(loc)
+        if "=" in p.name:
+            groups.setdefault(str(p.parent), []).append(str(p))
+        else:
+            singles.append(str(p))
+    dfs = [
+        spark.read.option("basePath", base).parquet(*sorted(dirs))
+        for base, dirs in sorted(groups.items())
+    ]
+    dfs.extend(spark.read.parquet(s) for s in sorted(singles))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def table_exists(paths: "IndexPaths", table: str) -> bool:
+    """Whether the pinned snapshot carries ``table`` — by manifest
+    entry for reference-only snapshots, by directory otherwise."""
+    pinned = paths.pin()
+    m = pinned.read_snapshot_manifest()
+    if m is not None and not m.get("materialized", True):
+        return bool(m.get("tables", {}).get(table))
+    return Path(getattr(pinned, table)).exists()
+
+
+def materialize_snapshot(paths: "IndexPaths", dest: str) -> "IndexPaths":
+    """Sync the pinned snapshot into a plain directory tree — what an
+    object-store serving node does to its local cache before opening
+    pyarrow datasets (the serving tier reads individual parquet files
+    by offset and needs a physical layout; on a POSIX deployment
+    snapshots are already materialized and this is never needed).
+    Returns a flat-layout IndexPaths over ``dest``."""
+    import shutil as _shutil
+
+    pinned = paths.pin()
+    dst = Path(dest)
+    dst.mkdir(parents=True, exist_ok=True)
+    for table in MANIFEST_TABLES:
+        locs = pinned.table_locations(table)
+        tdir = Path(getattr(pinned, table))
+        out = dst / table
+        if locs is None:
+            if tdir.exists():
+                _shutil.copytree(tdir, out, dirs_exist_ok=True)
+            continue
+        for loc in locs:
+            src = Path(loc)
+            tgt = out / src.name if "=" in src.name else out
+            _shutil.copytree(src, tgt, dirs_exist_ok=True)
+    if pinned.meta.exists():
+        _shutil.copy2(pinned.meta, dst / "meta.json")
+    return IndexPaths(dst, 0)
 
 
 def _parquet_rows(path: str) -> int:

@@ -36,7 +36,6 @@ streaming checkpoint + the manifest's applied-batch record.
 from __future__ import annotations
 
 import json
-import os
 import shutil
 from pathlib import Path
 
@@ -53,7 +52,10 @@ from .build import (
     dictionary_from_partials,
     pairs_from_blocks,
     prefixes_from_dictionary,
+    read_table,
+    table_exists,
 )
+from .fileio import FileIO, LocalFileIO
 
 
 def _with_pbucket(df: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -63,29 +65,17 @@ def _with_pbucket(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
-def _link_tree(src: Path, dst: Path) -> None:
-    """Hardlink every file under ``src`` into the same relative
-    layout under ``dst`` — O(#files) metadata ops, zero data copy
-    (falls back to copy2 if the filesystem refuses links)."""
-    for p in src.rglob("*"):
-        q = dst / p.relative_to(src)
-        if p.is_dir():
-            q.mkdir(parents=True, exist_ok=True)
-            continue
-        q.parent.mkdir(parents=True, exist_ok=True)
-        try:
-            os.link(p, q)
-        except OSError:
-            shutil.copy2(p, q)
+def _stage_partitions(src: str, dst: str, skip, prefix: str,
+                      fileio: FileIO) -> None:
+    """Populate a staging table dir with SHARED copies (hardlinks on
+    a POSIX FileIO) of every partition dir of ``src`` except
+    ``{prefix}{v}`` for v in ``skip`` (the caller rewrites those).
+    Loose table files are shared too, except _SUCCESS (the staged
+    write drops a fresh one). Nothing under ``src`` is modified.
 
-
-def _stage_partitions(src: str, dst: str, skip, prefix: str) -> None:
-    """Populate a staging table dir with hardlinks to every partition
-    dir of ``src`` except ``{prefix}{v}`` for v in ``skip`` (the
-    caller rewrites those). Loose table files are linked too, except
-    _SUCCESS (the staged write drops a fresh one). Nothing under
-    ``src`` is modified — this is how a snapshot shares unchanged
-    data files with its predecessor."""
+    Only called for link-capable FileIOs: without links a snapshot
+    shares unchanged partitions BY MANIFEST REFERENCE instead (see
+    fileio module docstring), and nothing is staged for them."""
     s, d = Path(src), Path(dst)
     d.mkdir(parents=True, exist_ok=True)
     if not s.exists():
@@ -95,12 +85,95 @@ def _stage_partitions(src: str, dst: str, skip, prefix: str) -> None:
         if p.name in skip_names or p.name == "_SUCCESS":
             continue
         if p.is_dir():
-            _link_tree(p, d / p.name)
+            fileio.share_tree(p, d / p.name)
         else:
-            try:
-                os.link(p, d / p.name)
-            except OSError:
-                shutil.copy2(p, d / p.name)
+            fileio.share_file(p, d / p.name)
+
+
+def _staged_view(spark, cur: IndexPaths, stg: IndexPaths, table: str,
+                 rewritten, part_col: str, linked: bool) -> DataFrame:
+    """The complete STAGED table as a DataFrame. With links the
+    staging dir materializes it (shared untouched partitions +
+    freshly written ones) — one plain read. Without links the staging
+    dir holds only the rewritten partitions, so the view is their
+    union with the current snapshot's untouched partitions (read by
+    manifest reference) — exactly the relation the new manifest will
+    record."""
+    stg_dir = getattr(stg, table)
+    if linked:
+        return spark.read.parquet(stg_dir)
+    parts: list[DataFrame] = []
+    if Path(stg_dir).exists():
+        parts.append(spark.read.parquet(stg_dir))
+    if table_exists(cur, table):
+        kept = read_table(spark, cur, table)
+        if rewritten:
+            kept = kept.filter(~F.col(part_col).isin(sorted(rewritten)))
+        parts.append(kept)
+    if not parts:
+        raise ValueError(f"staged table {table} has no data")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def _rel_to_root(path: str, root: Path) -> str:
+    return str(Path(path).relative_to(root))
+
+
+def _synth_entries(table_dir: str, rel_base: str) -> dict[str, str]:
+    """Manifest entries synthesized from a materialized table dir
+    (pre-manifest snapshots / the flat v0 bulk layout)."""
+    d = Path(table_dir)
+    if not d.exists():
+        return {}
+    names = [p.name for p in sorted(d.iterdir()) if p.name != "_SUCCESS"]
+    if any("=" in n for n in names):
+        return {n: f"{rel_base}/{n}" for n in names if "=" in n}
+    return {"": rel_base} if names else {}
+
+
+def _prev_entries(cur: IndexPaths, table: str) -> dict[str, str]:
+    """The current snapshot's manifest entries for ``table`` —
+    straight from its manifest when one exists (locations stay valid
+    verbatim: manifests only ever reference immutable dirs), else
+    synthesized from the materialized layout."""
+    m = cur.read_snapshot_manifest()
+    if m is not None:
+        return dict(m.get("tables", {}).get(table, {}))
+    return _synth_entries(
+        getattr(cur, table), _rel_to_root(getattr(cur, table), cur.root)
+    )
+
+
+def _next_entries(cur: IndexPaths, stg: IndexPaths, table: str,
+                  rewritten) -> dict[str, str]:
+    """Manifest entries for ``table`` in the snapshot being staged:
+    previous entries minus the rewritten partitions, plus whatever
+    the batch actually wrote under the staging dir. ``rewritten`` is
+    a set of partition-dir names, or "full" for a whole-table
+    rewrite."""
+    if rewritten == "full":
+        out: dict[str, str] = {}
+    else:
+        out = {
+            k: v
+            for k, v in _prev_entries(cur, table).items()
+            if k not in rewritten
+        }
+    stg_dir = Path(getattr(stg, table))
+    if stg_dir.exists():
+        rel = _rel_to_root(str(stg_dir), stg.root)
+        names = [
+            p.name for p in sorted(stg_dir.iterdir()) if p.name != "_SUCCESS"
+        ]
+        if names and not any("=" in n for n in names):
+            return {"": rel}
+        for n in names:
+            if "=" in n:
+                out[n] = f"{rel}/{n}"
+    return out
 
 
 def apply_actions(
@@ -108,6 +181,8 @@ def apply_actions(
     paths: IndexPaths | str,
     changes: DataFrame,
     cfg: EngineConfig,
+    batch_id: int | None = None,
+    fileio: FileIO | None = None,
 ) -> dict:
     """Apply a batch of document actions to an existing index.
 
@@ -115,9 +190,37 @@ def apply_actions(
     (default "index"). Builds and atomically publishes the next
     snapshot (see module docstring). Returns metrics {upserts,
     deletes, touched_pbuckets, version}.
+
+    ``batch_id`` (streaming callers): recorded in the published
+    snapshot's manifest (meta.applied_batches[].batch_id). A batch id
+    already present in the CURRENT manifest is a replay — the stream
+    crashed between snapshot publish and checkpoint commit — and is
+    skipped without building a snapshot (returns replayed=True).
+    Manifest record + skip together give exactly-once semantics over
+    snapshot versions on top of foreachBatch's at-least-once.
+
+    ``fileio``: the filesystem seam (see fileio module docstring).
+    Default LocalFileIO materializes each snapshot as a hardlink
+    tree; a supports_links=False IO (object store) shares untouched
+    partitions purely by snapshot-manifest reference — nothing is
+    linked or copied, and readers resolve tables via
+    ``build.read_table``.
     """
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(Path(paths))
+    fileio = fileio or LocalFileIO()
+    linked = fileio.supports_links
     cur = paths.pin()  # the consistent snapshot every read comes from
+
+    if batch_id is not None and cur.meta.exists():
+        applied = json.loads(cur.meta.read_text()).get("applied_batches", [])
+        if any(b.get("batch_id") == batch_id for b in applied):
+            return {
+                "upserts": 0,
+                "deletes": 0,
+                "touched_pbuckets": [],
+                "version": cur.version or 0,
+                "replayed": True,
+            }
 
     if "_action" not in changes.columns:
         changes = changes.withColumn("_action", F.lit("index"))
@@ -171,7 +274,7 @@ def apply_actions(
             ).otherwise(F.col("_action")),
         )
 
-    docs = spark.read.parquet(cur.docs)
+    docs = read_table(spark, cur, "docs")
     keyed = changes.select(
         "conv_id", "turn_idx", "_action",
         *[c for c in changes.columns if c not in ("conv_id", "turn_idx", "_action")],
@@ -245,6 +348,9 @@ def apply_actions(
     stg = IndexPaths(cur.root, stg_version)
     if stg.snapshot_root.exists():  # crashed, never-published staging
         shutil.rmtree(stg.snapshot_root)
+    stale_manifest = stg.snapshot_manifest_file(stg_version)
+    if stale_manifest.exists():
+        stale_manifest.unlink()
     stg.snapshot_root.mkdir(parents=True)
 
     # rebuild the touched doc partitions: survivors + upserts
@@ -286,17 +392,23 @@ def apply_actions(
     docs_part = _with_pbucket(
         analyzed_new.withColumn("dl", F.col("__an.dl")).drop("__an"), cfg
     ).persist()
-    # untouched partitions: hardlinked into the staging snapshot;
-    # touched partitions: appended fresh (a partition that became
-    # EMPTY is neither linked nor written — no orphan postings, the
-    # reference's deindex invariant, tests/test_index_utils.py:94-114)
-    _stage_partitions(cur.docs, stg.docs, set(touched_pb), "pbucket=")
+    # untouched partitions: shared into the staging snapshot
+    # (hardlinks) when the FileIO supports it, else left as manifest
+    # references; touched partitions: appended fresh (a partition
+    # that became EMPTY is neither shared nor written — no orphan
+    # postings, the reference's deindex invariant,
+    # tests/test_index_utils.py:94-114)
+    if linked:
+        _stage_partitions(cur.docs, stg.docs, set(touched_pb), "pbucket=",
+                          fileio)
     docs_part.write.mode("append").partitionBy("pbucket").parquet(stg.docs)
 
     # rebuild the touched posting partitions (filter-set rows are
     # synthesized inside the local packer, same as the bulk build)
     blocks = build_blocks_from_analyzed(analyzed_new, cfg)
-    _stage_partitions(cur.blocks, stg.blocks, set(touched_pb), "pbucket=")
+    if linked:
+        _stage_partitions(cur.blocks, stg.blocks, set(touched_pb),
+                          "pbucket=", fileio)
     blocks.write.mode("append").partitionBy("pbucket").parquet(stg.blocks)
     analyzed_new.unpersist()
 
@@ -321,17 +433,18 @@ def apply_actions(
         F.col("pbucket").isin(touched_pb)
     )
     changed_tokens = None  # None → unknown → full prefix rewrite
-    if Path(cur.dict_partials).exists():
-        _stage_partitions(
-            cur.dict_partials, stg.dict_partials, set(touched_pb), "pbucket="
-        )
+    partials_full_rewrite = not table_exists(cur, "dict_partials")
+    if not partials_full_rewrite:
+        if linked:
+            _stage_partitions(cur.dict_partials, stg.dict_partials,
+                              set(touched_pb), "pbucket=", fileio)
         dict_partials_from_blocks(blocks_touched).repartitionByRange(
             cfg.build_partitions, "pbucket", "token"
         ).sortWithinPartitions("pbucket", "token").write.mode(
             "append"
         ).partitionBy("pbucket").parquet(stg.dict_partials)
         changed_tokens = (
-            spark.read.parquet(cur.dict_partials)
+            read_table(spark, cur, "dict_partials")
             .filter(F.col("pbucket").isin(touched_pb))
             .select("token")
             .unionByName(
@@ -345,7 +458,8 @@ def apply_actions(
         # legacy index (pre-partials layout): one full derivation
         # upgrades it; subsequent batches are incremental
         dict_partials_from_blocks(
-            spark.read.parquet(stg.blocks)
+            _staged_view(spark, cur, stg, "blocks", set(touched_pb),
+                         "pbucket", linked)
         ).repartitionByRange(
             cfg.build_partitions, "pbucket", "token"
         ).sortWithinPartitions(
@@ -354,9 +468,12 @@ def apply_actions(
             stg.dict_partials
         )
 
-    new_dict = dictionary_from_partials(
-        spark.read.parquet(stg.dict_partials)
+    partials_view = _staged_view(
+        spark, cur, stg, "dict_partials",
+        set() if partials_full_rewrite else set(touched_pb),
+        "pbucket", linked or partials_full_rewrite,
     )
+    new_dict = dictionary_from_partials(partials_view)
     # tokens whose COMMON status flips this batch invalidate pair
     # partitions beyond the touched set (the pair table excludes the
     # Zipf head by global df) — detect them against the OLD
@@ -364,10 +481,10 @@ def apply_actions(
     crossing: list[str] = []
     if (
         changed_tokens is not None
-        and Path(cur.pairs).exists()
+        and table_exists(cur, "pairs")
         and cfg.cdc_rebuild_pairs
     ):
-        old_df = spark.read.parquet(cur.dictionary).select(
+        old_df = read_table(spark, cur, "dictionary").select(
             "token", F.col("df").alias("odf")
         )
         crossing = [
@@ -393,13 +510,20 @@ def apply_actions(
     dict_disk = spark.read.parquet(stg.dictionary)
 
     # --- prefixes: rewrite only the hash buckets of changed tokens --
-    if Path(cur.prefixes).exists():
-        _refresh_prefixes(spark, cur, stg, dict_disk, changed_tokens, cfg)
+    pfx_rewritten: set[str] | str = "full"
+    if table_exists(cur, "prefixes"):
+        pfx_rewritten = _refresh_prefixes(
+            spark, cur, stg, dict_disk, changed_tokens, cfg, fileio
+        )
 
     # --- pairs: rebuild touched partitions (+ partitions holding a
     # common-threshold-crossing token), never the whole corpus ------
-    if Path(cur.pairs).exists() and cfg.cdc_rebuild_pairs:
-        _refresh_pairs(spark, cur, stg, dict_disk, touched_pb, crossing, cfg)
+    pairs_rewritten: set[str] | str = "full"
+    if table_exists(cur, "pairs") and cfg.cdc_rebuild_pairs:
+        pairs_rewritten = _refresh_pairs(
+            spark, cur, stg, dict_disk, partials_view, touched_pb,
+            crossing, cfg, fileio,
+        )
     # (cdc_rebuild_pairs=False → pairs simply absent from the new
     # snapshot; the engine degrades to pairs=None expansion pruning)
 
@@ -409,7 +533,9 @@ def apply_actions(
         n_docs = meta["n_docs"] - int(old_stats["cnt"]) + int(new_stats["cnt"])
         sum_dl = meta["sum_dl"] - int(old_stats["sdl"]) + int(new_stats["sdl"])
     else:  # legacy meta: one full single-column scan re-baselines it
-        docs_now = spark.read.parquet(stg.docs)
+        docs_now = _staged_view(
+            spark, cur, stg, "docs", set(touched_pb), "pbucket", linked
+        )
         n_docs = docs_now.count()
         sum_dl = int(docs_now.agg(F.sum("dl")).collect()[0][0] or 0)
     meta["n_docs"] = int(n_docs)
@@ -417,18 +543,51 @@ def apply_actions(
     meta["avgdl"] = float(sum_dl) / max(n_docs, 1)
     n_up = upserted.count()
     n_del = deletes.count()
-    meta.setdefault("applied_batches", []).append(
-        {
-            "upserts": n_up,
-            "deletes": n_del,
-            "touched_pbuckets": touched_pb,
-            "version": stg_version,
-        }
-    )
+    lineage = {
+        "upserts": n_up,
+        "deletes": n_del,
+        "touched_pbuckets": touched_pb,
+        "version": stg_version,
+    }
+    if batch_id is not None:
+        lineage["batch_id"] = batch_id
+    meta.setdefault("applied_batches", []).append(lineage)
     stg.meta.write_text(json.dumps(meta, indent=2))
 
-    # --- atomic publish: one os.replace of CURRENT.json ------------
-    IndexPaths(cur.root).publish(stg_version, keep=cfg.snapshot_keep)
+    # --- snapshot manifest: per-table entry → root-relative location.
+    # With links every location points into the materialized staging
+    # tree (the manifest is then just a listing); without links the
+    # untouched partitions keep their previous locations — sharing by
+    # reference, which is what makes the layout object-store-safe ----
+    tables: dict[str, dict[str, str]] = {}
+    pbnames = {f"pbucket={v}" for v in touched_pb}
+    for t, rewritten in (
+        ("docs", pbnames),
+        ("blocks", pbnames),
+        ("dict_partials", "full" if partials_full_rewrite else pbnames),
+        ("dictionary", "full"),
+        ("prefixes", pfx_rewritten),
+        ("pairs", pairs_rewritten),
+    ):
+        entries = _next_entries(cur, stg, t, rewritten)
+        if entries:
+            tables[t] = entries
+    stg.snapshot_manifest_file(stg_version).write_text(
+        json.dumps(
+            {
+                "version": stg_version,
+                "materialized": bool(linked),
+                "tables": tables,
+            },
+            indent=2,
+        )
+    )
+
+    # --- atomic publish: one pointer swap of CURRENT.json (local:
+    # os.replace; object store: single PUT) --------------------------
+    IndexPaths(cur.root).publish(
+        stg_version, keep=cfg.snapshot_keep, fileio=fileio
+    )
     return {
         "upserts": n_up,
         "deletes": n_del,
@@ -444,26 +603,32 @@ def _refresh_prefixes(
     dict_disk: DataFrame,
     changed_tokens: DataFrame | None,
     cfg: EngineConfig,
-) -> None:
+    fileio: FileIO,
+) -> set[str] | str:
     """Stage the prefix table for the next snapshot: hash buckets
-    holding no changed token are hardlinked; buckets with changed
-    tokens are rewritten as keep-rows (members minus changed tokens)
-    union the changed tokens' freshly derived rows. A bucket whose
-    every token vanished is simply not staged — no removal from any
-    live path, and no read-from/overwrite-to-same-path cycle (reads
-    come from ``cur``, writes go to ``stg``)."""
-    legacy = not any(
-        p.name.startswith("pfx_bucket=")
-        for p in Path(cur.prefixes).iterdir()
-        if p.is_dir()
-    )
+    holding no changed token are shared (hardlink or manifest
+    reference); buckets with changed tokens are rewritten as
+    keep-rows (members minus changed tokens) union the changed
+    tokens' freshly derived rows. A bucket whose every token vanished
+    is simply not staged — no removal from any live path, and no
+    read-from/overwrite-to-same-path cycle (reads come from ``cur``,
+    writes go to ``stg``). Returns the rewritten partition names (or
+    "full") for the snapshot manifest."""
+    if cur.read_snapshot_manifest() is not None:
+        legacy = False  # manifest-bearing snapshots are never legacy
+    else:
+        legacy = not any(
+            p.name.startswith("pfx_bucket=")
+            for p in Path(cur.prefixes).iterdir()
+            if p.is_dir()
+        )
     if legacy or changed_tokens is None:
         prefixes_from_dictionary(dict_disk, cfg).repartitionByRange(
             cfg.build_partitions, "pfx_bucket", "prefix"
         ).sortWithinPartitions("pfx_bucket", "prefix").write.mode(
             "overwrite"
         ).partitionBy("pfx_bucket").parquet(stg.prefixes)
-        return
+        return "full"
     buckets = [
         r["b"]
         for r in changed_tokens.select(
@@ -474,11 +639,13 @@ def _refresh_prefixes(
         .distinct()
         .collect()
     ]
-    _stage_partitions(cur.prefixes, stg.prefixes, set(buckets), "pfx_bucket=")
+    if fileio.supports_links:
+        _stage_partitions(cur.prefixes, stg.prefixes, set(buckets),
+                          "pfx_bucket=", fileio)
     if not buckets:
-        return
+        return set()
     keep = (
-        spark.read.parquet(cur.prefixes)
+        read_table(spark, cur, "prefixes")
         .filter(F.col("pfx_bucket").isin(buckets))
         .join(changed_tokens, "token", "left_anti")
     )
@@ -492,6 +659,7 @@ def _refresh_prefixes(
     ).sortWithinPartitions(
         "pfx_bucket", "prefix"
     ).write.mode("append").partitionBy("pfx_bucket").parquet(stg.prefixes)
+    return {f"pfx_bucket={b}" for b in buckets}
 
 
 def _refresh_pairs(
@@ -499,39 +667,54 @@ def _refresh_pairs(
     cur: IndexPaths,
     stg: IndexPaths,
     dict_disk: DataFrame,
+    partials_view: DataFrame,
     touched_pb: list[int],
     crossing: list[str],
     cfg: EngineConfig,
-) -> None:
+    fileio: FileIO,
+) -> set[str] | str:
     """Stage the pair table's next snapshot: untouched pbucket
-    partitions hardlinked, touched ones (plus any partition holding a
-    token that crossed the common threshold this batch) re-derived
-    from the staged blocks only. A partition rebuilt to zero pairs is
-    simply not written — the stale-dir hazard of in-place dynamic
-    overwrite cannot occur."""
-    legacy = not any(
-        p.name.startswith("pbucket=")
-        for p in Path(cur.pairs).iterdir()
-        if p.is_dir()
-    )
+    partitions shared (hardlink or manifest reference), touched ones
+    (plus any partition holding a token that crossed the common
+    threshold this batch) re-derived from the staged blocks only. A
+    partition rebuilt to zero pairs is simply not written — the
+    stale-dir hazard of in-place dynamic overwrite cannot occur.
+    Returns the rebuilt partition names (or "full") for the snapshot
+    manifest."""
+    if cur.read_snapshot_manifest() is not None:
+        legacy = False  # manifest-bearing snapshots are never legacy
+    else:
+        legacy = not any(
+            p.name.startswith("pbucket=")
+            for p in Path(cur.pairs).iterdir()
+            if p.is_dir()
+        )
     rebuild = set(touched_pb)
     if not legacy and crossing:
         rebuild.update(
             r["pbucket"]
-            for r in spark.read.parquet(stg.dict_partials)
+            for r in partials_view
             .filter(F.col("token").isin(crossing))
             .select("pbucket")
             .distinct()
             .collect()
         )
+    linked = fileio.supports_links
     if legacy:
-        src = spark.read.parquet(stg.blocks)
+        src = _staged_view(
+            spark, cur, stg, "blocks", set(touched_pb), "pbucket", linked
+        )
         mode = "overwrite"
     else:
-        _stage_partitions(cur.pairs, stg.pairs, rebuild, "pbucket=")
-        src = spark.read.parquet(stg.blocks).filter(
-            F.col("pbucket").isin(sorted(rebuild))
-        )
+        if linked:
+            _stage_partitions(cur.pairs, stg.pairs, rebuild, "pbucket=",
+                              fileio)
+        # rebuild may exceed touched_pb (threshold-crossing tokens
+        # live in untouched pbuckets too) — read through the staged
+        # VIEW so those partitions' blocks resolve by reference
+        src = _staged_view(
+            spark, cur, stg, "blocks", set(touched_pb), "pbucket", linked
+        ).filter(F.col("pbucket").isin(sorted(rebuild)))
         mode = "append"
     # HASH repartition (not range): the range sampler re-executes the
     # pair-expansion child — the measured 2× of the bulk stage; files
@@ -552,6 +735,7 @@ def _refresh_pairs(
         q.name.startswith("pbucket=") for q in Path(stg.pairs).iterdir()
     ):
         shutil.rmtree(stg.pairs, ignore_errors=True)
+    return "full" if legacy else {f"pbucket={v}" for v in rebuild}
 
 
 def stream_transcripts(
@@ -564,13 +748,16 @@ def stream_transcripts(
 ):
     """Continuous ingestion: readStream → foreachBatch(apply_actions).
 
-    The streaming checkpoint gives exactly-once micro-batches; each
-    batch id is also recorded in meta.applied_batches (lineage)."""
+    foreachBatch is at-least-once (a crash between snapshot publish
+    and checkpoint commit replays the batch); apply_actions records
+    each batch id in the snapshot manifest and skips ids already
+    applied, upgrading the pipeline to exactly-once over snapshot
+    versions."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_actions(spark, paths, batch_df, cfg)
+        apply_actions(spark, paths, batch_df, cfg, batch_id=batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

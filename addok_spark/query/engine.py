@@ -260,16 +260,22 @@ class SearchEngine:
             paths if isinstance(paths, IndexPaths) else IndexPaths(Path(paths))
         ).pin()
         self.meta = json.loads(self.paths.meta.read_text())
-        self.blocks = spark.read.parquet(self.paths.blocks)
-        self.docs = spark.read.parquet(self.paths.docs)
-        self.dictionary = spark.read.parquet(self.paths.dictionary)
+        # read_table resolves materialized snapshots as plain
+        # directory scans (identical plan to before) and
+        # object-store-published snapshots via their manifest
+        # references (see index.fileio)
+        from ..index.build import read_table
+
+        self.blocks = read_table(spark, self.paths, "blocks")
+        self.docs = read_table(spark, self.paths, "docs")
+        self.dictionary = read_table(spark, self.paths, "dictionary")
         try:
-            self.prefixes = spark.read.parquet(self.paths.prefixes)
+            self.prefixes = read_table(spark, self.paths, "prefixes")
         except Exception:
             self.prefixes = None  # deferred (build_prefixes=False;
             #                       `addok_spark ngrams` builds later)
         try:
-            self.pairs = spark.read.parquet(self.paths.pairs)
+            self.pairs = read_table(spark, self.paths, "pairs")
         except Exception:
             self.pairs = None  # pairs deferred at build time
 

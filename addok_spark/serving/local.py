@@ -309,6 +309,17 @@ class ParquetIndex(ExpansionMixin, _PreloadMixin):
         # shard mode: this node owns [lo, hi) of the pbucket space —
         # every blocks/docs read is partition-pruned to that range
         self.pbucket_range = pbucket_range
+        man = self.paths.read_snapshot_manifest()
+        if man is not None and not man.get("materialized", True):
+            # serving reads individual parquet files by offset and
+            # needs a physical layout; an object-store snapshot is
+            # reference-only — sync it to local disk first (what a
+            # real serving node's cache pull does)
+            raise ValueError(
+                "snapshot is reference-only (object-store publish); "
+                "materialize it locally first: "
+                "addok_spark.index.build.materialize_snapshot(paths, dest)"
+            )
         self.meta = json.loads(self.paths.meta.read_text())
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])

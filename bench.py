@@ -128,6 +128,20 @@ def _session(cores: int, shuffle: int | None = None):
     )
 
 
+def _stop(spark) -> None:
+    """Stop a session with a QUIET shutdown: straggler accumulator
+    updates arriving after the Python accumulator server closes make
+    the JVM log a benign 'Failed to update accumulator' ERROR stack
+    (~1.7 KB) — enough to push the final JSON line out of the
+    driver's bounded tail capture. FATAL the log level first so the
+    tail stays clean machine-parsable JSON."""
+    try:
+        spark.sparkContext.setLogLevel("FATAL")
+    except Exception:
+        pass
+    spark.stop()
+
+
 def _bench_queries(spark) -> dict[str, float]:
     from addok_spark.entry_queries import QUERIES
 
@@ -491,7 +505,7 @@ def _wand_at_scale(corpus_path: str, work: Path, n_turns: int,
             "wand_s": times["wand"],
         }
     finally:
-        spark.stop()
+        _stop(spark)
 
 
 def main() -> None:
@@ -500,12 +514,11 @@ def main() -> None:
     result: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1]}
     corpus_path = str(work / "corpus")
 
-    # 1) headline operator suite + corpora + full build.
+    # 1) corpora + full build, then LATENCY FIRST.
     # The full-build/latency corpus is FIXED (8k convs ≈ 320k turns)
     # so those metrics stay comparable across rounds; BENCH_CONVS
     # sizes only the scaling corpus.
     spark = _session(CPUS)
-    queries = _bench_queries(spark)
     n_turns = _materialize_corpus(spark, BENCH_CONVS, corpus_path)
     _materialize_corpus(spark, 8000, str(work / "corpus_fixed"))
     _materialize_corpus(spark, 200, str(work / "warm"))
@@ -513,23 +526,29 @@ def main() -> None:
         spark, str(work / "corpus_fixed"), str(work / f"idx_{CPUS}"),
         side_tables=True,
     )
-    # full build at the BIG corpus too: the 320k-turn build is
-    # fixed-cost-dominated (7 stage writes), so this is the number
-    # comparable to the reference's 26M-doc amortized import rate
+    _stop(spark)
+    # latency is measured in a FRESH session and BEFORE the op sweep:
+    # a long-lived driver JVM carries hundreds of stages of heap/GC
+    # pressure that inflates per-query wall-clock ~1.5-2× (measured:
+    # p50 7.9 s in-session vs 4.8 s standalone on the same index and
+    # host moment), and a 30-op sweep also heats the host — a
+    # latency-serving deployment is a dedicated app, so measure it
+    # like one, early and alone
+    spark = _session(CPUS)
+    latency = _query_latency(spark, str(work / f"idx_{CPUS}"))
+    _stop(spark)
+
+    # headline operator suite + the BIG full build (the 320k-turn
+    # build is fixed-cost-dominated — 7 stage writes; the big one is
+    # the number comparable to the reference's 26M-doc amortized
+    # import rate)
+    spark = _session(CPUS)
+    queries = _bench_queries(spark)
     full_big = _build_once(
         spark, corpus_path, str(work / f"idxbig_{CPUS}"), side_tables=True,
     )
-    # latency is measured in a FRESH session: after the op sweep plus
-    # two full builds the driver JVM carries hundreds of stages of
-    # heap/GC pressure that inflates per-query wall-clock ~1.5-2×
-    # (measured: p50 7.9 s in-session vs 4.8 s standalone on the same
-    # index and host moment) — a latency-serving deployment is a
-    # dedicated app, so measure it like one
-    spark.stop()
-    spark = _session(CPUS)
-    latency = _query_latency(spark, str(work / f"idx_{CPUS}"))
     phrase_ab = _phrase_ab(spark, str(work / f"idxbig_{CPUS}"))
-    spark.stop()
+    _stop(spark)
     serving = [
         _serving_latency(str(work / f"idx_{CPUS}"), "320k_turns"),
         _serving_latency(str(work / f"idxbig_{CPUS}"), f"{n_turns}_turns"),
@@ -561,7 +580,7 @@ def main() -> None:
                     partitions=scale_parts,
                 )
             )
-            s.stop()
+            _stop(s)
     best = {
         c: max(rs, key=lambda r: r["turns_per_sec"]) for c, rs in runs.items()
     }
@@ -578,7 +597,10 @@ def main() -> None:
         for l, h in zip(runs[lo_cores], runs[hi_cores])
     ]
     scaling["pair_efficiencies"] = pair_effs
-    efficiency = max(pair_effs)
+    # headline = MEDIAN pair, clamped to 1.0: a >1.0 ratio is host
+    # noise, not superlinear scaling, and the max of three noisy
+    # pairs overstates. The raw pairs stay in pair_efficiencies.
+    efficiency = min(1.0, sorted(pair_effs)[len(pair_effs) // 2])
 
     # 3) block-max WAND skip evidence at the 1.6M-turn scale: a
     # common-token conjunction large enough to open the volume gate
@@ -647,7 +669,16 @@ def main() -> None:
         },
         "details": "BENCH_DETAILS.json",
     }
+    # every session is stopped by now; whatever the JVM/py4j still
+    # flushes at interpreter exit (the benign 'Failed to update
+    # accumulator' stack) must not land AFTER this line in the
+    # driver's bounded tail capture — drop stderr, let in-flight log
+    # lines land, then emit the JSON as the true last output
+    sys.stderr.flush()
+    os.dup2(os.open(os.devnull, os.O_WRONLY), 2)
+    time.sleep(1.0)
     print(json.dumps(compact))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
