@@ -457,3 +457,71 @@ def test_lru_concurrent_hits_are_safe():
     assert not errors, errors
     assert len(lru) <= 64
     assert lru.get("hot") == "v"
+
+
+def test_sharded_rebalance_after_cdc(spark, tmp_path):
+    """VERDICT r4 #8: after a CDC batch grows the pbucket space, a
+    sharded coordinator's refresh() must RE-SHARD (bounds recomputed
+    from the new doc count), keep every shard owning real postings,
+    and stay rank-identical to an unsharded server over the new
+    snapshot — old docs and the appended batch both served."""
+    from addok_spark.config import FieldSpec
+    from addok_spark.index.incremental import apply_actions
+
+    cfg = EngineConfig(
+        fields=(FieldSpec("text", 1.0), FieldSpec("tool", 4.0)),
+        build_partitions=4,
+        doc_bucket_bits=2,
+        pbucket_shift=1,   # 8 docs per pbucket: many pbuckets
+        posting_block_size=4,
+        common_threshold=1000,
+    )
+    rows = [
+        (f"conv-{i:03d}", 0, "user", f"alpha tok{i:03d} omega", None, 0.1)
+        for i in range(32)
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, importance double")
+    corpus = spark.createDataFrame(rows, schema)
+    paths = build_index(spark, corpus, cfg, str(tmp_path / "reshard"))
+    srv = LocalSearchEngine(paths, cfg, shards=3)
+    bounds_before = list(srv.index._bounds)
+    assert len(srv.search([Query(qid="a", q="alpha tok001", k=5)])) > 0
+
+    # append a batch that DOUBLES the doc space → max pbucket grows
+    new_rows = [
+        (f"conv-{i:03d}", 0, "user", f"beta new{i:03d} gamma", None, 0.3,
+         "index")
+        for i in range(32, 64)
+    ]
+    apply_actions(
+        spark, paths,
+        spark.createDataFrame(new_rows, schema + ", _action string"),
+        cfg,
+    )
+    srv.refresh()
+    bounds_after = list(srv.index._bounds)
+    assert bounds_after != bounds_before, "shard bounds must rebalance"
+    assert len(srv.index.shards) == 3
+    # every shard owns real postings in the rebalanced layout
+    qs = [
+        Query(qid="old", q="alpha tok001", k=10),
+        Query(qid="new", q="beta new050", k=10),
+        Query(qid="mix", q="alpha omega", k=10),
+        Query(qid="mix2", q="beta gamma", k=10),
+    ]
+    got = srv.search(qs)
+    served = [
+        sum(int(tb.n.sum()) for tb in sh._blocks.values())
+        for sh in srv.index.shards
+    ]
+    assert all(n > 0 for n in served), served
+    # rank identity with a fresh unsharded server on the new snapshot
+    single = LocalSearchEngine(paths, cfg)
+    want = single.search(qs)
+    got_t = [tuple(r) for r in got[["qid", "conv_id", "turn_idx"]].values]
+    want_t = [tuple(r) for r in want[["qid", "conv_id", "turn_idx"]].values]
+    assert got_t == want_t
+    assert np.allclose(got["score"].values, want["score"].values)
+    assert ("new", "conv-050", 0) in got_t
+    assert ("old", "conv-001", 0) in got_t
