@@ -85,7 +85,10 @@ class Shell:
                 query, v = self._match_option(name.upper(), query)
                 if v is None:
                     break
-                values.extend(v.split("|"))
+                # empty segments from doubled separators (a||b) are
+                # ignored, values whitespace-stripped (≙ reference
+                # shell.py separator handling)
+                values.extend(s for s in (x.strip() for x in v.split("|")) if s)
             if values:
                 filters[name] = values
         return query, filters

@@ -259,3 +259,43 @@ def test_query_logging_isolated_per_server(server, tmp_index_root, tmp_path):
     b = (dirs[1] / "queries.log").read_text()
     assert "alpha one" in a and "beta two" not in a
     assert "beta two" in b and "alpha one" not in b
+
+
+def test_multi_value_filters_can_be_disabled_e2e(spark, tmp_index_root):
+    """≙ reference test_multi_value_filters_can_be_disabled
+    (tests/test_http.py:297-318) end-to-end: with
+    filters_multi_value_separator=None a filter value is NEVER split
+    (a literal value containing the would-be separator matches
+    exactly), while repeated query parameters still OR."""
+    from addok_spark.serving.local import LocalSearchEngine
+
+    cfg = EngineConfig(
+        build_partitions=4, doc_bucket_bits=4, posting_block_size=8,
+        common_threshold=400, filters_multi_value_separator=None,
+    )
+    rows = [
+        ("conv-lit", 0, "user", "separator test item", "foo bar", 0.5),
+        ("conv-st", 0, "user", "separator test street", "street", 0.5),
+        ("conv-ci", 0, "user", "separator test city", "city", 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, importance double",
+    )
+    paths = build_index(spark, df, cfg, f"{tmp_index_root}/http_nosep")
+    srv, port = serve_background(LocalSearchEngine(paths, cfg))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # tool=foo+bar decodes to "foo bar": NOT split, matches the
+        # literal value
+        code, body, _ = _get(f"{base}/search/?q=separator+test&tool=foo+bar")
+        assert code == 200
+        assert [h["conv_id"] for h in body["hits"]] == ["conv-lit"]
+        # repeated parameters still OR with the separator disabled
+        code, body, _ = _get(
+            f"{base}/search/?q=separator+test&tool=street&tool=city"
+        )
+        assert code == 200
+        assert {h["conv_id"] for h in body["hits"]} == {"conv-st", "conv-ci"}
+    finally:
+        srv.shutdown()

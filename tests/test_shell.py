@@ -199,3 +199,56 @@ def test_shell_inline_filter_merges_with_session(shell):
     out = shell.dispatch("des lilas ROLE tool")
     assert "doc-1" in out and "doc-0" not in out  # inline role wins
     shell.dispatch("FILTERS off")
+
+
+# ---------------------------------------------------------------------------
+# reference shell filter-parsing grammar (tests/test_shell.py:15-135,
+# TYPE/POSTCODE adapted to this schema's ROLE/TOOL filter fields).
+# One representational delta, by design: values are ALWAYS a list —
+# the engine's normalize_filter_values handles single vs multi — so
+# the reference's string-vs-list backward-compat case maps to a
+# one-element list here.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "query, want_q_parts, want_filters",
+    [
+        # single filter + other inline options survive
+        ("rue des lilas ROLE user LIMIT 10",
+         ["rue des lilas", "LIMIT 10"], {"role": ["user"]}),
+        # repetition ORs
+        ("rue des lilas ROLE user ROLE tool",
+         ["rue des lilas"], {"role": ["user", "tool"]}),
+        # pipe separator ORs
+        ("rue des lilas ROLE user|tool",
+         ["rue des lilas"], {"role": ["user", "tool"]}),
+        # three values via separator
+        ("paris ROLE user|tool|assistant",
+         ["paris"], {"role": ["user", "tool", "assistant"]}),
+        # mixed repetition + separator
+        ("paris ROLE user|tool ROLE assistant",
+         ["paris"], {"role": ["user", "tool", "assistant"]}),
+        # multiple different filter fields
+        ("rue ROLE user TOOL bash",
+         ["rue"], {"role": ["user"], "tool": ["bash"]}),
+        # multiple filters, multi-values each
+        ("paris ROLE user ROLE tool TOOL bash TOOL grep",
+         ["paris"], {"role": ["user", "tool"], "tool": ["bash", "grep"]}),
+        # no filters: line untouched
+        ("rue des lilas LIMIT 10", ["rue des lilas LIMIT 10"], {}),
+        # equals-sign form
+        ("rue ROLE=user", ["rue"], {"role": ["user"]}),
+        # doubled separator: empty segments ignored
+        ("rue ROLE user||tool", ["rue"], {"role": ["user", "tool"]}),
+        # single value: one-element list (reference: bare string)
+        ("rue ROLE user", ["rue"], {"role": ["user"]}),
+    ],
+)
+def test_shell_parse_filters_reference_grammar(shell, query, want_q_parts,
+                                               want_filters):
+    remaining, filters = shell._parse_filters(query)
+    assert filters == want_filters
+    for part in want_q_parts:
+        assert part in remaining
+    for name in want_filters:
+        assert name.upper() not in remaining
