@@ -1004,6 +1004,62 @@ SELECT qid, doc_id, rank, score, n_terms FROM (
 """
 
 
+def q_retrieval_lm_topk(spark, sf_dir):
+    """Bulk retrieval under the query-likelihood LM scorer (Dirichlet
+    smoothing, Zhai-Lafferty matched-terms form) — same plan shape as
+    the BM25 path, alternative scoring for retrieval-pair mining."""
+    docs = _docs(spark, sf_dir)
+    qids = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    return retrieval.retrieval_topk(
+        docs, "doc_id", "text", qids, k=5, max_df_frac=0.9,
+        scorer="lm_dirichlet",
+    )
+
+
+SQL_RETRIEVAL_LM_TOPK = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, count(*)::bigint AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::double AS n_docs, avg(dl)::double AS avgdl,
+                 sum(dl)::double AS total_tokens FROM dl),
+df AS (SELECT token, count(*)::bigint AS df, sum(tf)::bigint AS cf
+       FROM tf GROUP BY token),
+qtok AS (
+  SELECT qid, token FROM (
+    SELECT tf.doc_id AS qid, tf.token,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY df.df, tf.token) AS qrn
+    FROM tf JOIN df USING (token) CROSS JOIN stats
+    WHERE tf.doc_id % 17 = 0
+      AND df.df >= 2 AND df.df <= stats.n_docs * 0.9
+  ) WHERE qrn <= 6
+),
+nq AS (SELECT qid, count(*)::double AS nq FROM qtok GROUP BY qid),
+terms AS (
+  SELECT q.qid, tf.doc_id, dl.dl,
+         ln(1.0 + tf.tf / (2000.0 * df.cf / stats.total_tokens)) AS ts
+  FROM qtok q JOIN tf USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df USING (token) CROSS JOIN stats
+),
+scored AS (
+  SELECT t.qid, t.doc_id,
+         round(sum(t.ts)
+               + first(nq.nq) * ln(2000.0 / (first(t.dl) + 2000.0)), 6)
+           AS score,
+         count(*)::bigint AS n_terms
+  FROM terms t JOIN nq USING (qid)
+  WHERE t.doc_id <> t.qid GROUP BY t.qid, t.doc_id
+)
+SELECT qid, doc_id, rank, score, n_terms FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id)::bigint AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=3)
 
@@ -1572,6 +1628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_score": q_repetition,
     "contamination": q_contamination,
     "retrieval_topk": q_retrieval_topk,
+    "retrieval_lm_topk": q_retrieval_lm_topk,
     "events_context": q_events_context,
     "pii_redact": q_pii_redact,
     "chunk_documents": q_chunk_documents,
@@ -1621,6 +1678,7 @@ ORACLES: dict[str, str] = {
     "repetition_score": SQL_REPETITION,
     "contamination": SQL_CONTAMINATION,
     "retrieval_topk": SQL_RETRIEVAL_TOPK,
+    "retrieval_lm_topk": SQL_RETRIEVAL_LM_TOPK,
     "events_context": SQL_EVENTS_CONTEXT,
     "pii_redact": _sql_pii_redact(),
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

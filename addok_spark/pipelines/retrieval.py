@@ -48,11 +48,20 @@ def retrieval_topk(
     min_df: int = 2,
     max_df_frac: float = 0.05,
     exclude_self: bool = True,
+    scorer: str = "bm25",
+    mu: float = 2000.0,
 ) -> DataFrame:
-    """Top-``k`` BM25 docs per query. ``query_ids`` is a one-column
+    """Top-``k`` docs per query. ``query_ids`` is a one-column
     DataFrame (``qid``) naming which docs play the query role (the
     query text is that doc's text). Returns
-    (qid, doc_id, rank, score, n_terms)."""
+    (qid, doc_id, rank, score, n_terms).
+
+    ``scorer``: "bm25" (default) or "lm_dirichlet" — query-likelihood
+    with Dirichlet smoothing in the Zhai-Lafferty rank-equivalent
+    matched-terms form: Σ_{t∈q∩d} ln(1 + tf/(μ·cf_t/|C|)) +
+    |q|·ln(μ/(dl+μ)). Same join/shuffle shape as BM25 (the extra
+    per-query term count joins on qid, which the final top-k window
+    keys anyway), so the 100-TB plan is identical."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("ts")
     ).select("doc_id", F.explode("ts").alias("token"))
@@ -63,8 +72,12 @@ def retrieval_topk(
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+        F.sum("dl").cast("double").alias("total_tokens"),
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
     # query token selection: df-banded, rarest-first, capped — the
     # per-query volume bound (a stopword never generates candidates).
     #
@@ -94,30 +107,50 @@ def retrieval_topk(
         .filter(F.col("qrn") <= max_q_tokens)
         .select("qid", "token")
     )
+    if scorer == "bm25":
+        ts = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ) * (
+            F.col("tf") * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+    elif scorer == "lm_dirichlet":
+        # matched-terms part of the Dirichlet query likelihood:
+        # ln(1 + tf / (mu * cf/|C|)); the dl-dependent additive part
+        # folds in after the per-doc agg
+        ts = F.log(
+            F.lit(1.0)
+            + F.col("tf") / (F.lit(mu) * F.col("cf") / F.col("total_tokens"))
+        )
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
     terms = (
         qtok.join(tf, "token")
         .join(dl, "doc_id")
         .join(df_q, "token")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "ts",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            )
-            * (
-                F.col("tf") * F.lit(K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + F.lit(K1)
-                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
-                )
-            ),
-        )
+        .withColumn("ts", ts)
     )
+    agg_score = F.sum("ts")
+    if scorer == "lm_dirichlet":
+        # + |q| * ln(mu / (dl + mu)): nq is the POST-cap kept-token
+        # count per query (joins on qid, the final window's key); dl
+        # is constant within the (qid, doc_id) group
+        nq = qtok.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("double").alias("nq")
+        )
+        terms = terms.join(nq, "qid")
+        agg_score = agg_score + F.first("nq") * F.log(
+            F.lit(mu) / (F.first("dl") + F.lit(mu))
+        )
     scored = terms.groupBy("qid", "doc_id").agg(
-        F.round(F.sum("ts"), 6).alias("score"),
+        F.round(agg_score, 6).alias("score"),
         F.count(F.lit(1)).cast("long").alias("n_terms"),
     )
     if exclude_self:

@@ -55,3 +55,34 @@ def test_partition_invariance(spark, docs):
 def test_include_self_ranks_first(spark, docs):
     out = _run(spark, docs, exclude_self=False)
     assert int(out.iloc[0]["doc_id"]) == 0, "query doc is its own best match"
+
+
+def test_lm_dirichlet_scorer(spark, docs):
+    """Query-likelihood LM (Dirichlet): same candidate semantics as
+    BM25 — doc 1 (both rare terms) outranks doc 2 (one) — plus
+    partition invariance, and the dl-penalty term is present (scores
+    differ from BM25's)."""
+    qids = spark.createDataFrame([(0,)], "qid long")
+
+    def run(d):
+        return retrieval_topk(
+            d, "doc_id", "text", qids, k=5, min_df=2, max_df_frac=0.5,
+            scorer="lm_dirichlet",
+        ).toPandas().sort_values("rank")
+
+    out = run(docs)
+    assert list(out["doc_id"][:2]) == [1, 2]
+    assert set(out["doc_id"]) == {1, 2}
+    a = run(docs.repartition(1)).reset_index(drop=True)
+    b = run(docs.repartition(7)).reset_index(drop=True)
+    assert a.equals(b)
+    bm = retrieval_topk(
+        docs, "doc_id", "text", qids, k=5, min_df=2, max_df_frac=0.5
+    ).toPandas().sort_values("rank")
+    assert list(out["score"]) != list(bm["score"])
+
+
+def test_unknown_scorer_raises(spark, docs):
+    qids = spark.createDataFrame([(0,)], "qid long")
+    with pytest.raises(ValueError, match="scorer"):
+        retrieval_topk(docs, "doc_id", "text", qids, scorer="nope")
