@@ -94,35 +94,73 @@ def cmd_ngrams(args) -> None:
     from pathlib import Path
 
     from .index.build import IndexPaths, prefixes_from_dictionary
-    from .index.incremental import _link_tree
+    from .index.fileio import LocalFileIO
+
+    fileio = LocalFileIO()
 
     spark = _spark(args)
     cfg = _cfg(args)  # honors --config: prefix table must be built
     # under the SAME min/max edge-ngram knobs as the index
     cur = IndexPaths(Path(args.index)).pin()
     versioned = cur.current_version() is not None
+    man = cur.read_snapshot_manifest()
+    ref_only = man is not None and not man.get("materialized", True)
     if versioned:
         stg = IndexPaths(cur.root, (cur.version or 0) + 1)
         if stg.snapshot_root.exists():
             shutil.rmtree(stg.snapshot_root)
+        stale = stg.snapshot_manifest_file(stg.version or 0)
+        if stale.exists():
+            stale.unlink()
         stg.snapshot_root.mkdir(parents=True)
-        for name in ("docs", "blocks", "dictionary", "dict_partials", "pairs"):
-            src = Path(getattr(cur, name))
-            if src.exists():
-                _link_tree(src, Path(getattr(stg, name)))
+        if not ref_only:
+            # materialized predecessor: share its tables physically
+            # (hardlinks); a reference-only one is carried purely via
+            # the manifest below
+            for name in (
+                "docs", "blocks", "dictionary", "dict_partials", "pairs"
+            ):
+                src = Path(getattr(cur, name))
+                if src.exists():
+                    fileio.share_tree(src, Path(getattr(stg, name)))
         stg.meta.write_text(cur.meta.read_text())
         out = stg
     else:
         out = cur
     t0 = time.time()
-    dictionary = spark.read.parquet(cur.dictionary)
+    from .index.build import read_table
+
+    dictionary = read_table(spark, cur, "dictionary")
     prefixes_from_dictionary(dictionary, cfg).repartitionByRange(
         cfg.build_partitions, "pfx_bucket", "prefix"
     ).sortWithinPartitions("pfx_bucket", "prefix").write.mode(
         "overwrite"
     ).partitionBy("pfx_bucket").parquet(out.prefixes)
     if versioned:
-        IndexPaths(cur.root).publish(out.version, keep=cfg.snapshot_keep)
+        from .index.incremental import _next_entries
+
+        from .index.build import MANIFEST_TABLES
+
+        tables = {}
+        for t in MANIFEST_TABLES:
+            entries = _next_entries(
+                cur, out, t, "full" if t == "prefixes" else set()
+            )
+            if entries:
+                tables[t] = entries
+        out.snapshot_manifest_file(out.version or 0).write_text(
+            json.dumps(
+                {
+                    "version": out.version,
+                    "materialized": not ref_only,
+                    "tables": tables,
+                },
+                indent=2,
+            )
+        )
+        IndexPaths(cur.root).publish(
+            out.version, keep=cfg.snapshot_keep, fileio=fileio
+        )
     print(json.dumps({"prefixes": {
         "seconds": round(time.time() - t0, 3),
         "version": out.version if versioned else None,
@@ -258,12 +296,12 @@ def cmd_info(args) -> None:
     """Index stats (≙ shell DBINFO, addok/shell.py:309-327)."""
     from pathlib import Path
 
-    from .index.build import IndexPaths
+    from .index.build import IndexPaths, read_table
 
     spark = _spark(args)
     paths = IndexPaths(Path(args.index)).pin()
     meta = json.loads(paths.meta.read_text())
-    blocks = spark.read.parquet(paths.blocks)
+    blocks = read_table(spark, paths, "blocks")
     from pyspark.sql import functions as F
 
     agg = blocks.agg(
