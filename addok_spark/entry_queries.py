@@ -1584,6 +1584,53 @@ FROM s
 """
 
 
+_HL_TERMS = ["merge", "vector", "stream"]
+
+
+def q_highlight_snippets(spark, sf_dir):
+    """Search-hit highlighting + snippet windows
+    (textstats.highlight_snippets): per matching doc, the earliest
+    query-term position, total hits, and the ±4-word snippet with
+    term occurrences wrapped in <em> tags — zero-shuffle render pass."""
+    return textstats.highlight_snippets(
+        _docs(spark, sf_dir), "doc_id", "text", _HL_TERMS, window=4
+    )
+
+
+_HL_POS = ", ".join(
+    f"nullif(list_position(words, '{t}'), 0)" for t in _HL_TERMS
+)
+_HL_LIST = "[" + ", ".join(f"'{t}'" for t in _HL_TERMS) + "]"
+_HL_PAT = r"\b(" + "|".join(sorted(_HL_TERMS)) + r")\b"
+
+SQL_HIGHLIGHT_SNIPPETS = f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+hit AS (
+  SELECT id, words,
+         least({_HL_POS})::bigint AS first_pos,
+         len(list_filter(words, x -> list_contains({_HL_LIST}, x)))::bigint
+           AS n_hits
+  FROM w
+),
+snip AS (
+  SELECT id, first_pos, n_hits,
+         array_to_string(
+           list_slice(words, greatest(1, first_pos - 4),
+                      greatest(1, first_pos - 4) + 8), ' ') AS snippet
+  FROM hit WHERE first_pos IS NOT NULL
+)
+SELECT id, first_pos, n_hits, snippet,
+       regexp_replace(snippet, '{_HL_PAT}', '<em>\\1</em>', 'g')
+         AS highlighted
+FROM snip
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_tf": q_tokenize_tf,
     "token_dictionary": q_token_dictionary,
@@ -1632,6 +1679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_context": q_events_context,
     "pii_redact": q_pii_redact,
     "chunk_documents": q_chunk_documents,
+    "highlight_snippets": q_highlight_snippets,
 }
 
 ORACLES: dict[str, str] = {
@@ -1682,4 +1730,5 @@ ORACLES: dict[str, str] = {
     "events_context": SQL_EVENTS_CONTEXT,
     "pii_redact": _sql_pii_redact(),
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "highlight_snippets": SQL_HIGHLIGHT_SNIPPETS,
 }

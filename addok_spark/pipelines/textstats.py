@@ -345,3 +345,71 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         avg.alias("avg_logprob"),
         F.round(F.pow(F.lit(2.0), -avg), 4).alias("ppl"),
     )
+
+
+def highlight_snippets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    window: int = 4,
+    open_tag: str = "<em>",
+    close_tag: str = "</em>",
+) -> DataFrame:
+    """Search-hit highlighting + snippet extraction (the render step a
+    full-text engine performs on its top-k — ≙ the reference returning
+    labels with the matched portion implicit; here the match is made
+    explicit the way Lucene/ES highlighters do).
+
+    For every doc containing ANY query term (normalized word match):
+    ``first_pos`` = 1-based position of the earliest term hit,
+    ``n_hits`` = total term occurrences, ``snippet`` = the
+    ``2*window+1`` normalized words centered on the first hit, and
+    ``highlighted`` = the snippet with every term occurrence wrapped
+    in ``open_tag``/``close_tag``.
+
+    Scale shape: pure per-row column math over one scan — zero
+    shuffle, fully codegen'd (split/array ops + one regexp_replace);
+    the term list is a query-sized literal (tiny), never a join. At
+    100 TB this is the same single-pass map as quality_score."""
+    if not terms:
+        raise ValueError("highlight_snippets needs at least one term")
+    norm = [t.lower() for t in terms]
+    words = tokens_col(F.col(text_col))
+    terms_arr = F.array(*[F.lit(t) for t in norm])
+    base = df.select(
+        F.col(id_col).alias("id"),
+        words.alias("__words"),
+    )
+    # earliest hit: least() skips the NULLs of absent terms (same
+    # semantics in DuckDB's least, so the oracle mirrors exactly)
+    positions = [
+        F.nullif(F.array_position("__words", t), F.lit(0)) for t in norm
+    ]
+    first_pos = positions[0] if len(positions) == 1 else F.least(*positions)
+    hit = base.select(
+        "id",
+        "__words",
+        first_pos.cast("long").alias("first_pos"),
+        F.size(
+            F.filter("__words", lambda w: F.array_contains(terms_arr, w))
+        ).cast("long").alias("n_hits"),
+    ).filter(F.col("first_pos").isNotNull())
+    start = F.greatest(F.lit(1), F.col("first_pos") - F.lit(window))
+    snippet = F.array_join(
+        F.slice("__words", start, F.lit(2 * window + 1)), " "
+    )
+    # normalized snippet contains only [a-z0-9_ ], so \b-bounded
+    # alternation marks exactly the whole-word term hits (Java regex
+    # here, RE2 in the DuckDB oracle — \b and alternation agree)
+    pat = r"\b(" + "|".join(sorted(norm)) + r")\b"
+    out = hit.select(
+        "id",
+        "first_pos",
+        "n_hits",
+        snippet.alias("snippet"),
+        F.regexp_replace(
+            snippet, pat, open_tag + "$1" + close_tag
+        ).alias("highlighted"),
+    )
+    return out

@@ -114,6 +114,7 @@ HEADLINE = [
     "ivf_topk",
     "kmeans_clusters",
     "semdedup_pairs",
+    "highlight_snippets",
 ]
 
 
@@ -564,9 +565,20 @@ def main() -> None:
     hw = _hw_calibration()
     lo_cores, hi_cores = SCALE_N, SCALE_N * 4
     scale_parts = 32
+    # warm the OS page cache over the scaling corpus before ANY timed
+    # run: rep 1's first build otherwise pays the cold parquet reads
+    # alone (r4: lo-level rep 1 ran 33% under reps 2-3, minting an
+    # impossible >1.0 pair efficiency), and which LEVEL pays it
+    # depends on run order — a bias, not noise
+    for f in sorted(Path(corpus_path).rglob("*.parquet")):
+        f.read_bytes()
     runs: dict[int, list[dict]] = {lo_cores: [], hi_cores: []}
     for rep in (1, 2, 3):
-        for cores in (lo_cores, hi_cores):
+        # alternate within-pair order across reps so monotone
+        # host-supply drift inside a pair biases alternate reps in
+        # OPPOSITE directions and cancels in the median
+        order = (lo_cores, hi_cores) if rep % 2 else (hi_cores, lo_cores)
+        for cores in order:
             s = _session(cores, shuffle=scale_parts)
             # warm-up: full code path on a tiny slice (JIT + workers)
             _build_once(

@@ -57,3 +57,38 @@ def test_unigram_logprob(spark):
         assert r["avg_logprob"] < 0
     # "the" appears 8/15 times: its logp = log2(8/15); doc 2 avg == that
     assert out[2]["avg_logprob"] == round(math.log2(8 / 15), 6)
+
+
+def test_highlight_snippets(spark):
+    from addok_spark.pipelines.textstats import highlight_snippets
+
+    rows = [
+        # hit at position 1: window clamps to the text start
+        (1, "merge the tables then sort and scan them all quickly now"),
+        # earliest of two terms wins (vector@3 < merge@6); punctuation
+        # folds away before matching
+        (2, "we need a Vector, then MERGE: yes merge"),
+        # no hit -> filtered out
+        (3, "nothing relevant here"),
+        # hit deep inside: centered +-2 window
+        (4, "a b c d e merge f g h i j"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in highlight_snippets(
+            df, "id", "text", ["merge", "vector"], window=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1]["first_pos"] == 1 and out[1]["n_hits"] == 1
+    assert out[1]["snippet"] == "merge the tables then sort"
+    assert out[1]["highlighted"] == "<em>merge</em> the tables then sort"
+    assert out[2]["first_pos"] == 4 and out[2]["n_hits"] == 3
+    assert out[2]["snippet"] == "need a vector then merge"
+    assert out[2]["highlighted"] == (
+        "need a <em>vector</em> then <em>merge</em>"
+    )
+    assert out[4]["first_pos"] == 6
+    assert out[4]["snippet"] == "d e merge f g"
+    assert out[4]["highlighted"] == "d e <em>merge</em> f g"
