@@ -1302,6 +1302,120 @@ FROM s ORDER BY cosine DESC, id LIMIT 10
 """
 
 # ---------------------------------------------------------------------------
+# embeddings: product quantization (IVF-PQ's compression half)
+
+PQ_M, PQ_KSUB, PQ_SHORTLIST = 4, 8, 50
+
+
+def _pq_setup(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cbs = ann.pq_codebooks(emb, PQ_M, PQ_KSUB)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return emb, cbs, [float(x) for x in qv]
+
+
+def q_pq_codes(spark, sf_dir):
+    """PQ encode (pipelines/ann.py): every vector compressed to m
+    codeword indices via round-6 L2^2 argmin against deterministic
+    subspace codebooks. Code emitted as a '-'-joined string so the
+    driver's value hash is array-layout-independent."""
+    emb, cbs, _ = _pq_setup(spark, sf_dir)
+    enc = ann.pq_encode(emb, cbs)
+    return enc.select(
+        "id", F.array_join(F.col("code"), "-").alias("code_str")
+    )
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over PQ codes (pipelines/ann.py):
+    approximate distance = sum of per-subspace LUT lookups."""
+    emb, cbs, qv = _pq_setup(spark, sf_dir)
+    enc = ann.pq_encode(emb, cbs)
+    return ann.pq_adc_topk(enc, qv, cbs, k=10)
+
+
+def q_pq_rerank_topk(spark, sf_dir):
+    """ADC shortlist + exact cosine rerank (pipelines/ann.py) — the
+    production IVF-PQ recipe end-to-end."""
+    emb, cbs, qv = _pq_setup(spark, sf_dir)
+    return ann.pq_rerank_topk(
+        emb, qv, cbs, shortlist=PQ_SHORTLIST, k=10
+    )
+
+
+# Shared PQ CTE body: codebooks = subspace slices of the PQ_KSUB
+# smallest-id embeddings; dists = round-6 L2^2 of every (vector,
+# subspace, codeword); codes = first-minimum argmin per subspace.
+# Subspace width is derived from the data so the oracle tracks any
+# embedding dim (len(embedding) // PQ_M).
+_SQL_PQ_COMMON = f"""
+cbids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cw
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_KSUB})),
+dsub AS (SELECT (len(embedding) // {PQ_M})::int AS w
+         FROM embeddings LIMIT 1),
+elem0 AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                 unnest(embedding)::double AS x
+          FROM embeddings),
+elem AS (SELECT e.vec_id, (e.i // d.w)::int AS sub,
+                (e.i % d.w)::int AS si, e.x
+         FROM elem0 e, dsub d),
+cb AS (SELECT c.cw, e.sub, e.si, e.x AS cx
+       FROM elem e JOIN cbids c USING (vec_id)),
+dists AS (SELECT e.vec_id, e.sub, c.cw,
+                 round(sum((e.x - c.cx) * (e.x - c.cx)), 6) AS d
+          FROM elem e JOIN cb c ON e.sub = c.sub AND e.si = c.si
+          GROUP BY e.vec_id, e.sub, c.cw),
+codes AS (SELECT vec_id, sub, cw FROM (
+            SELECT vec_id, sub, cw, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d ASC, cw ASC) AS rn
+            FROM dists) WHERE rn = 1)
+"""
+
+SQL_PQ_CODES = f"""
+WITH {_SQL_PQ_COMMON}
+SELECT vec_id AS id,
+       string_agg(cw::varchar, '-' ORDER BY sub) AS code_str
+FROM codes GROUP BY vec_id
+"""
+
+# The query vector is vec 0's embedding, so its per-codeword distance
+# rows in `dists` ARE the ADC lookup table.
+_SQL_PQ_ADC = f"""
+{_SQL_PQ_COMMON},
+adc AS (SELECT c.vec_id, round(sum(q.d), 6) AS adc
+        FROM codes c JOIN dists q
+          ON q.vec_id = 0 AND c.sub = q.sub AND c.cw = q.cw
+        GROUP BY c.vec_id)
+"""
+
+SQL_PQ_ADC_TOPK = f"""
+WITH {_SQL_PQ_ADC},
+codestr AS (SELECT vec_id,
+                   string_agg(cw::varchar, '-' ORDER BY sub) AS code_str
+            FROM codes GROUP BY vec_id)
+SELECT a.vec_id AS id, s.code_str, a.adc
+FROM adc a JOIN codestr s USING (vec_id)
+ORDER BY a.adc ASC, id ASC LIMIT 10
+"""
+
+SQL_PQ_RERANK_TOPK = f"""
+WITH {_SQL_PQ_ADC},
+short AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC
+          LIMIT {PQ_SHORTLIST}),
+qvec AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+zz AS (SELECT e.vec_id, unnest(e.embedding)::double AS x,
+              unnest(qvec.qv)::double AS y
+       FROM embeddings e, qvec
+       WHERE e.vec_id IN (SELECT vec_id FROM short)),
+s2 AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx,
+              sum(y * y) AS ny
+       FROM zz GROUP BY vec_id)
+SELECT vec_id AS id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM s2 ORDER BY cosine DESC, id LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
 # events (streaming-shaped analytics, batch-checkable)
 
 
@@ -1663,6 +1777,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_pairs": q_semdedup_pairs,
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
+    "pq_rerank_topk": q_pq_rerank_topk,
     "lsh_buckets": q_lsh_buckets,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -1718,6 +1835,9 @@ ORACLES: dict[str, str] = {
     "ivf_topk": SQL_IVF_TOPK,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "semdedup_pairs": SQL_SEMDEDUP_PAIRS,
+    "pq_codes": SQL_PQ_CODES,
+    "pq_adc_topk": SQL_PQ_ADC_TOPK,
+    "pq_rerank_topk": SQL_PQ_RERANK_TOPK,
     "lsh_buckets": _sql_lsh_buckets(),
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

@@ -501,3 +501,203 @@ def ivf_topk_partitioned(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+def _l2sq_col(a, b):
+    """Sequential-fold squared L2 distance of two double arrays (same
+    ascending-index order as the oracle's unrolled sum)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ "training": split the vector into ``m``
+    subspaces; subspace ``s``'s codebook is the ``s``-th slice of the
+    ``ksub`` smallest-id embeddings (the same reproducible stand-in
+    ivf_cells uses for its coarse quantizer — a k-means-trained
+    codebook plugs into the encode/search below unchanged).
+    Returns ``codebooks[s][j]`` = codeword ``j`` of subspace ``s``;
+    driver-held m·ksub·(dim/m) doubles = ksub·dim — tiny."""
+    full = ivf_cells(emb, ksub, id_col, vec_col)
+    dim = len(full[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [v[s * dsub : (s + 1) * dsub] for v in full] for s in range(m)
+    ]
+
+
+def _pq_codebook_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """All subspace codebooks as ONE one-row DataFrame
+    (``array<array<struct<c,v>>>``, outer index = subspace) — data,
+    not plan literals, same policy as the IVF codebook."""
+    rows = [
+        (
+            [
+                [(j, [float(x) for x in cw]) for j, cw in enumerate(cb)]
+                for cb in codebooks
+            ],
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "_pq array<array<struct<c:int,v:array<double>>>>"
+    )
+
+
+def _argmin_code(subvec, cands):
+    """First-minimum fold: codeword index with the smallest round-6
+    L2² distance, ties → lowest index (strict < keeps the first)."""
+    init = F.struct(F.lit(-1).alias("c"), F.lit(1e300).alias("best"))
+
+    def step(acc, cand):
+        d = F.round(_l2sq_col(subvec, cand["v"]), 6)
+        better = d < acc["best"]
+        return F.struct(
+            F.when(better, cand["c"]).otherwise(acc["c"]).alias("c"),
+            F.when(better, d).otherwise(acc["best"]).alias("best"),
+        )
+
+    return F.aggregate(cands, init, step)["c"]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its PQ code (array<int>, one codeword
+    index per subspace) — dim floats compress to m small ints (the
+    32-64× memory cut that makes a 100-TB embedding store scannable).
+
+    Scale shape: one broadcast one-row codebook join + a per-row
+    argmin fold per subspace — zero shuffle, no UDF, plan size O(1)
+    in ksub. Encode once, persist ``(id, code)``; ADC search then
+    never touches the raw vectors."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cdf = _pq_codebook_df(df.sparkSession, codebooks)
+    vec = F.col(vec_col)
+    code = F.array(
+        *[
+            _argmin_code(
+                F.slice(vec, s * dsub + 1, dsub), F.col("_pq")[s]
+            )
+            for s in range(m)
+        ]
+    )
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .select(F.col(id_col).alias("id"), code.alias("code"))
+    )
+
+
+def pq_query_lut(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Per-subspace lookup table for one query: ``lut[s][j]`` =
+    round-6 L2² distance from the query's subspace-``s`` slice to
+    codeword ``j``. Query-sized driver math (m·ksub doubles) — rides
+    the plan as literals the way the query vector itself does."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = []
+    for s in range(m):
+        qs = [float(x) for x in query_vec[s * dsub : (s + 1) * dsub]]
+        lut.append(
+            [
+                _round6_half_up(
+                    sum((qx - cx) ** 2 for qx, cx in zip(qs, cw))
+                )
+                for cw in codebooks[s]
+            ]
+        )
+    return lut
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approximate distance =
+    Σ_s lut[s][code_s] (one array lookup + add per subspace — no
+    vector math in the scan at all). Ascending distance, ties → id.
+    This is the classic ADC scan of IVF-PQ; at scale it reads only
+    the (id, code) columns — m bytes/row instead of dim·4."""
+    lut = pq_query_lut(query_vec, codebooks)
+    lut_col = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("code"),
+                lut_col,
+                lambda c, row: F.element_at(row, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        encoded.select(
+            "id",
+            F.array_join(F.col("code"), "-").alias("code_str"),
+            adc.alias("adc"),
+        )
+        .orderBy(F.asc("adc"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shortlist: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """The production IVF-PQ recipe end-to-end: ADC over the codes for
+    a cheap shortlist, then EXACT cosine rerank of only those
+    ``shortlist`` rows (a broadcast semi-join — shortlist ≪ corpus,
+    so the expensive math touches a constant number of vectors)."""
+    enc = pq_encode(emb, codebooks, id_col, vec_col)
+    short = pq_adc_topk(enc, query_vec, codebooks, k=shortlist).select(
+        "id"
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        .join(F.broadcast(short), "id")
+        .select(
+            "id", F.round(cosine_col(F.col("vec"), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -247,3 +247,71 @@ def test_semdedup_cell_cap_splits_mega_cluster(spark):
     assert len(capped) < len(uncapped)
     # ...but plenty survive within sub-cells
     assert len(capped) > 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+def test_pq_codebooks_shape_and_determinism(emb):
+    m, ksub = 4, 8
+    cbs = ann.pq_codebooks(emb, m, ksub)
+    assert len(cbs) == m
+    assert all(len(cb) == ksub for cb in cbs)
+    assert all(len(cw) == DIM // m for cb in cbs for cw in cb)
+    # same input -> identical codebooks (deterministic training stand-in)
+    assert cbs == ann.pq_codebooks(emb, m, ksub)
+    with pytest.raises(ValueError):
+        ann.pq_codebooks(emb, 5, ksub)  # 16 % 5 != 0
+
+
+def test_pq_encode_codeword_vectors_are_self_coded(emb):
+    """A vector that IS codeword j in every subspace encodes to
+    [j]*m (distance 0 beats everything, ties go to the first
+    minimum)."""
+    m, ksub = 4, 8
+    cbs = ann.pq_codebooks(emb, m, ksub)
+    enc = {r["id"]: r["code"] for r in ann.pq_encode(emb, cbs).collect()}
+    assert len(enc) == N
+    assert all(len(c) == m and all(0 <= x < ksub for x in c) for c in enc.values())
+    # codebook rows came from the ksub smallest-id embeddings
+    for j in range(ksub):
+        assert enc[j] == [j] * m
+
+
+def test_pq_adc_zero_distance_for_query_itself(emb):
+    m, ksub = 4, 8
+    cbs = ann.pq_codebooks(emb, m, ksub)
+    enc = ann.pq_encode(emb, cbs)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    top = ann.pq_adc_topk(enc, qv, cbs, k=5).collect()
+    # vec 3 is codeword 3 in every subspace: its ADC distance is 0
+    assert top[0]["id"] == 3 and top[0]["adc"] == 0.0
+    # ascending distance, deterministic tie-break
+    adcs = [r["adc"] for r in top]
+    assert adcs == sorted(adcs)
+
+
+def test_pq_rerank_recall_vs_brute_force(emb):
+    """ADC shortlist + exact rerank recovers most of the brute-force
+    top-k even with the crude stand-in codebooks; with shortlist=N it
+    recovers it exactly."""
+    m, ksub = 4, 8
+    cbs = ann.pq_codebooks(emb, m, ksub)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = [r["id"] for r in ann.cosine_topk(emb, qv, "vec_id", "embedding", k=10).collect()]
+    full = [r["id"] for r in ann.pq_rerank_topk(emb, qv, cbs, shortlist=N, k=10).collect()]
+    assert full == exact  # full shortlist == brute force, same order
+    short = [r["id"] for r in ann.pq_rerank_topk(emb, qv, cbs, shortlist=20, k=10).collect()]
+    assert len(set(short) & set(exact)) >= 5  # partial shortlist: real recall
+
+
+def test_pq_encode_partition_invariant(emb):
+    m, ksub = 4, 8
+    cbs = ann.pq_codebooks(emb, m, ksub)
+    a = {r["id"]: r["code"] for r in ann.pq_encode(emb, cbs).collect()}
+    b = {
+        r["id"]: r["code"]
+        for r in ann.pq_encode(emb.repartition(13), cbs).collect()
+    }
+    assert a == b
