@@ -115,6 +115,9 @@ HEADLINE = [
     "kmeans_clusters",
     "semdedup_pairs",
     "highlight_snippets",
+    "retrieval_lm_topk",
+    "pq_adc_topk",
+    "pq_rerank_topk",
 ]
 
 
