@@ -1745,7 +1745,110 @@ FROM snip
 """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-span fraction per document (Lee et al. 2022
+    substring-dedup signal) at 8-token window granularity — see
+    pipelines/dedup.py:duplicate_spans for the scale notes."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DUPLICATE_SPANS = """
+WITH t AS (
+  SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS ts
+  FROM documents),
+spine AS (SELECT id, greatest(len(ts) - 7, 0)::int AS n_windows, ts FROM t),
+pos AS (
+  SELECT id, substr(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 12) AS hk
+  FROM (SELECT id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+        FROM spine WHERE n_windows > 0)),
+dup AS (SELECT hk FROM pos GROUP BY hk HAVING count(DISTINCT id) >= 2),
+dw AS (
+  SELECT id, count(*)::int AS dup_windows
+  FROM pos JOIN dup USING (hk) GROUP BY id)
+SELECT spine.id, spine.n_windows,
+  coalesce(dw.dup_windows, 0) AS dup_windows,
+  round(coalesce(dw.dup_windows, 0) / greatest(spine.n_windows, 1), 6)
+    AS dup_frac
+FROM spine LEFT JOIN dw ON spine.id = dw.id
+"""
+
+
+def q_quality_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail perplexity buckets —
+    see pipelines/textstats.py:quality_buckets."""
+    return textstats.quality_buckets(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_QUALITY_BUCKETS = f"""
+WITH lp AS ({SQL_UNIGRAM_LOGPROB.strip()}),
+base AS (
+  SELECT d.doc_id AS id, d.lang, lp.avg_logprob
+  FROM documents d JOIN lp ON d.doc_id = lp.id),
+nt AS (
+  SELECT id, lang, avg_logprob,
+    ntile(3) OVER (PARTITION BY lang ORDER BY avg_logprob DESC, id)
+      AS bucket_idx
+  FROM base)
+SELECT id, lang, avg_logprob, bucket_idx,
+  CASE bucket_idx WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+    ELSE 'middle' END AS bucket
+FROM nt
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-bigram importance weights toward the English
+    subset as the target domain — see
+    pipelines/sampling.py:dsir_weights."""
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en").select("doc_id")
+    return sampling.dsir_weights(docs, "doc_id", "text", target)
+
+
+SQL_DSIR_WEIGHTS = """
+WITH t AS (
+  SELECT doc_id AS id, lang,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS ts
+  FROM documents),
+feats AS (
+  SELECT id, lang,
+    ('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 1), ' ')), 1, 12))::BIGINT % 64
+      AS bucket
+  FROM (SELECT id, lang, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM t WHERE len(ts) >= 2)),
+doc_hist AS (
+  SELECT id, bucket, count(*)::bigint AS cnt FROM feats GROUP BY id, bucket),
+dist AS (
+  SELECT bucket, count(*)::bigint AS raw_cnt,
+    count(*) FILTER (WHERE lang = 'en')::bigint AS tgt_cnt
+  FROM feats GROUP BY bucket),
+totals AS (
+  SELECT sum(raw_cnt)::double AS raw_total, sum(tgt_cnt)::double AS tgt_total
+  FROM dist),
+ratio AS (
+  SELECT bucket,
+    ln((tgt_cnt + 1.0) / (tgt_total + 64))
+      - ln((raw_cnt + 1.0) / (raw_total + 64)) AS log_ratio
+  FROM dist CROSS JOIN totals),
+per_doc AS (
+  SELECT id, sum(cnt)::int AS n_feats,
+    list_sort(list({'bucket': d.bucket, 'term': d.cnt * r.log_ratio}))
+      AS terms
+  FROM doc_hist d JOIN ratio r USING (bucket) GROUP BY id)
+SELECT id, n_feats,
+  round(list_aggregate(list_transform(terms, x -> x.term), 'sum'), 6)
+    AS log_weight
+FROM per_doc
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "duplicate_spans": q_duplicate_spans,
+    "quality_buckets": q_quality_buckets,
+    "dsir_weights": q_dsir_weights,
     "tokenize_tf": q_tokenize_tf,
     "token_dictionary": q_token_dictionary,
     "postings_topk": q_postings_topk,
@@ -1800,6 +1903,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "quality_buckets": SQL_QUALITY_BUCKETS,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "token_kinds": SQL_TOKEN_KINDS,
     "doc_labels": SQL_DOC_LABELS,
     "lsh_topk_multiprobe": _sql_lsh_topk_multiprobe(),

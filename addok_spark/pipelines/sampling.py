@@ -283,3 +283,100 @@ SELECT {id_col}, bucket, n_tokens,
             / {budget}) AS bigint) AS pack_id
 FROM t
 """
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_ids: DataFrame,
+    n_feat_buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how target-domain-like it is under
+    hashed n-gram features, log w(x) = Σ_f  c_f(x)·(log p̂_target(f)
+    − log p̂_raw(f)), with add-1 smoothing over the feature buckets.
+    Resampling the raw corpus ∝ w(x) shifts it toward the target
+    domain. ``target_ids`` is a one-column ``id`` DataFrame naming
+    the target-domain exemplars (they also remain part of raw).
+
+    Features are word bigrams hashed into ``n_feat_buckets`` buckets
+    via a 48-bit md5 prefix — md5 for engine-portable determinism
+    (same rationale as every other hash in this package).
+
+    Scale shape: one tokenize+bigram scan → per-(doc, bucket) counts
+    (map-side combinable) → the two distribution tables are
+    ``n_feat_buckets`` rows each (BOUNDED by construction, unlike a
+    vocabulary — safe to broadcast at any corpus size) → per-doc
+    weighted fold. The per-doc sum folds over an array sorted by
+    bucket id, so the float result is bit-deterministic across
+    partitionings and matches the oracle's identical sorted fold.
+    ``target_ids`` joins via left_semi on the doc id — broadcast only
+    if Spark/AQE decides it's small; no forced hint.
+    """
+    from .dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("ts")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 1),
+        lambda i: F.array_join(F.slice("ts", i, 2), " "),
+    )
+    feats = (
+        toks.filter(F.size("ts") >= 2)
+        .select("id", F.explode(bigrams).alias("bg"))
+        .select(
+            "id",
+            (
+                F.conv(F.substring(F.md5("bg"), 1, 12), 16, 10).cast("long")
+                % n_feat_buckets
+            ).alias("bucket"),
+        )
+    )
+    doc_hist = feats.groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    raw_dist = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt")
+    )
+    tgt_dist = (
+        feats.join(target_ids.select(F.col(target_ids.columns[0]).alias("id")), "id", "left_semi")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    )
+    # bounded (n_feat_buckets rows): totals + smoothed log ratio
+    dist = (
+        raw_dist.join(tgt_dist, "bucket", "left")
+        .select("bucket", "raw_cnt", F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"))
+    )
+    totals = dist.agg(
+        F.sum("raw_cnt").cast("double").alias("raw_total"),
+        F.sum("tgt_cnt").cast("double").alias("tgt_total"),
+    )
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_cnt") + 1.0) / (F.col("tgt_total") + n_feat_buckets))
+            - F.log((F.col("raw_cnt") + 1.0) / (F.col("raw_total") + n_feat_buckets))
+        ).alias("log_ratio"),
+    )
+    per_doc = (
+        doc_hist.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_feats"),
+            F.array_sort(
+                F.collect_list(F.struct("bucket", (F.col("cnt") * F.col("log_ratio")).alias("term")))
+            ).alias("terms"),
+        )
+    )
+    return per_doc.select(
+        "id",
+        "n_feats",
+        F.round(
+            F.aggregate("terms", F.lit(0.0), lambda a, x: a + x["term"]),
+            6,
+        ).alias("log_weight"),
+    )

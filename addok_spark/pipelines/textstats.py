@@ -5,7 +5,7 @@ where noted)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _md5_long, tokens_col, word_shingles
@@ -413,3 +413,53 @@ def highlight_snippets(
         ).alias("highlighted"),
     )
     return out
+
+
+def quality_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): rank documents within each language by LM
+    perplexity and cut the ranking into equal-frequency buckets —
+    bucket 1 ≙ CCNet "head" (most fluent), the last ≙ "tail". CCNet
+    uses a kenlm 5-gram; this uses the corpus's own unigram LM
+    (``unigram_logprob``) as the env-available stand-in — the
+    bucketing machinery is identical.
+
+    Determinism: ntile runs over (rounded avg_logprob DESC, id) — the
+    6-dp rounding is the precision at which the unigram LM is already
+    proven bit-equal to the oracle, and the id tiebreak makes the
+    total order unique, so bucket assignment is partition- and
+    engine-invariant.
+
+    Scale shape: the per-language window sort is the only shuffle
+    beyond the LM itself; languages are a bounded partition key
+    (dozens of values) and ntile needs no full materialization — rank
+    streams through the sorted window. At 100 TB a single language
+    still dominates (skew), so a real deployment would swap ntile for
+    a two-pass quantile cut (approxQuantile on avg_logprob, then a
+    stateless bucket lookup — no global sort); the window form is
+    kept here because it is the exact-semantics reference and the
+    oracle twin.
+    """
+    lp = unigram_logprob(df, id_col, text_col)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+    ).join(lp, "id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("id")
+    )
+    names = F.when(F.col("bucket_idx") == 1, F.lit("head")).otherwise(
+        F.when(F.col("bucket_idx") == n_buckets, F.lit("tail")).otherwise(
+            F.lit("middle")
+        )
+    )
+    return (
+        base.withColumn("bucket_idx", F.ntile(n_buckets).over(w))
+        .withColumn("bucket", names)
+        .select("id", "lang", "avg_logprob", "bucket_idx", "bucket")
+    )

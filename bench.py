@@ -118,6 +118,9 @@ HEADLINE = [
     "retrieval_lm_topk",
     "pq_adc_topk",
     "pq_rerank_topk",
+    "duplicate_spans",
+    "quality_buckets",
+    "dsir_weights",
 ]
 
 
