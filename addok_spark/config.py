@@ -40,6 +40,17 @@ class FieldSpec:
     # doc: ...}``, tests/test_index_utils.py:247-263): a callable
     # can't vectorize, a column expression can
     boost_col: str | None = None
+    # reference-parity escape hatch: the callable itself
+    # (``boost(doc)`` → number, called with the document as a dict).
+    # The build materializes it into a generated boost column via an
+    # Arrow-batched pandas UDF before analysis (index/build.py:
+    # materialize_callable_boosts) — the per-row Python call is
+    # inherent to a Python-callable knob; everything downstream stays
+    # on the vectorized boost_col path. Prefer boost_col where the
+    # boost is expressible as a column. Takes precedence over
+    # boost_col when both are set. Cloudpickled with the UDF closure,
+    # so config-module lambdas work.
+    boost_fn: object | None = None
 
 
 @dataclass
@@ -281,25 +292,24 @@ def config_from_module(path: str, **overrides) -> "EngineConfig":
             kw["log_dir"] = str(val)
             continue
         if name == "FIELDS":
-            for f in val:
-                if callable(f.get("boost", 1.0)):
-                    # the reference allows `boost=lambda doc: ...`
-                    # (tests/test_index_utils.py:247-263); silently
-                    # indexing with boost=1.0 instead would be a knob
-                    # doing nothing — this module's worst failure mode
-                    raise ValueError(
-                        f"FIELDS[{f['key']!r}].boost is callable: "
-                        "per-document boosts are not evaluable inside "
-                        "a distributed column plan. Materialize the "
-                        "boost as a numeric document column and point "
-                        "boost_col at it (FieldSpec.boost_col)."
-                    )
+            # `boost=lambda doc: ...` (tests/test_index_utils.py:
+            # 247-263) maps to FieldSpec.boost_fn — materialized into
+            # a generated boost column at build time, never silently
+            # dropped (a knob doing nothing is this module's worst
+            # failure mode)
             kw["fields"] = tuple(
                 FieldSpec(
                     name=f["key"],
-                    boost=float(f.get("boost", 1.0)),
+                    boost=(
+                        1.0
+                        if callable(f.get("boost", 1.0))
+                        else float(f.get("boost", 1.0))
+                    ),
                     allow_null=bool(f.get("null", True)),
                     boost_col=f.get("boost_col"),
+                    boost_fn=(
+                        f["boost"] if callable(f.get("boost")) else None
+                    ),
                 )
                 for f in val
             )

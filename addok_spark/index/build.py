@@ -873,9 +873,55 @@ def enforce_field_nulls(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     return docs if pred is None else docs.filter(~pred)
 
 
+def materialize_callable_boosts(
+    docs: DataFrame, cfg: EngineConfig
+) -> tuple[DataFrame, EngineConfig]:
+    """Evaluate callable FIELDS boosts (reference ``boost(doc)``,
+    helpers/index.py:121-141 via tests/test_index_utils.py:247-263)
+    into generated per-document columns and rewrite the specs onto
+    the vectorized ``boost_col`` path.
+
+    The callable receives the document as a dict of the source
+    columns (reference parity: it sees the raw doc, not the analyzed
+    form). Evaluation is an Arrow-batched pandas UDF — the per-row
+    Python call is inherent to a Python-callable knob, but it runs
+    once per document at build time, stays off the posting hot path,
+    and adds no shuffle. Lambdas from ``--config`` modules work
+    because the UDF closure is cloudpickled."""
+    import dataclasses
+
+    if not any(f.boost_fn for f in cfg.fields):
+        return docs, cfg
+    src_cols = [c for c in docs.columns if not c.startswith("__")]
+    new_fields = []
+    for f in cfg.fields:
+        if not f.boost_fn or f.name not in docs.columns:
+            new_fields.append(f)
+            continue
+        colname = f"__boost_fn_{f.name}"
+
+        def _make(fn):
+            def _eval(batch: pd.DataFrame) -> pd.Series:
+                return pd.Series(
+                    [float(fn(r)) for r in batch.to_dict("records")],
+                    index=batch.index,
+                    dtype="float64",
+                )
+
+            return _eval
+
+        udf = F.pandas_udf(_make(f.boost_fn), "double")
+        docs = docs.withColumn(colname, udf(F.struct(*src_cols)))
+        new_fields.append(
+            dataclasses.replace(f, boost_col=colname, boost_fn=None)
+        )
+    return docs, dataclasses.replace(cfg, fields=tuple(new_fields))
+
+
 def analyze_docs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """docs → docs + ``__an`` struct (toks array + dl). One
     mapInArrow pass, no shuffle (see ``_make_doc_analyzer``)."""
+    docs, cfg = materialize_callable_boosts(docs, cfg)
     field_specs = [
         (f.name, f.boost, f.boost_col)
         for f in cfg.fields

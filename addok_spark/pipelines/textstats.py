@@ -463,3 +463,58 @@ def quality_buckets(
         .withColumn("bucket", names)
         .select("id", "lang", "avg_logprob", "bucket_idx", "bucket")
     )
+
+
+def quality_buckets_quantile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100-TB execution path for ``quality_buckets``: replace the
+    per-language window sort (whose cost is a full sort of the
+    dominant language) with a two-pass quantile cut — pass 1 computes
+    per-language approximate logprob quantiles (percentile_approx, a
+    map-side-combinable sketch; result is langs × (n_buckets-1) rows,
+    broadcastable at any corpus size), pass 2 assigns buckets by a
+    stateless comparison against the cut points. No global sort, no
+    window; the plan is two scans and a broadcast join.
+
+    Semantics: bucket boundaries are approximate where ntile's are
+    exact-rank (ties around a cut point may land one bucket off, and
+    bucket populations are equal only to sketch accuracy) — the
+    standard CCNet-scale tradeoff. Same output shape as
+    ``quality_buckets``.
+    """
+    lp = unigram_logprob(df, id_col, text_col)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+    ).join(lp, "id")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = base.groupBy("lang").agg(
+        F.percentile_approx(
+            "avg_logprob", F.array(*[F.lit(p) for p in probs]), accuracy
+        ).alias("cuts")
+    )
+    # avg_logprob DESC ranking: bucket 1 = above the (1 - 1/n)
+    # quantile, so count how many cut points (ascending) the doc
+    # clears from the top
+    joined = base.join(F.broadcast(cuts), "lang")
+    bucket_idx = (
+        F.lit(n_buckets)
+        - F.size(
+            F.filter("cuts", lambda c: F.col("avg_logprob") > c)
+        )
+    ).cast("int")
+    names = F.when(F.col("bucket_idx") == 1, F.lit("head")).otherwise(
+        F.when(F.col("bucket_idx") == n_buckets, F.lit("tail")).otherwise(
+            F.lit("middle")
+        )
+    )
+    return (
+        joined.withColumn("bucket_idx", bucket_idx)
+        .withColumn("bucket", names)
+        .select("id", "lang", "avg_logprob", "bucket_idx", "bucket")
+    )

@@ -130,14 +130,19 @@ def test_log_flags_without_dir_default_to_cwd(monkeypatch):
     assert cfg.log_queries is True and cfg.log_dir == "."
 
 
-def test_callable_fields_boost_raises(tmp_path):
-    """ADVICE r4: the reference allows FIELDS boost=lambda doc: ...;
-    silently indexing it as 1.0 would be a knob doing nothing. The
-    loader must refuse and point at the boost_col per-document
-    override."""
+def test_callable_fields_boost_maps_to_boost_fn(tmp_path):
+    """The reference allows FIELDS boost=lambda doc: ...
+    (tests/test_index_utils.py:247-263). The loader carries the
+    callable on FieldSpec.boost_fn — the build materializes it into
+    a generated boost column (index/build.py:
+    materialize_callable_boosts); nothing is silently dropped."""
     path = _write(
         tmp_path,
-        "FIELDS = [{'key': 'text', 'boost': lambda doc: 2.0}]\n",
+        "FIELDS = [{'key': 'text', 'boost': lambda doc: 2.0},"
+        " {'key': 'tool'}]\n",
     )
-    with pytest.raises(ValueError, match="boost_col"):
-        config_from_module(path)
+    cfg = config_from_module(path)
+    assert cfg.fields[0].boost_fn is not None
+    assert cfg.fields[0].boost_fn({"text": "x"}) == 2.0
+    assert cfg.fields[0].boost == 1.0  # static fallback stays neutral
+    assert cfg.fields[1].boost_fn is None

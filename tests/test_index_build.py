@@ -532,3 +532,40 @@ def test_resume_skips_completed_stages(spark, tiny_corpus, tiny_cfg, built):
     build_index(spark, tiny_corpus, tiny_cfg, str(built.root), resume=True)
     after = json.loads(built.manifest.read_text())["stages"]["blocks"]
     assert before == after
+
+
+def test_callable_boost_matches_reference_scenario(spark, tmp_index_root):
+    """≙ reference test_should_be_possible_to_override_boost_with_callable
+    (tests/test_index_utils.py:247-263) with the ACTUAL callable:
+    FIELDS boost=lambda doc: 5 on the primary field → w|lilas == 5
+    while the other field keeps boost 1 (w|cergy == 1). The callable
+    sees the document as a dict of source columns; here it reads one
+    to prove per-DOCUMENT evaluation, not a constant fold."""
+    from addok_spark.serving.local import ParquetIndex
+
+    cfg = EngineConfig(
+        fields=(
+            FieldSpec("text", 1.0, boost_fn=lambda doc: doc["importance"] * 10),
+            FieldSpec("tool", 1.0),
+        ),
+        build_partitions=2, doc_bucket_bits=2, posting_block_size=4,
+    )
+    rows = [
+        ("c", 0, "user", "Lilas", "Cergy", 0.5),   # fn → 5.0
+        ("c", 1, "user", "Voltaire", None, 0.2),   # fn → 2.0
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, importance double")
+    df = spark.createDataFrame(rows, schema)
+    paths = build_index(
+        spark, df, cfg, str(Path(tmp_index_root) / "bfn")
+    )
+    idx = ParquetIndex(str(paths.root), cfg)
+    docs = {
+        r["turn_idx"]: int(r["doc_index"])
+        for r in spark.read.parquet(paths.docs).collect()
+    }
+    # w|lilas = 5/1-token + importance*0.1; w|cergy = 1 + imp*0.1
+    assert abs(idx.boost_of("lilas", docs[0]) - (5.0 + 0.05)) < 1e-6
+    assert abs(idx.boost_of("cergy", docs[0]) - (1.0 + 0.05)) < 1e-6
+    assert abs(idx.boost_of("voltaire", docs[1]) - (2.0 + 0.02)) < 1e-6

@@ -99,3 +99,33 @@ def test_dsir_weights_deterministic_across_partitionings(spark):
     b = {r["id"]: r["log_weight"] for r in
          dsir_weights(df.repartition(17), "doc_id", "text", target).collect()}
     assert a == b
+
+
+def test_quality_buckets_quantile_path_agrees(spark):
+    # the no-global-sort scale path must produce the same bucketing
+    # as exact ntile up to cut-point ties (high sketch accuracy +
+    # distinct logprobs → exact agreement expected on most docs)
+    from addok_spark.pipelines.textstats import quality_buckets_quantile
+
+    rows = []
+    for li, lang in enumerate(("en", "fr")):
+        for i in range(30):
+            common = " ".join(["the"] * max(1, 30 - i))
+            rare = " ".join(f"z{lang}{i}w{j}" for j in range(i))
+            rows.append((li * 100 + i, lang, f"{common} {rare}".strip()))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    exact = {r["id"]: r for r in quality_buckets(df, "doc_id", "text").collect()}
+    approx = {r["id"]: r for r in
+              quality_buckets_quantile(df, "doc_id", "text").collect()}
+    assert set(exact) == set(approx)
+    # per-lang: buckets are monotone in avg_logprob on BOTH paths
+    for out in (exact, approx):
+        for lang in ("en", "fr"):
+            rs = [r for r in out.values() if r["lang"] == lang]
+            head_min = min(r["avg_logprob"] for r in rs if r["bucket_idx"] == 1)
+            tail_max = max(r["avg_logprob"] for r in rs if r["bucket_idx"] == 3)
+            assert head_min >= tail_max
+    agree = sum(
+        exact[i]["bucket_idx"] == approx[i]["bucket_idx"] for i in exact
+    )
+    assert agree / len(exact) >= 0.9
