@@ -1745,6 +1745,135 @@ FROM snip
 """
 
 
+def q_semantic_topk(spark, sf_dir):
+    """Batched exact cosine top-k for a TABLE of query vectors
+    (pipelines/retrieval.py:semantic_topk) — the multi-query twin of
+    cosine_topk; query vectors are the % 17 == 0 subset, self-hits
+    excluded before ranking."""
+    emb = _emb(spark, sf_dir)
+    qvecs = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return retrieval.semantic_topk(
+        emb, "vec_id", "embedding", qvecs, "qid", "qv", k=10,
+        exclude_self=True,
+    )
+
+
+SQL_SEMANTIC_TOPK = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id % 17 = 0),
+z AS (
+  SELECT q.qid, e.vec_id AS doc_id,
+         unnest(e.embedding)::double AS x, unnest(q.qv)::double AS y
+  FROM embeddings e, q),
+s AS (
+  SELECT qid, doc_id, sum(x * y) AS dot, sum(x * x) AS nx,
+         sum(y * y) AS ny
+  FROM z GROUP BY qid, doc_id),
+c AS (
+  SELECT qid, doc_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+  FROM s WHERE doc_id <> qid)
+SELECT qid, doc_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, doc_id)::bigint AS rank
+  FROM c
+) WHERE rank <= 10
+"""
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid BM25 + exact-cosine retrieval fused with Reciprocal
+    Rank Fusion (pipelines/retrieval.py:hybrid_rrf_topk). Query docs
+    are the % 17 == 0 subset; embeddings align vec_id ≡ doc_id in
+    the synthetic tables."""
+    docs = _docs(spark, sf_dir)
+    qids = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    return retrieval.hybrid_rrf_topk(
+        docs, "doc_id", "text", _emb(spark, sf_dir), "vec_id",
+        "embedding", qids, k=5, pool=20, max_df_frac=0.9,
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, count(*)::bigint AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::double AS n_docs, avg(dl)::double AS avgdl FROM dl),
+df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token),
+qtok AS (
+  SELECT qid, token FROM (
+    SELECT tf.doc_id AS qid, tf.token,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY df.df, tf.token) AS qrn
+    FROM tf JOIN df USING (token) CROSS JOIN stats
+    WHERE tf.doc_id % 17 = 0
+      AND df.df >= 2 AND df.df <= stats.n_docs * 0.9
+  ) WHERE qrn <= 6
+),
+terms AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * {K1 + 1.0})
+           / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)) AS ts
+  FROM qtok q JOIN tf USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df USING (token) CROSS JOIN stats
+),
+lexscored AS (
+  SELECT qid, doc_id, round(sum(ts), 6) AS score
+  FROM terms WHERE doc_id <> qid GROUP BY qid, doc_id
+),
+lex AS (
+  SELECT qid, doc_id, lex_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, doc_id)::bigint
+      AS lex_rank
+    FROM lexscored
+  ) WHERE lex_rank <= 20
+),
+qv AS (
+  SELECT vec_id AS qid, embedding AS qve FROM embeddings
+  WHERE vec_id % 17 = 0),
+z AS (
+  SELECT qv.qid, e.vec_id AS doc_id,
+         unnest(e.embedding)::double AS x, unnest(qv.qve)::double AS y
+  FROM embeddings e, qv),
+sdot AS (
+  SELECT qid, doc_id, sum(x * y) AS dot, sum(x * x) AS nx,
+         sum(y * y) AS ny
+  FROM z GROUP BY qid, doc_id),
+csc AS (
+  SELECT qid, doc_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+  FROM sdot WHERE doc_id <> qid),
+sem AS (
+  SELECT qid, doc_id, sem_rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, doc_id)::bigint
+      AS sem_rank
+    FROM csc
+  ) WHERE sem_rank <= 20
+),
+fused AS (
+  SELECT qid, doc_id,
+         round(coalesce(1.0 / (60 + lex_rank), 0.0)
+               + coalesce(1.0 / (60 + sem_rank), 0.0), 6) AS rrf_score,
+         coalesce(lex_rank, 0)::bigint AS lex_rank,
+         coalesce(sem_rank, 0)::bigint AS sem_rank
+  FROM lex FULL OUTER JOIN sem USING (qid, doc_id)
+)
+SELECT qid, doc_id, rank, rrf_score, lex_rank, sem_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY rrf_score DESC, doc_id)::bigint
+    AS rank
+  FROM fused
+) WHERE rank <= 5
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Exact duplicated-span fraction per document (Lee et al. 2022
     substring-dedup signal) at 8-token window granularity — see
@@ -1846,6 +1975,8 @@ FROM per_doc
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "semantic_topk": q_semantic_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "duplicate_spans": q_duplicate_spans,
     "quality_buckets": q_quality_buckets,
     "dsir_weights": q_dsir_weights,
@@ -1903,6 +2034,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "semantic_topk": SQL_SEMANTIC_TOPK,
+    "hybrid_rrf_topk": SQL_HYBRID_RRF,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "quality_buckets": SQL_QUALITY_BUCKETS,
     "dsir_weights": SQL_DSIR_WEIGHTS,

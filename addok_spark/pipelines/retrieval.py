@@ -178,3 +178,146 @@ def retrieval_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "score", "n_terms")
     )
+
+
+def semantic_topk(
+    emb: DataFrame,
+    emb_id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    k: int = 10,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batched exact cosine top-k: one ranked list per row of a query
+    TABLE (the multi-query twin of ann.cosine_topk's single vector).
+
+    Scale shape: corpus scan × query set with NO broadcast hint (the
+    planner broadcasts the small side from stats; a forced hint on a
+    user-supplied query table is the round-4 retrieval lesson), then
+    the same salted two-level top-k as retrieval_topk so no task ever
+    ranks a full per-query candidate set. Brute-force is the exact
+    baseline and the right choice for bounded query batches
+    (rerankers, eval pools); route 10^6+-query workloads through the
+    IVF layout (ann.ivf_topk_partitioned) and feed the candidates in
+    here for exact rescoring.
+    """
+    q = queries.select(
+        F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
+    )
+    c = emb.select(F.col(emb_id_col).alias("doc_id"), F.col(vec_col).alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("cv", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = c.crossJoin(q).select(
+        "qid",
+        "doc_id",
+        F.round(dot / (nrm(F.col("cv")) * nrm(F.col("qv"))), 6).alias("cosine"),
+    )
+    if exclude_self:
+        # drop the query doc BEFORE ranking so it never consumes a
+        # top-k slot (requires query ids in the corpus id space)
+        scored = scored.filter(F.col("doc_id") != F.col("qid"))
+    SALTS = 64
+    w1 = Window.partitionBy("qid", "salt").orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    pruned = (
+        scored.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(SALTS)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("salt", "r1")
+    )
+    rw = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "cosine")
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    emb: DataFrame,
+    emb_id_col: str,
+    vec_col: str,
+    qids: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    k_rrf: int = 60,
+    max_df_frac: float = 0.05,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by Reciprocal Rank
+    Fusion (Cormack et al. 2009): rrf(d) = Σ_lists 1/(k_rrf + rank_d),
+    over a BM25 top-``pool`` list (retrieval_topk) and an exact-cosine
+    top-``pool`` list (semantic_topk) per query. RRF needs only ranks
+    — no score calibration between the BM25 and cosine scales — which
+    is exactly why it's the standard hybrid-search baseline.
+
+    Determinism: rank ties are already broken by doc id inside both
+    lists; the fused score is two exact-rank terms summed in a fixed
+    (lexical, semantic) order and rounded to 6 dp before the final
+    rank, so the output is engine- and partitioning-invariant.
+
+    Scale shape: both inputs are already bounded (pool rows per qid),
+    so the fusion join keys on (qid, doc_id) with ≤2·pool rows per
+    query and the final window sees ≤2·pool rows — nothing here grows
+    with corpus size. Query docs themselves are excluded (self-hits
+    carry rank-1 cosine trivially).
+    """
+    lex = retrieval_topk(
+        docs, id_col, text_col, qids, k=pool, max_df_frac=max_df_frac
+    ).select("qid", "doc_id", F.col("rank").alias("lex_rank"))
+    qvecs = qids.join(
+        emb.select(
+            F.col(emb_id_col).alias(qids.columns[0]),
+            F.col(vec_col).alias("qv"),
+        ),
+        qids.columns[0],
+    )
+    sem = semantic_topk(
+        emb,
+        emb_id_col,
+        vec_col,
+        qvecs,
+        qids.columns[0],
+        "qv",
+        k=pool,
+        exclude_self=True,
+    ).select("qid", "doc_id", F.col("rank").alias("sem_rank"))
+    fused = (
+        lex.join(sem, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(k_rrf) + F.col("sem_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_score"),
+            # 0 = absent from that list (kept non-null so the output
+            # has no engine-specific null/NaN encodings)
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+        )
+    )
+    rw = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "rrf_score", "lex_rank", "sem_rank")
+    )

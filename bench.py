@@ -121,6 +121,8 @@ HEADLINE = [
     "duplicate_spans",
     "quality_buckets",
     "dsir_weights",
+    "semantic_topk",
+    "hybrid_rrf_topk",
 ]
 
 

@@ -86,3 +86,57 @@ def test_unknown_scorer_raises(spark, docs):
     qids = spark.createDataFrame([(0,)], "qid long")
     with pytest.raises(ValueError, match="scorer"):
         retrieval_topk(docs, "doc_id", "text", qids, scorer="nope")
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """RRF semantics: a doc ranked well in BOTH lists beats a doc
+    ranked equally well in only one; absence from a list is encoded
+    rank 0 and contributes nothing to the fused score."""
+    from addok_spark.pipelines.retrieval import hybrid_rrf_topk
+
+    # corpus: doc 100 lexically AND semantically close to query 0;
+    # doc 200 only lexically close; doc 300 only semantically close
+    docs = spark.createDataFrame(
+        [
+            (0, "quantum flux capacitor drives temporal engine"),
+            (100, "quantum flux capacitor powers temporal engine"),
+            (200, "quantum flux capacitor drives temporal engine"),
+            (300, "completely different words about gardening soil"),
+            (400, "unrelated filler text concerning cooking recipes"),
+        ],
+        "doc_id long, text string",
+    )
+    base = [1.0] + [0.0] * 7
+
+    def vec(*overrides):
+        v = list(base)
+        for i, x in overrides:
+            v[i] = x
+        return [float(y) for y in v]
+
+    emb = spark.createDataFrame(
+        [
+            (0, vec()),
+            (100, vec((1, 0.1))),          # near the query vector
+            (200, vec((0, -1.0))),         # opposite: semantically far
+            (300, vec((1, 0.05))),         # near the query vector
+            (400, vec((0, -1.0), (2, 1.0))),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qids = docs.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    out = hybrid_rrf_topk(
+        docs, "doc_id", "text", emb, "vec_id", "embedding", qids,
+        k=4, pool=3, max_df_frac=1.0,
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert 0 not in rows  # self excluded from both lists
+    # doc 100 is in both lists → highest fused score
+    assert rows[100]["lex_rank"] > 0 and rows[100]["sem_rank"] > 0
+    assert min(rows, key=lambda d: rows[d]["rank"]) == 100
+    # single-list docs carry rank 0 on the missing side
+    assert rows[300]["lex_rank"] == 0 and rows[300]["sem_rank"] > 0
+    # fused ordering: both-lists doc beats one-list docs
+    assert rows[100]["rrf_score"] > rows[300]["rrf_score"]
