@@ -125,3 +125,69 @@ def test_retrieval_topk_never_broadcasts_full_vocab(spark):
             "broadcast hint wraps the full-vocabulary df aggregate:\n"
             + sub[:2000]
         )
+
+
+def _walk(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk(node.children().apply(i))
+
+
+def test_duplicate_spans_has_no_broadcast_hints(spark):
+    """The duplicated-window key set is corpus-vocabulary-scale, so
+    duplicate_spans must leave EVERY join unhinted — the planner
+    picks broadcast only from measured stats (AQE), never because
+    the code forced it."""
+    from addok_spark.pipelines.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven eight nine") for i in range(8)],
+        "id long, text string",
+    )
+    analyzed = duplicate_spans(docs, "id", "text")._jdf.queryExecution().analyzed()
+    hints = [n for n in _walk(analyzed) if "Hint" in n.nodeName()]
+    assert not hints, f"unexpected hint in duplicate_spans plan: {hints[0]}"
+
+
+def test_semantic_topk_has_no_broadcast_hints(spark):
+    """The query table is user-supplied and unbounded from the
+    operator's point of view — no forced broadcast (the round-4
+    retrieval lesson); the planner broadcasts from stats."""
+    from addok_spark.pipelines.retrieval import semantic_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.5]), (1, [0.5, 1.0])], "qid long, qv array<float>"
+    )
+    out = semantic_topk(emb, "vec_id", "embedding", q, "qid", "qv", k=2)
+    analyzed = out._jdf.queryExecution().analyzed()
+    hints = [n for n in _walk(analyzed) if "Hint" in n.nodeName()]
+    assert not hints, f"unexpected hint in semantic_topk plan: {hints[0]}"
+
+
+def test_dsir_hints_only_bounded_relations(spark):
+    """dsir_weights may hint-broadcast ONLY the bounded relations
+    (the 64-row bucket ratio table and the 1-row totals) — never the
+    doc histogram or the raw feature stream."""
+    from addok_spark.pipelines.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i} delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id < 3").select("doc_id")
+    out = dsir_weights(docs, "doc_id", "text", target)
+    analyzed = out._jdf.queryExecution().analyzed()
+    hints = [n for n in _walk(analyzed) if "Hint" in n.nodeName()]
+    assert hints, "the bounded ratio/totals broadcasts should exist"
+    for h in hints:
+        sub = h.toString()
+        # a hint wrapping the per-doc histogram would carry its
+        # aggregate alias `cnt`; the bounded tables carry log_ratio /
+        # totals aliases only
+        assert " AS cnt#" not in sub, (
+            "broadcast hint wraps the per-doc histogram:\n" + sub[:2000]
+        )
