@@ -1904,6 +1904,51 @@ FROM spine LEFT JOIN dw ON spine.id = dw.id
 """
 
 
+def q_remove_duplicate_spans(spark, sf_dir):
+    """Duplicated-span REMOVAL (Lee et al. 2022): keep one canonical
+    occurrence corpus-wide, cut the rest — see
+    pipelines/dedup.py:remove_duplicate_spans."""
+    return dedup.remove_duplicate_spans(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_REMOVE_DUPLICATE_SPANS = """
+WITH t AS (
+  SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS ts
+  FROM documents),
+spine AS (SELECT id, len(ts)::int AS n_tokens, ts FROM t),
+pos AS (
+  SELECT id, i,
+         substr(md5(array_to_string(list_slice(ts, i, i + 7), ' ')), 1, 12) AS hk
+  FROM (SELECT id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+        FROM spine WHERE n_tokens >= 8)),
+dup AS (
+  SELECT hk, min(id) AS canonical FROM pos GROUP BY hk
+  HAVING count(DISTINCT id) >= 2),
+cov AS (
+  SELECT DISTINCT id, unnest(generate_series(i, i + 7)) AS pp
+  FROM pos JOIN dup USING (hk) WHERE pos.id <> dup.canonical),
+tokse AS (
+  SELECT id, unnest(ts) AS tok,
+         unnest(generate_series(1, len(ts))) AS ord
+  FROM spine),
+kept AS (
+  SELECT e.id,
+         string_agg(e.tok, ' ' ORDER BY e.ord)
+           FILTER (WHERE c.pp IS NULL) AS cleaned
+  FROM tokse e LEFT JOIN cov c ON e.id = c.id AND e.ord = c.pp
+  GROUP BY e.id),
+ncov AS (SELECT id, count(*)::int AS n_removed FROM cov GROUP BY id)
+SELECT spine.id, spine.n_tokens,
+  coalesce(ncov.n_removed, 0) AS n_removed,
+  coalesce(kept.cleaned, '') AS cleaned
+FROM spine
+LEFT JOIN ncov ON spine.id = ncov.id
+LEFT JOIN kept ON spine.id = kept.id
+"""
+
+
 def q_quality_buckets(spark, sf_dir):
     """CCNet-style per-language head/middle/tail perplexity buckets —
     see pipelines/textstats.py:quality_buckets."""
@@ -1978,6 +2023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_topk": q_semantic_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "duplicate_spans": q_duplicate_spans,
+    "remove_duplicate_spans": q_remove_duplicate_spans,
     "quality_buckets": q_quality_buckets,
     "dsir_weights": q_dsir_weights,
     "tokenize_tf": q_tokenize_tf,
@@ -2037,6 +2083,7 @@ ORACLES: dict[str, str] = {
     "semantic_topk": SQL_SEMANTIC_TOPK,
     "hybrid_rrf_topk": SQL_HYBRID_RRF,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "remove_duplicate_spans": SQL_REMOVE_DUPLICATE_SPANS,
     "quality_buckets": SQL_QUALITY_BUCKETS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "token_kinds": SQL_TOKEN_KINDS,

@@ -483,3 +483,94 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal transform behind ``duplicate_spans`` (Lee et al.
+    2022): every ``width``-token window occurring in ≥ ``min_docs``
+    distinct documents keeps exactly ONE canonical occurrence corpus-
+    wide (the min doc id holding it) and is cut from every other
+    document. Returns (id, n_tokens, n_removed, cleaned) where
+    ``cleaned`` is the surviving tokens re-joined in order —
+    token-granular, like the published recipe (which cuts the
+    duplicated byte span; tokens are this engine's atoms).
+
+    Scale shape: same keyed-window scan as ``duplicate_spans``; the
+    canonical owner is a per-key min (map-side combinable), covered
+    token positions expand IN-ROW from the matched window starts
+    (never a corpus-wide explode of all positions — only windows that
+    matched a duplicated key), and the cut is a per-row array filter.
+    Shuffles: window-key agg + the join back of matched positions —
+    both on uniform md5 keys.
+
+    Semantics notes: the canonical document keeps ALL its occurrences
+    (within-doc repeats are ``repetition_score``'s job); overlapping
+    duplicated windows union their covered positions before the cut.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("ts")
+    )
+    spine = toks.select(
+        "id", F.size("ts").cast("int").alias("n_tokens"), "ts"
+    )
+    win = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - width + 1),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.substring(
+                F.md5(F.array_join(F.slice("ts", i, width), " ")), 1, 12
+            ).alias("hk"),
+        ),
+    )
+    pos = (
+        spine.filter(F.col("n_tokens") >= width)
+        .select("id", F.explode(win).alias("w"))
+        .select("id", F.col("w.i").alias("i"), F.col("w.hk").alias("hk"))
+    )
+    dup = (
+        pos.groupBy("hk")
+        .agg(
+            F.countDistinct("id").alias("ndocs"),
+            F.min("id").alias("canonical"),
+        )
+        .filter(F.col("ndocs") >= min_docs)
+        .select("hk", "canonical")
+    )
+    # covered 1-based token positions per doc (non-canonical
+    # occurrences only), expanded in-row from the window starts
+    covered = (
+        pos.join(dup, "hk")
+        .filter(F.col("id") != F.col("canonical"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + width - 1)
+            ).alias("p"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("p").alias("drop_ps"))
+    )
+    kept = F.filter(
+        "ts", lambda x, i: ~F.array_contains("drop_ps", i + F.lit(1))
+    )
+    return (
+        spine.join(covered, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce(F.size("drop_ps"), F.lit(0)).cast("int").alias(
+                "n_removed"
+            ),
+            F.when(
+                F.col("drop_ps").isNull(), F.array_join("ts", " ")
+            )
+            .otherwise(F.array_join(kept, " "))
+            .alias("cleaned"),
+        )
+    )

@@ -119,6 +119,7 @@ HEADLINE = [
     "pq_adc_topk",
     "pq_rerank_topk",
     "duplicate_spans",
+    "remove_duplicate_spans",
     "quality_buckets",
     "dsir_weights",
     "semantic_topk",

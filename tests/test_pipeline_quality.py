@@ -129,3 +129,38 @@ def test_quality_buckets_quantile_path_agrees(spark):
         exact[i]["bucket_idx"] == approx[i]["bucket_idx"] for i in exact
     )
     assert agree / len(exact) >= 0.9
+
+
+def test_remove_duplicate_spans_keeps_canonical(spark):
+    from addok_spark.pipelines.dedup import remove_duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"{shared} tail one"),                   # canonical (min id)
+        (2, f"head two {shared} end two"),           # span cut
+        (3, "totally unrelated words for this doc"), # untouched
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in
+           remove_duplicate_spans(df, "id", "text").collect()}
+    assert out[1]["n_removed"] == 0 and shared in out[1]["cleaned"]
+    assert out[2]["n_removed"] == 8
+    assert shared not in out[2]["cleaned"]
+    assert out[2]["cleaned"] == "head two end two"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned"] == rows[2][1]
+
+
+def test_remove_duplicate_spans_overlap_union(spark):
+    # two overlapping duplicated windows union their covered
+    # positions (9 tokens covered by two 8-windows, not 16)
+    from addok_spark.pipelines.dedup import remove_duplicate_spans
+
+    nine = "a1 b2 c3 d4 e5 f6 g7 h8 i9"  # both 8-windows duplicated
+    rows = [(1, nine), (2, f"x0 {nine} y0")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in
+           remove_duplicate_spans(df, "id", "text").collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 9
+    assert out[2]["cleaned"] == "x0 y0"
