@@ -1965,7 +1965,7 @@ nt AS (
     ntile(3) OVER (PARTITION BY lang ORDER BY avg_logprob DESC, id)
       AS bucket_idx
   FROM base)
-SELECT id, lang, avg_logprob, bucket_idx,
+SELECT id, lang, avg_logprob, bucket_idx::int AS bucket_idx,
   CASE bucket_idx WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
     ELSE 'middle' END AS bucket
 FROM nt
