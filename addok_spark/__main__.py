@@ -292,6 +292,33 @@ def cmd_actions(args) -> None:
     print(json.dumps(apply_actions(spark, args.index, changes, _cfg(args))))
 
 
+def cmd_reset(args) -> None:
+    """Delete the ENTIRE index directory — every snapshot, stage and
+    manifest (≙ reference `addok reset`, addok/batch.py:33-35 →
+    reset(), which FLUSHALLs Redis + removes the doc store). Asks
+    for confirmation unless --force, like the reference."""
+    import shutil
+    from pathlib import Path
+
+    root = Path(args.index)
+    if not root.exists():
+        print(f"nothing to reset: {root} does not exist")
+        return
+    if not (root / "meta.json").exists() and not (root / "CURRENT.json").exists():
+        # refuse to rm -rf a directory that isn't one of our indexes
+        raise SystemExit(
+            f"{root} does not look like an addok_spark index "
+            "(no meta.json/CURRENT.json); not deleting"
+        )
+    if not args.force:
+        answer = input(f"Delete ALL index data under {root}? [y/N] ")
+        if answer.strip().lower() not in ("y", "yes"):
+            print("aborted")
+            return
+    shutil.rmtree(root)
+    print(f"reset: removed {root}")
+
+
 def cmd_info(args) -> None:
     """Index stats (≙ shell DBINFO, addok/shell.py:309-327)."""
     from pathlib import Path
@@ -388,6 +415,14 @@ def main(argv=None) -> None:
     i = sub.add_parser("info")
     i.add_argument("--index", required=True)
     i.set_defaults(fn=cmd_info)
+
+    r = sub.add_parser(
+        "reset", help="Delete ALL index data (≙ reference reset)"
+    )
+    r.add_argument("--index", required=True)
+    r.add_argument("--force", action="store_true",
+                   help="Do not ask for confirm")
+    r.set_defaults(fn=cmd_reset)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -146,3 +146,38 @@ def test_callable_fields_boost_maps_to_boost_fn(tmp_path):
     assert cfg.fields[0].boost_fn({"text": "x"}) == 2.0
     assert cfg.fields[0].boost == 1.0  # static fallback stays neutral
     assert cfg.fields[1].boost_fn is None
+
+
+def test_cli_reset(tmp_path, monkeypatch, capsys):
+    """≙ reference `addok reset --force` (batch.py:33-35): removes
+    every snapshot/stage under the index root; refuses to delete a
+    directory that is not one of our indexes; asks for confirmation
+    without --force."""
+    from addok_spark.__main__ import main
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    (idx / "meta.json").write_text("{}")
+    (idx / "blocks").mkdir()
+
+    # non-index dirs are refused even with --force
+    other = tmp_path / "precious"
+    other.mkdir()
+    (other / "data.txt").write_text("keep me")
+    with pytest.raises(SystemExit, match="does not look like"):
+        main(["reset", "--index", str(other), "--force"])
+    assert other.exists()
+
+    # declined confirmation aborts
+    monkeypatch.setattr("builtins.input", lambda *_: "n")
+    main(["reset", "--index", str(idx)])
+    assert idx.exists()
+
+    # --force deletes without asking
+    main(["reset", "--index", str(idx), "--force"])
+    assert not idx.exists()
+
+    # resetting a missing dir is a no-op, not an error
+    main(["reset", "--index", str(idx), "--force"])
+    out = capsys.readouterr().out
+    assert "nothing to reset" in out
