@@ -292,6 +292,48 @@ def cmd_actions(args) -> None:
     print(json.dumps(apply_actions(spark, args.index, changes, _cfg(args))))
 
 
+def pyshell_namespace(args) -> dict:
+    """The namespace `pyshell` drops you into (≙ reference pyshell
+    user_ns {DB, config, get_document}, addok/shell.py:595-614):
+    a live SparkSession, the resolved EngineConfig, a ready
+    SearchEngine over --index, and doc_by_id."""
+    from .query.engine import Query, SearchEngine
+
+    spark = _spark(args)
+    cfg = _cfg(args)
+    engine = SearchEngine(spark, args.index, cfg)
+
+    def doc_by_id(conv_id, turn_idx):
+        from pyspark.sql import functions as F
+
+        return (
+            engine.docs.filter(
+                (F.col("conv_id") == conv_id)
+                & (F.col("turn_idx") == int(turn_idx))
+            ).collect()
+        )
+
+    return {
+        "spark": spark,
+        "config": cfg,
+        "engine": engine,
+        "Query": Query,
+        "doc_by_id": doc_by_id,
+    }
+
+
+def cmd_pyshell(args) -> None:
+    import code
+
+    ns = pyshell_namespace(args)
+    banner = (
+        "addok_spark pyshell — bound: "
+        + ", ".join(sorted(ns))
+        + "\ne.g. engine.search([Query(qid='q', q='hello world', k=5)]).show()"
+    )
+    code.interact(banner=banner, local=ns)
+
+
 def cmd_reset(args) -> None:
     """Delete the ENTIRE index directory — every snapshot, stage and
     manifest (≙ reference `addok reset`, addok/batch.py:33-35 →
@@ -415,6 +457,12 @@ def main(argv=None) -> None:
     i = sub.add_parser("info")
     i.add_argument("--index", required=True)
     i.set_defaults(fn=cmd_info)
+
+    py = sub.add_parser(
+        "pyshell", help="Python shell with a live engine (≙ reference pyshell)"
+    )
+    py.add_argument("--index", required=True)
+    py.set_defaults(fn=cmd_pyshell)
 
     r = sub.add_parser(
         "reset", help="Delete ALL index data (≙ reference reset)"

@@ -181,3 +181,32 @@ def test_cli_reset(tmp_path, monkeypatch, capsys):
     main(["reset", "--index", str(idx), "--force"])
     out = capsys.readouterr().out
     assert "nothing to reset" in out
+
+
+def test_pyshell_namespace(tmp_path, spark):
+    """≙ reference pyshell user_ns (shell.py:595-614): the namespace
+    carries a live engine over --index plus doc lookup. The session
+    fixture is reused through _spark's getOrCreate."""
+    import argparse
+
+    from addok_spark.__main__ import pyshell_namespace
+    from addok_spark.config import EngineConfig
+    from addok_spark.data.transcripts import transcripts_df
+    from addok_spark.index.build import build_index
+
+    cfg = EngineConfig(build_partitions=2, doc_bucket_bits=2,
+                       posting_block_size=8)
+    df = transcripts_df(spark, 5, seed=7)
+    build_index(spark, df, cfg, str(tmp_path / "psi"))
+    args = argparse.Namespace(cores="*", config=None,
+                              driver_memory="8g",
+                              index=str(tmp_path / "psi"))
+    ns = pyshell_namespace(args)
+    assert {"spark", "config", "engine", "Query", "doc_by_id"} <= set(ns)
+    some = df.limit(1).collect()[0]
+    rows = ns["doc_by_id"](some.conv_id, some.turn_idx)
+    assert len(rows) == 1 and rows[0]["conv_id"] == some.conv_id
+    res = ns["engine"].search(
+        [ns["Query"](qid="p", q=some.text.split()[0], k=3)]
+    )
+    assert res.count() >= 0
