@@ -68,7 +68,12 @@ def retrieval_topk(
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # dl/df/stats all DERIVE from tf instead of re-aggregating the
+    # raw token stream: Σtf per doc ≡ token count, so the corpus is
+    # tokenized and exploded exactly ONCE (a second groupBy over the
+    # explode re-ran the regexp+split scan — measured ~15% of the op
+    # at sf0.1, and at 100 TB it's a second full-corpus pass)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
