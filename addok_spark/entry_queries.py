@@ -1874,6 +1874,109 @@ SELECT qid, doc_id, rank, rrf_score, lex_rank, sem_rank FROM (
 """
 
 
+def q_retrieval_prf_topk(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback retrieval
+    (pipelines/retrieval.py:retrieval_prf_topk): BM25 pass → top-5
+    feedback docs → 3 expansion terms → interpolated re-score."""
+    docs = _docs(spark, sf_dir)
+    qids = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    return retrieval.retrieval_prf_topk(
+        docs, "doc_id", "text", qids, k=5, pool=5, n_expand=3,
+        alpha=0.5, max_df_frac=0.9,
+    )
+
+
+SQL_RETRIEVAL_PRF = f"""
+WITH tok AS ({SQL_TOKENS}),
+tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, sum(tf)::bigint AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*)::double AS n_docs, avg(dl)::double AS avgdl FROM dl),
+df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY token),
+qtok AS (
+  SELECT qid, token FROM (
+    SELECT tf.doc_id AS qid, tf.token,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY df.df, tf.token) AS qrn
+    FROM tf JOIN df USING (token) CROSS JOIN stats
+    WHERE tf.doc_id % 17 = 0
+      AND df.df >= 2 AND df.df <= stats.n_docs * 0.9
+  ) WHERE qrn <= 6
+),
+terms1 AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * {K1 + 1.0})
+           / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)) AS ts
+  FROM qtok q JOIN tf USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df USING (token) CROSS JOIN stats
+),
+lexscored AS (
+  SELECT qid, doc_id, round(sum(ts), 6) AS score
+  FROM terms1 WHERE doc_id <> qid GROUP BY qid, doc_id
+),
+lex AS (
+  SELECT qid, doc_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, doc_id) AS r
+    FROM lexscored
+  ) WHERE r <= 5
+),
+nq AS (SELECT qid, count(*)::double AS nq FROM qtok GROUP BY qid),
+ssum AS (SELECT qid, sum(score) AS ssum FROM lex GROUP BY qid),
+fb AS (
+  SELECT l.qid, tf.token,
+         round(sum(tf.tf::double / dl.dl * (l.score / s.ssum)), 6) AS w
+  FROM lex l JOIN ssum s USING (qid)
+  JOIN tf ON tf.doc_id = l.doc_id
+  JOIN dl ON dl.doc_id = l.doc_id
+  GROUP BY l.qid, tf.token
+),
+exp_cand AS (
+  SELECT fb.qid, fb.token, fb.w
+  FROM fb JOIN df USING (token) CROSS JOIN stats
+  WHERE df.df >= 2 AND df.df <= stats.n_docs * 0.9
+    AND NOT EXISTS (SELECT 1 FROM qtok q
+                    WHERE q.qid = fb.qid AND q.token = fb.token)
+),
+expansion AS (
+  SELECT qid, token, w FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY w DESC, token) AS ern
+    FROM exp_cand
+  ) WHERE ern <= 3
+),
+wsum AS (SELECT qid, sum(w) AS wsum FROM expansion GROUP BY qid),
+wq AS (
+  SELECT q.qid, q.token, round(0.5 / nq.nq, 6) AS qweight
+  FROM qtok q JOIN nq USING (qid)
+  UNION ALL
+  SELECT e.qid, e.token, round(0.5 * e.w / ws.wsum, 6) AS qweight
+  FROM expansion e JOIN wsum ws USING (qid)
+),
+terms2 AS (
+  SELECT wq.qid, tf.doc_id,
+         wq.qweight
+         * ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * {K1 + 1.0})
+           / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / stats.avgdl)) AS ts
+  FROM wq JOIN tf USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df USING (token) CROSS JOIN stats
+),
+scored2 AS (
+  SELECT qid, doc_id, round(sum(ts), 6) AS score,
+         count(*)::bigint AS n_terms
+  FROM terms2 WHERE doc_id <> qid GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank, score, n_terms FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id)::bigint AS rank
+  FROM scored2
+) WHERE rank <= 5
+"""
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Exact duplicated-span fraction per document (Lee et al. 2022
     substring-dedup signal) at 8-token window granularity — see
@@ -2021,6 +2124,7 @@ FROM per_doc
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_topk": q_semantic_topk,
+    "retrieval_prf_topk": q_retrieval_prf_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "duplicate_spans": q_duplicate_spans,
     "remove_duplicate_spans": q_remove_duplicate_spans,
@@ -2081,6 +2185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "semantic_topk": SQL_SEMANTIC_TOPK,
+    "retrieval_prf_topk": SQL_RETRIEVAL_PRF,
     "hybrid_rrf_topk": SQL_HYBRID_RRF,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "remove_duplicate_spans": SQL_REMOVE_DUPLICATE_SPANS,

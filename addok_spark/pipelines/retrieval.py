@@ -326,3 +326,166 @@ def hybrid_rrf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "rrf_score", "lex_rank", "sem_rank")
     )
+
+
+def retrieval_prf_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_ids: DataFrame,
+    k: int = 5,
+    pool: int = 5,
+    n_expand: int = 3,
+    alpha: float = 0.5,
+    max_q_tokens: int = 6,
+    min_df: int = 2,
+    max_df_frac: float = 0.05,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3, Lavrenko & Croft
+    2001 / Abdul-Jaleel et al. 2004): run BM25, treat each query's
+    top-``pool`` docs as relevant, estimate an expansion language
+    model from them, and re-score with the interpolated query
+
+        weight(t) = alpha·1/|q|        for original kept tokens
+                  + (1-alpha)·P(t|R)   for the top-``n_expand``
+                                        expansion terms,
+        P(t|R) ∝ Σ_{d∈pool} (tf_{t,d}/dl_d)·scorẽ_d
+
+    (scorẽ = per-query score-normalized). The final score is the
+    weighted BM25 sum Σ_t weight(t)·bm25(t,d). This is the
+    corpus-driven analog of the reference's static expansions
+    (synonyms/fuzzy): terms that co-occur with the query in its own
+    best matches.
+
+    Scale shape: stage 1 is retrieval_topk (already 100-TB-shaped);
+    the feedback set is ``queries × pool`` rows, so expansion-term
+    estimation joins tf against a BOUNDED doc set (semi-join down,
+    then per-(qid, token) agg); stage 2 is the same token-keyed
+    candidate join as stage 1 with ≤ max_q_tokens + n_expand terms
+    per query. Every ranking boundary orders by 6-dp-rounded values
+    with token/doc-id tie-breaks, so output is engine-invariant.
+    """
+    lex = retrieval_topk(
+        docs, id_col, text_col, query_ids, k=pool,
+        max_q_tokens=max_q_tokens, min_df=min_df,
+        max_df_frac=max_df_frac,
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("ts")
+    ).select("doc_id", F.explode("ts").alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    # original kept query tokens (the same df-banded rarest-first cap
+    # as stage 1, so both stages agree on what "the query" is)
+    qtf = tf.join(
+        F.broadcast(query_ids.select(F.col("qid").cast("long"))),
+        tf.doc_id == F.col("qid"),
+        "inner",
+    ).select("qid", "token")
+    df_q = df.join(qtf.select("token").distinct(), "token", "left_semi")
+    qw = Window.partitionBy("qid").orderBy(F.asc("df"), F.asc("token"))
+    qtok = (
+        qtf.join(df_q, "token")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("n_docs") * max_df_frac)
+        )
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= max_q_tokens)
+        .select("qid", "token")
+    )
+    nq = qtok.groupBy("qid").agg(F.count(F.lit(1)).cast("double").alias("nq"))
+
+    # P(t|R): fold the feedback docs' normalized term frequencies,
+    # weighted by the docs' normalized stage-1 scores
+    ssum = lex.groupBy("qid").agg(F.sum("score").alias("ssum"))
+    fb = (
+        lex.join(ssum, "qid")
+        .select("qid", "doc_id", (F.col("score") / F.col("ssum")).alias("sw"))
+        .join(tf, "doc_id")
+        .join(dl, "doc_id")
+        .select("qid", "token", (F.col("tf") / F.col("dl") * F.col("sw")).alias("c"))
+        .groupBy("qid", "token")
+        .agg(F.round(F.sum("c"), 6).alias("w"))
+    )
+    # expansion candidates: df-banded, NEW terms only (originals are
+    # the alpha side of the interpolation)
+    exp_cand = (
+        fb.join(df, "token")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.col("n_docs") * max_df_frac)
+        )
+        .join(qtok, ["qid", "token"], "left_anti")
+    )
+    ew = Window.partitionBy("qid").orderBy(F.desc("w"), F.asc("token"))
+    expansion = (
+        exp_cand.withColumn("ern", F.row_number().over(ew))
+        .filter(F.col("ern") <= n_expand)
+        .select("qid", "token", "w")
+    )
+    wsum = expansion.groupBy("qid").agg(F.sum("w").alias("wsum"))
+    exp_weighted = expansion.join(wsum, "qid").select(
+        "qid",
+        "token",
+        F.round(
+            F.lit(1.0 - alpha) * F.col("w") / F.col("wsum"), 6
+        ).alias("qweight"),
+    )
+    orig_weighted = qtok.join(nq, "qid").select(
+        "qid", "token", F.round(F.lit(alpha) / F.col("nq"), 6).alias("qweight")
+    )
+    wq = orig_weighted.unionByName(exp_weighted)
+
+    # stage 2: weighted BM25 over the expanded query
+    ts = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    ) * (
+        F.col("tf") * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        wq.join(tf, "token")
+        .join(dl, "doc_id")
+        .join(df, "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("ts", F.col("qweight") * ts)
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.round(F.sum("ts"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .filter(F.col("doc_id") != F.col("qid"))
+    )
+    SALTS = 64
+    w1 = Window.partitionBy("qid", "salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    pruned = (
+        scored.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(SALTS)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("salt", "r1")
+    )
+    rw = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "score", "n_terms")
+    )

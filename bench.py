@@ -124,6 +124,7 @@ HEADLINE = [
     "dsir_weights",
     "semantic_topk",
     "hybrid_rrf_topk",
+    "retrieval_prf_topk",
 ]
 
 

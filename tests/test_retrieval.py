@@ -140,3 +140,40 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     assert rows[300]["lex_rank"] == 0 and rows[300]["sem_rank"] > 0
     # fused ordering: both-lists doc beats one-list docs
     assert rows[100]["rrf_score"] > rows[300]["rrf_score"]
+
+
+def test_prf_expansion_retrieves_vocabulary_mismatch(spark):
+    """The RM3 point: a document sharing NO query tokens but sharing
+    the feedback docs' vocabulary is reachable after expansion.
+    Query doc 0 says 'automobile'; feedback docs pair 'automobile'
+    with 'engine'; doc 30 only says 'engine' — invisible to plain
+    BM25, retrieved by PRF."""
+    from addok_spark.pipelines.retrieval import (
+        retrieval_prf_topk, retrieval_topk,
+    )
+
+    rows = [(0, "automobile repair manual guide")]
+    # feedback docs: share query terms AND carry the expansion term
+    for i in (10, 11, 12):
+        rows.append((i, "automobile repair engine overhaul notes"))
+    # the vocabulary-mismatch target: expansion term only
+    rows.append((30, "engine overhaul procedure steps"))
+    # background noise so df stats are sane
+    for i in range(40, 52):
+        rows.append((i, f"unrelated filler topic{i} words here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qids = docs.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    plain = retrieval_topk(
+        docs, "doc_id", "text", qids, k=10, max_df_frac=1.0, min_df=2
+    ).collect()
+    assert 30 not in {r["doc_id"] for r in plain}
+    prf = retrieval_prf_topk(
+        docs, "doc_id", "text", qids, k=10, pool=3, n_expand=3,
+        alpha=0.5, max_df_frac=1.0, min_df=2,
+    ).collect()
+    assert 30 in {r["doc_id"] for r in prf}
+    # feedback docs still outrank the expansion-only doc
+    by_id = {r["doc_id"]: r["rank"] for r in prf}
+    assert by_id[10] < by_id[30]
