@@ -612,3 +612,37 @@ def test_streaming_rate_source(spark, cfg, built):
     eng = SearchEngine(spark, built, cfg)
     res = eng.search([Query(qid="r", q="ratesource payload", k=3)]).toPandas()
     assert len(res) > 0 and res["conv_id"].str.startswith("conv-rate-").all()
+
+
+def test_time_travel_reads_pinned_versions(spark, cfg, built):
+    """Iceberg-style time travel: IndexPaths(root, version=N) reads
+    the snapshot as of batch N — historical queries over retained
+    snapshots, independent of later publishes."""
+    from addok_spark.index.build import IndexPaths
+    from addok_spark.query.engine import Query, SearchEngine
+
+    cfg.snapshot_keep = 5
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " tool string, importance double, _action string")
+    m1 = apply_actions(spark, built, spark.createDataFrame(
+        [("conv-c", 0, "user", "jardin des Tulipes", None, 0.5, "index")],
+        schema), cfg)
+    m2 = apply_actions(spark, built, spark.createDataFrame(
+        [("conv-d", 0, "user", "place des Roses", None, 0.5, "index")],
+        schema), cfg)
+    assert (m1["version"], m2["version"]) == (1, 2)
+
+    v1 = IndexPaths(built.root, version=1)
+    v2 = IndexPaths(built.root, version=2)
+    d1, d2 = _tokens(spark, v1), _tokens(spark, v2)
+    assert "tulipes" in d1 and "roses" not in d1   # as of batch 1
+    assert "tulipes" in d2 and "roses" in d2       # as of batch 2
+    # a pinned engine answers from the historical snapshot
+    hits_v1 = SearchEngine(spark, v1, cfg).search(
+        [Query(qid="t", q="place des roses", k=5)]
+    ).collect()
+    assert all("roses" not in (r["text"] or "").lower() for r in hits_v1)
+    hits_v2 = SearchEngine(spark, v2, cfg).search(
+        [Query(qid="t", q="place des roses", k=5)]
+    ).collect()
+    assert any("roses" in (r["text"] or "").lower() for r in hits_v2)
