@@ -2052,6 +2052,51 @@ LEFT JOIN kept ON spine.id = kept.id
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM per-doc log-prob
+    (pipelines/textstats.py:bigram_logprob) — the order-2 quality
+    scorer; word salad with plausible unigrams scores low."""
+    return textstats.bigram_logprob(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH t AS (
+  SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                x -> x <> '') AS ts
+  FROM documents),
+e AS (
+  SELECT id, CASE WHEN i > 1 THEN ts[i - 1] END AS w1, ts[i] AS w2
+  FROM (SELECT id, ts, unnest(generate_series(1, len(ts))) AS i
+        FROM t WHERE len(ts) >= 1)),
+uni AS (SELECT w2, count(*)::bigint AS cu FROM e GROUP BY w2),
+tot AS (SELECT sum(cu)::double AS total FROM uni),
+bi AS (
+  SELECT w1, w2, count(*)::bigint AS cb FROM e
+  WHERE w1 IS NOT NULL GROUP BY w1, w2),
+c1 AS (SELECT w2 AS w1, cu AS c1 FROM uni),
+l AS (
+  SELECT e.id,
+    CASE WHEN e.w1 IS NULL THEN log2(uni.cu / tot.total)
+         ELSE log2(0.7 * coalesce(bi.cb, 0) / c1.c1
+                   + 0.3 * uni.cu / tot.total) END AS logp
+  FROM e JOIN uni USING (w2)
+  LEFT JOIN bi ON bi.w1 = e.w1 AND bi.w2 = e.w2
+  LEFT JOIN c1 ON c1.w1 = e.w1
+  CROSS JOIN tot),
+d AS (
+  SELECT id, count(*)::int AS n_tokens, list_sort(list(logp)) AS lps
+  FROM l GROUP BY id),
+a AS (
+  SELECT id, n_tokens,
+    round(list_aggregate(lps, 'sum') / n_tokens, 6) AS avg_logprob
+  FROM d)
+SELECT id, n_tokens, avg_logprob,
+  round(pow(2.0, -avg_logprob), 4) AS ppl
+FROM a
+"""
+
+
 def q_quality_buckets(spark, sf_dir):
     """CCNet-style per-language head/middle/tail perplexity buckets —
     see pipelines/textstats.py:quality_buckets."""
@@ -2129,6 +2174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": q_duplicate_spans,
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "quality_buckets": q_quality_buckets,
+    "bigram_logprob": q_bigram_logprob,
     "dsir_weights": q_dsir_weights,
     "tokenize_tf": q_tokenize_tf,
     "token_dictionary": q_token_dictionary,
@@ -2190,6 +2236,7 @@ ORACLES: dict[str, str] = {
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "remove_duplicate_spans": SQL_REMOVE_DUPLICATE_SPANS,
     "quality_buckets": SQL_QUALITY_BUCKETS,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "token_kinds": SQL_TOKEN_KINDS,
     "doc_labels": SQL_DOC_LABELS,

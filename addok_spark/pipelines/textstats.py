@@ -518,3 +518,82 @@ def quality_buckets_quantile(
         .withColumn("bucket", names)
         .select("id", "lang", "avg_logprob", "bucket_idx", "bucket")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean log2-probability under an interpolated
+    bigram LM estimated from the corpus itself: P(w2|w1) =
+    lam·c(w1 w2)/c(w1) + (1-lam)·c(w2)/N (Jelinek-Mercer smoothing),
+    first token scored by its unigram. The order-2 upgrade of
+    ``unigram_logprob``: word salad with plausible unigrams but
+    implausible transitions scores low.
+
+    Scale shape: one tokenize scan → in-row bigram expansion →
+    bigram/unigram count aggs (map-side combinable; the bigram
+    vocabulary is hapax-heavy so NOTHING is broadcast-hinted — joins
+    stay keyed on the bigram/token like the dedup family) → per-doc
+    sorted fold for bit determinism.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("ts")
+    ).filter(F.size("ts") >= 1)
+    # positions 2..n scored by the bigram model; position 1 by the
+    # unigram — emit (id, w1, w2) with w1 NULL for the first token
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ts")),
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at("ts", i - 1)).alias("w1"),
+            F.element_at("ts", i).alias("w2"),
+        ),
+    )
+    e = toks.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = e.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    total = uni.agg(F.sum("cu").cast("double").alias("__total"))
+    bi = (
+        e.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    c1 = uni.select(F.col("w2").alias("w1"), F.col("cu").alias("c1"))
+    scoredrows = (
+        e.join(uni, "w2")
+        .join(bi, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.when(
+                F.col("w1").isNull(),
+                F.log2(F.col("cu") / F.col("__total")),
+            )
+            .otherwise(
+                F.log2(
+                    F.lit(lam) * F.coalesce("cb", F.lit(0)) / F.col("c1")
+                    + F.lit(1.0 - lam) * F.col("cu") / F.col("__total")
+                )
+            )
+            .alias("logp"),
+        )
+    )
+    per_doc = scoredrows.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.array_sort(F.collect_list("logp")).alias("lps"),
+    )
+    avg = F.round(
+        F.aggregate("lps", F.lit(0.0), lambda a, x: a + x)
+        / F.col("n_tokens"),
+        6,
+    )
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        avg.alias("avg_logprob"),
+        F.round(F.pow(F.lit(2.0), -avg), 4).alias("ppl"),
+    )

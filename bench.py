@@ -125,6 +125,7 @@ HEADLINE = [
     "semantic_topk",
     "hybrid_rrf_topk",
     "retrieval_prf_topk",
+    "bigram_logprob",
 ]
 
 

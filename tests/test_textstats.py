@@ -92,3 +92,22 @@ def test_highlight_snippets(spark):
     assert out[4]["first_pos"] == 6
     assert out[4]["snippet"] == "d e merge f g"
     assert out[4]["highlighted"] == "d e <em>merge</em> f g"
+
+
+def test_bigram_logprob_penalizes_shuffled_transitions(spark):
+    from addok_spark.pipelines.textstats import bigram_logprob
+
+    # corpus establishes 'the cat sat' transitions; doc 3 uses the
+    # same unigrams in an unseen order → lower bigram logprob
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "mat the on sat cat the"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in bigram_logprob(df, "id", "text").collect()}
+    assert set(out) == {1, 2, 3}          # empty doc dropped
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[3]["ppl"] > out[1]["ppl"]
