@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .pipelines import ann, dedup, retrieval, sampling, textstats
+from .pipelines import _mem, ann, dedup, retrieval, sampling, textstats
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -99,25 +99,17 @@ def q_postings_topk(spark, sf_dir):
     """R12: top-3 postings per token by (tf desc, doc_id asc) — the
     score-ordered posting read (ZREVRANGE analog)."""
     tf = q_tokenize_tf(spark, sf_dir)
-    # two-level top-n: a Zipf-head token's full posting list must
-    # never land in ONE window task — local top-3 per doc-shard
-    # first (32 bounded partitions per token), then the global top-3
-    # over <=96 survivors per token. Output identical to the naive
-    # single window (any global top-3 row is top-3 of its shard).
-    w1 = Window.partitionBy("token", "shard").orderBy(
-        F.desc("tf"), F.asc("doc_id")
-    )
-    local = (
-        tf.withColumn("shard", F.pmod("doc_id", F.lit(32)))
-        .withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= 3)
-        .drop("shard", "r1")
-    )
+    # a Zipf-head token's full posting list must never land in ONE
+    # window task. Spark 3.5+/4.x plans the rank-filter pattern as
+    # partial + final WindowGroupLimit — each map task emits at most
+    # 3 rows per token BEFORE the exchange — which is the same bound
+    # the former manual doc-shard pre-pass enforced, without its
+    # extra Exchange+Sort+Window (plan asserted in tests/test_plans).
     w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
     return (
-        local.withColumn("rn", F.row_number().over(w).cast("long"))
+        tf.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("token", "doc_id", "tf", "rn")
+        .select("token", "doc_id", "tf", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -134,7 +126,9 @@ SELECT token, doc_id, tf, rn FROM r WHERE rn <= 3
 def q_bm25_topk(spark, sf_dir):
     """Flagship: BM25 top-10 for a fixed query (Q1+R9/R10 as one
     declarative plan: posting join → idf/tf-norm → top-k)."""
-    tok = _tok(spark, sf_dir)
+    # tok feeds BOTH dl and tf below: persist so the tokenize+explode
+    # scan runs once per invocation instead of once per aggregate
+    tok = _mem.shared(_tok(spark, sf_dir))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -286,10 +280,15 @@ def q_cooccurrence_pairs(spark, sf_dir):
     """B5/Q13: token co-occurrence pairs (pair index), rare tokens
     only (df bounds ≙ PairsIndexer skipping commons; bounds chosen so
     the check exercises real rows at sf0.01)."""
-    tf = q_tokenize_tf(spark, sf_dir)
+    # tf feeds the df filter and the semi-join source; t is read from
+    # both sides of the self-join — persist each so the tokenize and
+    # the distinct run once per invocation
+    tf = _mem.shared(q_tokenize_tf(spark, sf_dir))
     d = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     rare = d.filter((F.col("df") >= 2) & (F.col("df") <= 400)).select("token")
-    t = tf.join(rare, "token", "left_semi").select("doc_id", "token").distinct()
+    t = _mem.shared(
+        tf.join(rare, "token", "left_semi").select("doc_id", "token").distinct()
+    )
     a, b = t.alias("a"), t.alias("b")
     return (
         a.join(b, "doc_id")
@@ -367,7 +366,9 @@ WHERE len(regexp_extract_all(
 def q_tfidf_vectors(spark, sf_dir):
     """Per-(doc, token) tf-idf weight (the sparse-vectorization step
     of a retrieval/embedding pipeline), smooth idf = ln(N/df) + 1."""
-    tf = q_tokenize_tf(spark, sf_dir)
+    # tf feeds the doc count, the df aggregate and the weight join —
+    # persist so the tokenize runs once per invocation
+    tf = _mem.shared(q_tokenize_tf(spark, sf_dir))
     # n_docs via a broadcast 1-row aggregate cross join — ONE job for
     # the whole query instead of a separate count() action per call
     n = tf.agg(
@@ -2228,6 +2229,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "highlight_snippets": q_highlight_snippets,
 }
+
+
+def _entry(fn: Callable) -> Callable:
+    """Scope pipeline-internal persisted intermediates (_mem.shared)
+    to one query invocation: clear whatever a PREVIOUS query left
+    behind before building this one, so nothing is ever served from a
+    prior run's cache and storage memory stays bounded to one query's
+    working set."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _mem.clear_tracked()
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
+QUERIES = {name: _entry(fn) for name, fn in QUERIES.items()}
 
 ORACLES: dict[str, str] = {
     "semantic_topk": SQL_SEMANTIC_TOPK,

@@ -8,21 +8,19 @@ the dot products.
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
-
 import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
-
-def _round6_half_up(x: float) -> float:
-    """round(x, 6) with Spark's F.round semantics for doubles:
-    BigDecimal.valueOf(x) (= shortest decimal repr, like Python's
-    repr) then setScale(6, HALF_UP)."""
-    return float(
-        Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
-    )
+from .veckernel import round6_half_up as _round6_half_up
 
 
 def dot_col(a, b):
@@ -231,23 +229,59 @@ def with_assignment(
     out: str = "_s",
 ) -> DataFrame:
     """Attach ``out = struct(c, best)`` (argmax cell + its round-6
-    cosine) computed against a BROADCAST codebook. Same fold — and
-    therefore bit-identical assignments — as
-    :func:`assign_struct_col`, but the centroids arrive through a
-    one-row BroadcastNestedLoopJoin instead of a k×dim literal, so k
-    can grow with the corpus (SemDeDup bounds cell sizes by raising
-    k) without blowing up Catalyst."""
-    cdf = _codebook_df(df.sparkSession, anchors)
-    return (
-        df.crossJoin(F.broadcast(cdf))
-        .withColumn(
-            out,
-            F.aggregate(
-                F.col("_cands"), _assign_init(), _assign_step(F.col(vec_col))
-            ),
-        )
-        .drop("_cands")
+    cosine) computed against the codebook, bit-identical to
+    :func:`assign_struct_col`'s fold (tests/test_ann.py asserts the
+    identity).
+
+    Execution: ``mapInArrow`` with the centroid matrix in the task
+    closure — the guide §4.2 shape (whole Arrow batches into
+    vectorized numpy, heavyweight state once per task). This replaces
+    the r5 one-row-codebook BroadcastNestedLoopJoin whose per-row
+    interpreted ``aggregate`` fold was the measured cost of
+    ivf/kmeans/semdedup (VERDICT r5 #5); k still scales without
+    growing the plan (the codebook is closure data, not expression),
+    and the map stays narrow — zero shuffle, zero join."""
+    from . import veckernel as vk
+
+    cents = np.asarray(anchors, dtype=np.float64)
+    cent_norms = vk.seq_sq_norms(cents)
+    vec_idx = df.columns.index(vec_col)
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(
+                out,
+                StructType(
+                    [
+                        StructField("c", IntegerType()),
+                        StructField("best", DoubleType()),
+                    ]
+                ),
+            )
+        ]
     )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                c = np.empty(0, dtype=np.int32)
+                b = np.empty(0, dtype=np.float64)
+            else:
+                vecs = vk.list_to_matrix(batch.column(vec_idx))
+                c, b = vk.assign_cells(vecs, cents, cent_norms)
+            sarr = pa.StructArray.from_arrays(
+                [pa.array(c, type=pa.int32()), pa.array(b, type=pa.float64())],
+                names=["c", "best"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [sarr],
+                names=list(batch.schema.names) + [out],
+            )
+
+    return df.mapInArrow(fn, schema)
 
 
 def ivf_assign_col(vec, anchors: list[list[float]]):
@@ -414,10 +448,20 @@ def semdedup_pairs(
     approximation, equivalent to having trained a finer quantizer
     over that region). Leave ``max_cell_size=None`` for exact
     within-cluster-complete pairs."""
+    from ._mem import shared
+
     assigned = kmeans_assign(emb, n_clusters, id_col, vec_col, iters)
-    vecs = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).join(assigned.select("id", "cluster"), "id")
+    # the cosine norm is per-VECTOR: compute it once per member here
+    # instead of once per PAIR inside the within-cell join (a cell of
+    # m members costs m² pairs — the join then evaluates only the
+    # dot); persisted because the self-join reads it from both sides
+    vecs = shared(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm_col(F.col(vec_col)).alias("nv"),
+        ).join(assigned.select("id", "cluster"), "id")
+    )
     key = ["cluster"]
     if max_cell_size is not None:
         # ≤ k rows of (cluster, count) — always broadcastable
@@ -438,10 +482,12 @@ def semdedup_pairs(
         )
         key = ["cluster", "sub"]
     a = vecs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), *key
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), *key
     )
     b = vecs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), *key
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), *key
     )
     return (
         a.join(b, key)
@@ -449,7 +495,11 @@ def semdedup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot_col(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -589,26 +639,43 @@ def pq_encode(
     index per subspace) — dim floats compress to m small ints (the
     32-64× memory cut that makes a 100-TB embedding store scannable).
 
-    Scale shape: one broadcast one-row codebook join + a per-row
-    argmin fold per subspace — zero shuffle, no UDF, plan size O(1)
-    in ksub. Encode once, persist ``(id, code)``; ADC search then
-    never touches the raw vectors."""
+    Scale shape: ``mapInArrow`` over only (id, vec) with the codebooks
+    in the task closure (guide §4.2 — the same swap as
+    :func:`with_assignment`; the former per-subspace argmin folds were
+    interpreted CodegenFallback expressions). Zero shuffle, plan size
+    O(1) in ksub, bit-identical first-minimum round-6 L2² codes
+    (veckernel.pq_encode_codes). Encode once, persist ``(id, code)``;
+    ADC search then never touches the raw vectors."""
+    from . import veckernel as vk
+
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    cdf = _pq_codebook_df(df.sparkSession, codebooks)
-    vec = F.col(vec_col)
-    code = F.array(
-        *[
-            _argmin_code(
-                F.slice(vec, s * dsub + 1, dsub), F.col("_pq")[s]
+    cbs = np.asarray(codebooks, dtype=np.float64)
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    schema = StructType(
+        [src.schema.fields[0], StructField("code", ArrayType(IntegerType()))]
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                codes = np.empty((0, m), dtype=np.int32)
+            else:
+                codes = vk.pq_encode_codes(
+                    vk.list_to_matrix(batch.column(1)), cbs
+                )
+            offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
+            carr = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(codes.reshape(-1), type=pa.int32()),
             )
-            for s in range(m)
-        ]
-    )
-    return (
-        df.crossJoin(F.broadcast(cdf))
-        .select(F.col(id_col).alias("id"), code.alias("code"))
-    )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), carr], names=["id", "code"]
+            )
+
+    return src.mapInArrow(fn, schema)
 
 
 def pq_query_lut(

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._mem import shared
+
 # 48-bit md5 prefix → bigint; enough key space for banding/minhash
 # while staying exactly representable in both Spark and DuckDB.
 def _md5_long(col, nchars: int = 12):
@@ -82,13 +84,13 @@ def ngram_jaccard_pairs(
     cross join). At 100 TB the shingle join is the skew risk: hot
     shingles are dropped above a df cap (like common-token pruning,
     reference default.py:30)."""
-    sh = word_shingles(df, id_col, text_col, k).cache()
+    sh = shared(word_shingles(df, id_col, text_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     # hot-shingle cap: shingles shared by >1000 docs carry ~0 signal
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf")).filter(
         F.col("sdf") <= 1000
     )
-    shr = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    shr = shared(sh.join(rare.select("shingle"), "shingle", "left_semi"))
     a, b = shr.alias("a"), shr.alias("b")
     common = (
         a.join(b, "shingle")
@@ -172,32 +174,50 @@ MINHASH_AB = [
 ]
 
 
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int, k: int
+) -> DataFrame:
+    """One row per doc with all ``n_hashes`` minhashes as columns:
+    ONE groupBy(id) with n min aggregates straight over the md5 base
+    values — no per-hash explode (×n row blowup) and no second
+    (id, hash_id) shuffle. Every aggregate is algebraic (map-side
+    combinable), so this scales like a word count."""
+    assert n_hashes <= len(MINHASH_AB)
+    sh = word_shingles(df, id_col, text_col, k)
+    based = sh.select("id", _md5_long(F.col("shingle")).alias("base"))
+    aggs = [
+        F.min(
+            (
+                F.lit(a).cast("long") * F.col("base") + F.lit(b).cast("long")
+            ) % F.lit(MINHASH_P)
+        ).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    return based.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
 ) -> DataFrame:
     """MinHash signatures: h_i(doc) = min over shingles of
-    (a_i·md5_48(shingle) + b_i) mod p. One explode + groupBy;
-    map-side combinable (min is algebraic) → scales like a word
-    count. Returns (id, hash_id, minhash)."""
-    assert n_hashes <= len(MINHASH_AB)
-    sh = word_shingles(df, id_col, text_col, k)
-    based = sh.select("id", _md5_long(F.col("shingle")).alias("base"))
-    fam = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("hash_id"),
-                F.lit(MINHASH_AB[i][0]).cast("long").alias("a"),
-                F.lit(MINHASH_AB[i][1]).cast("long").alias("b"),
-            )
-            for i in range(n_hashes)
-        ]
+    (a_i·md5_48(shingle) + b_i) mod p. One groupBy(id) (the wide
+    form), unpivoted in-row. Returns (id, hash_id, minhash)."""
+    wide = _minhash_wide(df, id_col, text_col, n_hashes, k)
+    sig = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("hash_id"),
+                    F.col(f"_mh{i}").alias("minhash"),
+                )
+                for i in range(n_hashes)
+            ]
+        )
     )
-    hashed = based.select("id", "base", F.explode(fam).alias("f")).select(
-        "id",
-        F.col("f.hash_id").alias("hash_id"),
-        ((F.col("f.a") * F.col("base") + F.col("f.b")) % F.lit(MINHASH_P)).alias("hv"),
+    return wide.select("id", sig.alias("s")).select(
+        "id", F.col("s.hash_id").alias("hash_id"),
+        F.col("s.minhash").alias("minhash"),
     )
-    return hashed.groupBy("id", "hash_id").agg(F.min("hv").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -211,16 +231,42 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding: signature → bands of n/bands rows; docs
     colliding in ANY band become candidate pairs. The band-bucket
     join replaces the O(n²) comparison; band keys are md5-derived so
-    bucket population is uniform (no salt needed)."""
+    bucket population is uniform (no salt needed). Band keys are
+    built IN-ROW from the wide signature (no per-band shuffle), and
+    the banded table is persisted so the self-join's two sides read
+    one materialization."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
-    banded = (
-        sig.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.sort_array(F.collect_list("minhash")))
-            ).alias("band_key")
+    wide = _minhash_wide(df, id_col, text_col, n_hashes, k)
+    bandrows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.sort_array(
+                                F.array(
+                                    *[
+                                        F.col(f"_mh{i}")
+                                        for i in range(
+                                            band * rows_per_band,
+                                            (band + 1) * rows_per_band,
+                                        )
+                                    ]
+                                )
+                            ),
+                        )
+                    ).alias("band_key"),
+                )
+                for band in range(bands)
+            ]
+        )
+    )
+    banded = shared(
+        wide.select("id", bandrows.alias("b")).select(
+            "id", F.col("b.band").alias("band"),
+            F.col("b.band_key").alias("band_key"),
         )
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -278,13 +324,19 @@ def embedding_near_dup_pairs(
 
     plane_weights must be provided (deterministic, e.g. seeded numpy)
     so the same planes are usable by an external oracle."""
-    from .ann import cosine_col, sign_bucket_col
+    from .ann import dot_col, norm_col, sign_bucket_col
 
     assert plane_weights is not None, "pass deterministic plane weights"
-    bucketed = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        sign_bucket_col(F.col(vec_col), plane_weights).alias("bucket"),
+    # per-vector norm computed once before the pair join (the join
+    # then evaluates only the dot per pair — same value, 3× less
+    # interpreted array math)
+    bucketed = shared(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm_col(F.col(vec_col)).alias("nv"),
+            sign_bucket_col(F.col(vec_col), plane_weights).alias("bucket"),
+        )
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
@@ -293,7 +345,11 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine_col(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+            F.round(
+                dot_col(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nv") * F.col("b.nv")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

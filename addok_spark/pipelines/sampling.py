@@ -324,7 +324,12 @@ def dsir_weights(
         F.sequence(F.lit(1), F.size("ts") - 1),
         lambda i: F.array_join(F.slice("ts", i, 2), " "),
     )
-    feats = (
+    from ._mem import shared
+
+    # feats feeds the doc histogram, the raw distribution AND the
+    # target distribution — persist so the tokenize + bigram + md5
+    # scan runs once per invocation
+    feats = shared(
         toks.filter(F.size("ts") >= 2)
         .select("id", F.explode(bigrams).alias("bg"))
         .select(

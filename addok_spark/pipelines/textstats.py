@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._mem import shared
 from .dedup import _md5_long, tokens_col, word_shingles
 
 STOPWORDS = {
@@ -161,7 +162,9 @@ def contamination(
     Returns (id, n_shingles, n_shared, n_bench_docs, containment)
     for contaminated docs plus zero rows for clean ones (filter
     n_shared > 0 downstream to keep only hits)."""
-    d_sh = word_shingles(df, id_col, text_col, k)
+    # d_sh feeds both the per-doc sizes and the hit join — persist so
+    # the corpus shingle scan runs once per invocation
+    d_sh = shared(word_shingles(df, id_col, text_col, k))
     b_sh = word_shingles(bench, bench_id_col, bench_text_col, k)
     b_sh = b_sh.withColumnRenamed("id", "bench_id")
     sizes = d_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -249,8 +252,13 @@ def collocations_pmi(
     DuckDB oracle can reproduce it bit-for-bit. min_count drops the
     noise tail (PMI is degenerate on hapax bigrams). Deterministic
     total order: (pmi desc, bigram asc)."""
-    toks = df.select(
-        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+    # toks feeds the bigram and unigram streams; uni/bcnt are each
+    # referenced by their own totals AND the score join — persist all
+    # three so each aggregation tree runs once per invocation
+    toks = shared(
+        df.select(
+            F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("toks")
+        )
     )
     big = toks.select(
         F.explode(
@@ -261,12 +269,14 @@ def collocations_pmi(
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    uni = (
+    uni = shared(
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    bcnt = shared(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    )
     # marginal totals as single-row cross joins INSIDE the plan (the
     # DuckDB oracle's tu/tb CTE shape): no driver collect, and the
     # uni/bcnt aggregation exchanges are reused instead of the whole
@@ -317,8 +327,14 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     so the float result is bit-deterministic across partitionings
     (and matches the oracle's identical sorted fold)."""
     toks = tokens_col(F.col(text_col))
-    e = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
-    counts = e.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # e feeds both the vocabulary count and the per-token score join:
+    # persist so the corpus is tokenized once per invocation
+    e = shared(
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+    )
+    counts = shared(
+        e.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
     logp = (
         e.join(counts, "token")
@@ -551,10 +567,16 @@ def bigram_logprob(
             F.element_at("ts", i).alias("w2"),
         ),
     )
-    e = toks.select("id", F.explode(pairs).alias("p")).select(
-        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    # e feeds the unigram agg, the bigram agg AND the score join —
+    # persist so the tokenize + in-row pair expansion runs once
+    e = shared(
+        toks.select("id", F.explode(pairs).alias("p")).select(
+            "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
     )
-    uni = e.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    uni = shared(
+        e.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
     total = uni.agg(F.sum("cu").cast("double").alias("__total"))
     bi = (
         e.filter(F.col("w1").isNotNull())

@@ -315,3 +315,50 @@ def test_pq_encode_partition_invariant(emb):
         for r in ann.pq_encode(emb.repartition(13), cbs).collect()
     }
     assert a == b
+
+
+def test_pq_encode_matches_catalyst_fold(emb, spark):
+    """r6 optimization guard: the mapInArrow PQ encoder
+    (veckernel.pq_encode_codes) must be bit-identical to the retained
+    Catalyst first-minimum fold (_argmin_code over the broadcast
+    codebook) it replaced."""
+    m, ksub = 4, 8
+    cbs = ann.pq_codebooks(emb, m, ksub)
+    dsub = DIM // m
+    got = {
+        r["id"]: list(r["code"])
+        for r in ann.pq_encode(emb, cbs).collect()
+    }
+    cdf = ann._pq_codebook_df(spark, cbs)
+    vec = F.col("embedding")
+    code = F.array(
+        *[
+            ann._argmin_code(F.slice(vec, s * dsub + 1, dsub), F.col("_pq")[s])
+            for s in range(m)
+        ]
+    )
+    want = {
+        r["id"]: list(r["code"])
+        for r in emb.crossJoin(F.broadcast(cdf))
+        .select(F.col("vec_id").alias("id"), code.alias("code"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_round6_array_matches_scalar_semantics():
+    """veckernel.round6_array's fast path + midpoint fallback must
+    reproduce F.round's shortest-repr HALF_UP semantics, including
+    exact 6-dp midpoints, negatives, and NaN passthrough."""
+    from addok_spark.pipelines import veckernel as vk
+
+    vals = [
+        0.1234565, -0.1234565, 0.9999995, -0.9999995, 1.0000005,
+        0.0000005, -0.0000005, 0.123456499999999, 0.1234571, 0.0,
+        -0.0, 1.0, -1.0, 0.5e-6, 1.5e-6, -1.5e-6, 0.7071067811865476,
+    ]
+    got = vk.round6_array(np.array(vals))
+    want = [vk.round6_half_up(v) for v in vals]
+    assert list(got) == want
+    nan_out = vk.round6_array(np.array([float("nan")]))
+    assert np.isnan(nan_out[0])

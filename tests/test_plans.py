@@ -191,3 +191,24 @@ def test_dsir_hints_only_bounded_relations(spark):
         assert " AS cnt#" not in sub, (
             "broadcast hint wraps the per-doc histogram:\n" + sub[:2000]
         )
+
+
+def test_rank_filter_plans_window_group_limit(spark):
+    """r6: the per-key top-k sites dropped their manual two-level
+    (salted/sharded) pre-pass in favor of Spark's WindowGroupLimit
+    planning of the rank-filter pattern — partial (map-side, before
+    the exchange) + final. Assert the bound actually plans, or a
+    Zipf-head key's full set would hit one window task again."""
+    from addok_spark.entry_queries import q_postings_topk
+    from addok_spark.pipelines.retrieval import retrieval_topk
+
+    plan = _plan(q_postings_topk(spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2, plan[:4000]
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 3} shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    qids = spark.createDataFrame([(0,), (1,)], "qid long")
+    plan = _plan(retrieval_topk(docs, "doc_id", "text", qids, k=3))
+    assert plan.count("WindowGroupLimit") >= 2, plan[:4000]
