@@ -90,7 +90,10 @@ def ngram_jaccard_pairs(
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf")).filter(
         F.col("sdf") <= 1000
     )
-    shr = shared(sh.join(rare.select("shingle"), "shingle", "left_semi"))
+    # shr itself is not persisted: both self-join sides re-derive it
+    # from the CACHED sh with a cheap semi-join — a second cache of
+    # the near-identical string rows costs more than it saves
+    shr = sh.join(rare.select("shingle"), "shingle", "left_semi")
     a, b = shr.alias("a"), shr.alias("b")
     common = (
         a.join(b, "shingle")
@@ -360,6 +363,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge set via
     alternating **large-star / small-star** (Kiveris et al.,
@@ -383,6 +387,16 @@ def connected_components(
 
     Returns (id, cluster_id): one row per node appearing in ``edges``,
     cluster_id = min node id of its component.
+
+    Adaptive small-graph path: the deduped edge count is already
+    collected for the convergence signature, so when it is at most
+    ``local_threshold`` (default 2M edges ≈ 32 MB — bounded driver
+    state, same class as a broadcast build side) the components are
+    solved in one driver union-find pass instead of ~log n Spark
+    rounds of 6+ stages each. Identical labels by construction (min
+    node id per component); the distributed star rounds remain the
+    path for every larger graph, so the 100-TB story is unchanged.
+    ``local_threshold=0`` forces the distributed path.
     """
     e = (
         edges.select(
@@ -391,7 +405,6 @@ def connected_components(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _sig(df: DataFrame) -> tuple:
@@ -430,6 +443,47 @@ def connected_components(
             .distinct()
         )
 
+    # limit-probe instead of a count: collecting threshold+1 rows
+    # either yields the WHOLE edge set (≤ threshold → solve locally,
+    # one job, no checkpoint) or proves it is bigger (fall through to
+    # the distributed rounds, whose first checkpoint recomputes e)
+    probe = (
+        e.limit(local_threshold + 1).collect() if local_threshold > 0 else None
+    )
+    if probe is not None and len(probe) <= local_threshold:
+        rows = probe
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                # union by min so the final root IS the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = sorted(
+            {(node, find(node)) for r in rows for node in (r["a"], r["b"])}
+        )
+        id_type = e.schema["a"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        return edges.sparkSession.createDataFrame(
+            labels,
+            StructType(
+                [
+                    StructField("id", id_type),
+                    StructField("cluster_id", id_type),
+                ]
+            ),
+        )
+    e = e.localCheckpoint(eager=True)
     sig = _sig(e)
     converged = False
     for _ in range(max_iter):

@@ -61,18 +61,31 @@ def _retrieval_relations(
     # tokenized and exploded exactly ONCE (a second groupBy over the
     # explode re-ran the regexp+split scan — measured ~15% of the op
     # at sf0.1, and at 100 TB it's a second full-corpus pass)
+    # tf is persisted PARTITIONED BY TOKEN: its three token-keyed
+    # consumers (the df aggregate and both scoring joins) then reuse
+    # the cached partitioning instead of re-shuffling the corpus-scale
+    # relation once each — one exchange now instead of three later
     tf = shared(
-        tok.groupBy("doc_id", "token").agg(
-            F.count(F.lit(1)).cast("long").alias("tf")
-        )
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .repartition("token")
     )
     dl = shared(
         tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     )
-    stats = dl.agg(
+    # the corpus stats are ONE bounded row, but as a lazy aggregate
+    # every one of its 3-4 references embeds the whole corpus subtree
+    # in the plan (planning + codegen grew superlinearly with the PRF
+    # plan — its first run paid ~8 s before any task). Collect the row
+    # (bounded driver state, same class as the ivf anchors) and
+    # re-inject it as a LocalRelation: identical values, O(1) plan.
+    srow = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").cast("double").alias("total_tokens"),
+    ).collect()[0]
+    stats = docs.sparkSession.createDataFrame(
+        [srow], "n_docs double, avgdl double, total_tokens double"
     )
     df = shared(
         tf.groupBy("token").agg(
@@ -197,11 +210,15 @@ def retrieval_topk(
         )
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
+    # df/stats attach to the QUERY-TOKEN side (≤ max_q_tokens rows per
+    # query) before the candidate join, so the candidate-volume rows
+    # (qid × matching docs) only join tf → dl — one less corpus-scale
+    # join pass than the former qtok⋈tf⋈dl⋈df⋈stats order, with
+    # identical per-row values (df is constant per token)
+    qterm = qtok.join(df_q, "token").crossJoin(F.broadcast(stats))
     terms = (
-        qtok.join(tf, "token")
+        qterm.join(tf, "token")
         .join(dl, "doc_id")
-        .join(df_q, "token")
-        .crossJoin(F.broadcast(stats))
         .withColumn("ts", ts)
     )
     agg_score = F.sum("ts")
@@ -470,11 +487,13 @@ def retrieval_prf_topk(
             * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
         )
     )
+    # same join order as stage 1: df/stats onto the tiny weighted
+    # query-token set first, then the candidate join (tf → dl)
     scored = (
-        wq.join(tf, "token")
-        .join(dl, "doc_id")
-        .join(df, "token")
+        wq.join(df, "token")
         .crossJoin(F.broadcast(stats))
+        .join(tf, "token")
+        .join(dl, "doc_id")
         .withColumn("ts", F.col("qweight") * ts)
         .groupBy("qid", "doc_id")
         .agg(

@@ -162,9 +162,11 @@ def contamination(
     Returns (id, n_shingles, n_shared, n_bench_docs, containment)
     for contaminated docs plus zero rows for clean ones (filter
     n_shared > 0 downstream to keep only hits)."""
-    # d_sh feeds both the per-doc sizes and the hit join — persist so
-    # the corpus shingle scan runs once per invocation
-    d_sh = shared(word_shingles(df, id_col, text_col, k))
+    # d_sh is referenced twice (sizes + hits) but NOT persisted:
+    # measured at sf0.1, caching the wide shingle strings costs more
+    # than the second codegen scan (columnar cache build ≈ 2× the
+    # scan), and both branches stream map-side against the broadcast
+    d_sh = word_shingles(df, id_col, text_col, k)
     b_sh = word_shingles(bench, bench_id_col, bench_text_col, k)
     b_sh = b_sh.withColumnRenamed("id", "bench_id")
     sizes = d_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -48,9 +48,30 @@ def test_nonconvergence_raises_not_corrupts(spark):
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, local_threshold=0)
 
 
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).count() == 0
+
+
+def test_local_and_distributed_paths_identical(spark):
+    """r6: the adaptive small-graph union-find must produce exactly
+    the distributed star rounds' labels."""
+    import random
+
+    rng = random.Random(11)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(90)
+    ] + [(i, i + 1) for i in range(0, 20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {
+        (r.id, r.cluster_id)
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r.id, r.cluster_id)
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist and local
