@@ -2169,6 +2169,20 @@ FROM per_doc
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Ordered for the driver's 50-entry correctness cap: entries
+    # that have never had a driver CORRECTNESS row (r4+r5) come
+    # first, then the least-recently-checked (r4-only), then the
+    # rest — so no entry goes two consecutive rounds unchecked
+    # (round-5 verdict Next #3).
+    "retrieval_lm_topk": q_retrieval_lm_topk,
+    "highlight_snippets": q_highlight_snippets,
+    "pack_sequences": q_pack_sequences,
+    "repetition_score": q_repetition,
+    "contamination": q_contamination,
+    "retrieval_topk": q_retrieval_topk,
+    "events_context": q_events_context,
+    "pii_redact": q_pii_redact,
+    "chunk_documents": q_chunk_documents,
     "semantic_topk": q_semantic_topk,
     "retrieval_prf_topk": q_retrieval_prf_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -2219,15 +2233,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     "stateful_sessions": q_stateful_sessions,
     "stratified_sample": q_stratified_sample,
-    "pack_sequences": q_pack_sequences,
-    "repetition_score": q_repetition,
-    "contamination": q_contamination,
-    "retrieval_topk": q_retrieval_topk,
-    "retrieval_lm_topk": q_retrieval_lm_topk,
-    "events_context": q_events_context,
-    "pii_redact": q_pii_redact,
-    "chunk_documents": q_chunk_documents,
-    "highlight_snippets": q_highlight_snippets,
 }
 
 

@@ -900,17 +900,28 @@ def materialize_callable_boosts(
             continue
         colname = f"__boost_fn_{f.name}"
 
-        def _make(fn):
+        def _make(fn, fname):
             def _eval(batch: pd.DataFrame) -> pd.Series:
-                return pd.Series(
-                    [float(fn(r)) for r in batch.to_dict("records")],
-                    index=batch.index,
-                    dtype="float64",
-                )
+                # reference parity: the callable sees a plain doc dict
+                # — null numeric fields must arrive as None, not NaN
+                # (NaN is truthy and propagates through arithmetic,
+                # silently poisoning the doc's posting weights)
+                clean = batch.astype(object).where(batch.notna(), None)
+                out = []
+                for r in clean.to_dict("records"):
+                    v = float(fn(r))
+                    if v != v or v in (float("inf"), float("-inf")):
+                        raise ValueError(
+                            f"callable boost for field {fname!r} "
+                            f"returned non-finite {v!r} for doc "
+                            f"{r.get('conv_id', r)!r}"
+                        )
+                    out.append(v)
+                return pd.Series(out, index=batch.index, dtype="float64")
 
             return _eval
 
-        udf = F.pandas_udf(_make(f.boost_fn), "double")
+        udf = F.pandas_udf(_make(f.boost_fn, f.name), "double")
         docs = docs.withColumn(colname, udf(F.struct(*src_cols)))
         new_fields.append(
             dataclasses.replace(f, boost_col=colname, boost_fn=None)

@@ -329,22 +329,27 @@ def hybrid_rrf_topk(
     with corpus size. Query docs themselves are excluded (self-hits
     carry rank-1 cosine trivially).
     """
+    # normalize the query-id column name once: retrieval_topk requires
+    # a column literally named 'qid', while the semantic leg read
+    # qids.columns[0] dynamically — any other first-column name used
+    # to crash one leg but not the other (r5 advisor finding)
+    qids = qids.select(F.col(qids.columns[0]).alias("qid"))
     lex = retrieval_topk(
         docs, id_col, text_col, qids, k=pool, max_df_frac=max_df_frac
     ).select("qid", "doc_id", F.col("rank").alias("lex_rank"))
     qvecs = qids.join(
         emb.select(
-            F.col(emb_id_col).alias(qids.columns[0]),
+            F.col(emb_id_col).alias("qid"),
             F.col(vec_col).alias("qv"),
         ),
-        qids.columns[0],
+        "qid",
     )
     sem = semantic_topk(
         emb,
         emb_id_col,
         vec_col,
         qvecs,
-        qids.columns[0],
+        "qid",
         "qv",
         k=pool,
         exclude_self=True,

@@ -569,3 +569,42 @@ def test_callable_boost_matches_reference_scenario(spark, tmp_index_root):
     assert abs(idx.boost_of("lilas", docs[0]) - (5.0 + 0.05)) < 1e-6
     assert abs(idx.boost_of("cergy", docs[0]) - (1.0 + 0.05)) < 1e-6
     assert abs(idx.boost_of("voltaire", docs[1]) - (2.0 + 0.02)) < 1e-6
+
+
+def test_callable_boost_sees_none_not_nan_and_rejects_nonfinite(spark):
+    """r5 advisor finding: pandas hands the callable NaN for null
+    numeric fields (truthy, poisons arithmetic silently). The
+    materializer must (a) convert nulls to None like the reference's
+    plain doc dict, and (b) raise a clear error naming the field when
+    the callable returns a non-finite boost."""
+    from addok_spark.index.build import materialize_callable_boosts
+
+    rows = [("c", 0, "user", "hello", None), ("c", 1, "user", "world", 0.5)]
+    schema = ("conv_id string, turn_idx int, role string, text string,"
+              " importance double")
+    df = spark.createDataFrame(rows, schema)
+
+    # (a) None arrives as None → the guard branch works
+    cfg = EngineConfig(
+        fields=(
+            FieldSpec(
+                "text", 1.0,
+                boost_fn=lambda d: (d["importance"] or 0.0) * 10 + 1,
+            ),
+        ),
+    )
+    out, cfg2 = materialize_callable_boosts(df, cfg)
+    col = cfg2.fields[0].boost_col
+    got = {r["turn_idx"]: r[col] for r in out.collect()}
+    assert got == {0: 1.0, 1: 6.0}
+
+    # (b) an unguarded multiply on a null field → loud error naming
+    # the field, not NaN-poisoned posting weights
+    cfg_bad = EngineConfig(
+        fields=(
+            FieldSpec("text", 1.0, boost_fn=lambda d: d["importance"] * 10),
+        ),
+    )
+    out_bad, _ = materialize_callable_boosts(df, cfg_bad)
+    with pytest.raises(Exception, match="text"):
+        out_bad.collect()
