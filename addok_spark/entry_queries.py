@@ -126,10 +126,20 @@ SELECT token, doc_id, tf, rn FROM r WHERE rn <= 3
 def q_bm25_topk(spark, sf_dir):
     """Flagship: BM25 top-10 for a fixed query (Q1+R9/R10 as one
     declarative plan: posting join → idf/tf-norm → top-k)."""
-    # tok feeds BOTH dl and tf below: persist so the tokenize+explode
-    # scan runs once per invocation instead of once per aggregate
-    tok = _mem.shared(_tok(spark, sf_dir))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # ONE tokenize pass: persist the per-doc token ARRAYS (5-50×
+    # smaller than the exploded rows), derive dl shuffle-free as the
+    # array size (identical to counting the exploded tokens; the
+    # dl>0 filter reproduces explode dropping token-less docs), and
+    # explode only for the query-token tf aggregate
+    toks = _mem.shared(
+        _docs(spark, sf_dir).select(
+            "doc_id", dedup.tokens_col(F.col("text")).alias("ts")
+        )
+    )
+    tok = toks.select("doc_id", F.explode("ts").alias("token"))
+    dl = toks.select(
+        "doc_id", F.size("ts").cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -152,7 +152,8 @@ def ivf_cells(
     reproducible stand-in for a sampled k-means — the assignment and
     search shapes below are identical to a trained codebook's).
     Driver-held small state: n_cells vectors — shipped to executors
-    as broadcast data (with_assignment), never as plan literals."""
+    in the assignment kernel's task closure (with_assignment), never
+    as plan literals."""
     rows = (
         emb.orderBy(F.col(id_col).asc())
         .select(vec_col)
@@ -195,8 +196,10 @@ def assign_struct_col(vec, anchors: list[list[float]]):
     but puts k·dim doubles in the Catalyst tree — at SemDeDup-scale k
     (10^4+ cells) analysis/codegen falls over long before the data
     does. Every DataFrame-level caller in this module therefore goes
-    through :func:`with_assignment`, which ships the codebook as
-    broadcast DATA and runs this same fold over a column."""
+    through :func:`with_assignment`, whose mapInArrow numpy kernel is
+    bit-identical to this fold (the identity is test-asserted); this
+    literal form is retained as the readable reference and for
+    column-expression contexts."""
     cands = F.array(
         *[
             F.struct(
@@ -207,19 +210,6 @@ def assign_struct_col(vec, anchors: list[list[float]]):
         ]
     )
     return F.aggregate(cands, _assign_init(), _assign_step(vec))
-
-
-def _codebook_df(spark, anchors: list[list[float]]) -> DataFrame:
-    """The codebook as a ONE-ROW DataFrame holding
-    ``array<struct<c:int, v:array<double>>>`` — k·dim doubles as data,
-    not plan literals. Broadcast + crossJoin of one row multiplies no
-    rows and shuffles nothing; the assignment fold then reads the
-    candidates from a column reference, so the expression tree stays
-    O(1) in k."""
-    rows = [([(j, [float(x) for x in a]) for j, a in enumerate(anchors)],)]
-    return spark.createDataFrame(
-        rows, "_cands array<struct<c:int,v:array<double>>>"
-    )
 
 
 def with_assignment(
@@ -328,8 +318,8 @@ def ivf_topk(
     query, brute-force within. At scale the cell id is the partition
     key (write once, cluster by cell), so a probe reads nprobe
     partitions instead of the corpus — the classic IVF-Flat layout;
-    anchors arrive as broadcast data (one-row codebook join), so k
-    scales without growing the plan."""
+    anchors ride the assignment kernel's task closure
+    (with_assignment), so k scales without growing the plan."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probes = ivf_probe_cells(query_vec, anchors, nprobe)
     assigned = with_assignment(
@@ -394,7 +384,7 @@ def kmeans_assign(
     to 6 decimals before the next pass.
 
     Scale shape per iteration: one assignment map over the corpus
-    (centroids broadcast as a one-row codebook, never plan literals)
+    (centroids in the assignment kernel's closure, never plan literals)
     + one map-side-combinable (cell, dim) mean — no corpus-scale
     shuffle beyond the k×dim agg. Returns (id, cluster,
     cosine-to-final-centroid)."""

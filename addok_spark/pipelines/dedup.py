@@ -284,32 +284,33 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per token, take `bits` bits of md5; each
     bit votes ±1 weighted by tf; fingerprint bit = majority (ties →
-    0, deterministic). Pure explode + groupBy + bit math — codegen."""
+    0, deterministic).
+
+    Wide-aggregated: all ``bits`` vote sums are columns of ONE
+    groupBy(id) (algebraic, map-side combinable) instead of the
+    former bit-explode (×bits row blowup) + (id, bit) shuffle +
+    second per-id shuffle. Integer sums are order-free, so the
+    fingerprint is bit-identical to the exploded form."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
     h = tf.withColumn("hv", _md5_long(F.col("token")))
-    bit_votes = h.select(
-        "id",
-        "tf",
-        F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit"),
-        "hv",
-    ).withColumn(
-        "vote",
-        F.expr("((shiftright(hv, cast(bit as int)) & 1) * 2 - 1) * tf"),
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.expr(f"((shiftright(hv, {i}) & 1) * 2 - 1) * tf")
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
     )
-    votes = bit_votes.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint),"
-                " cast(bit as int)) ELSE 0 END"
-            )
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    fp = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("id", fp.cast("long").alias("simhash"))
 
 
 def embedding_near_dup_pairs(
