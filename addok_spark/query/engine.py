@@ -278,6 +278,39 @@ class SearchEngine:
             self.pairs = read_table(spark, self.paths, "pairs")
         except Exception:
             self.pairs = None  # pairs deferred at build time
+        self._probe_cache: dict[str, object] = {}
+
+    # ------------------------------------------------------------------
+    def _probe(self, table: str):
+        """pyarrow dataset for the bounded driver-side metadata probes
+        (dictionary stats, prefix candidates, pair existence). Each of
+        these returns a handful of rows but used to pay a full Spark
+        job (~0.3-0.5 s of scheduling on the measured host) — 3-5 of
+        them per search() were most of the single-query latency floor.
+        A pruned pyarrow read of the same parquet (IN-filter against
+        row-group min/max stats, the same pushdown the Spark scan did)
+        returns identical rows without a job — the serving tier's
+        access pattern applied to just the probe layer; the collection
+        rounds and scoring stay in Spark. Returns None (→ the Spark
+        fallback path) for reference-only snapshots, whose tables
+        resolve through manifest locations."""
+        if table in self._probe_cache:
+            return self._probe_cache[table]
+        dset = None
+        try:
+            if self.paths.table_locations(table) is None:
+                d = Path(str(getattr(self.paths, table)))
+                if d.exists():
+                    import pyarrow.dataset as pds
+
+                    # default ignore_prefixes skips _SUCCESS/_metrics
+                    dset = pds.dataset(
+                        str(d), format="parquet", partitioning="hive"
+                    )
+        except Exception:
+            dset = None
+        self._probe_cache[table] = dset
+        return dset
 
     # ------------------------------------------------------------------
     def _token_stats(self, tokens: set[str]) -> dict[str, tuple[int, float]]:
@@ -287,6 +320,22 @@ class SearchEngine:
         addok/helpers/text.py:61-63, lua/order_by_max_score.lua)."""
         if not tokens:
             return {}
+        dset = self._probe("dictionary")
+        if dset is not None:
+            import pyarrow.dataset as pds
+
+            t = dset.to_table(
+                filter=pds.field("token").isin(list(tokens)),
+                columns=["token", "df", "max_boost"],
+            )
+            return {
+                tok: (df, float(mb or 0.0))
+                for tok, df, mb in zip(
+                    t.column("token").to_pylist(),
+                    t.column("df").to_pylist(),
+                    t.column("max_boost").to_pylist(),
+                )
+            }
         rows = (
             self.dictionary.filter(F.col("token").isin(list(tokens)))
             .select("token", "df", "max_boost")
@@ -308,6 +357,36 @@ class SearchEngine:
         frequency) happen afterwards in _plan_queries."""
         if not prefixes or self.prefixes is None:
             return {}
+        has_mb = "max_boost" in self.prefixes.columns
+        dset = self._probe("prefixes")
+        if dset is not None:
+            import pyarrow.dataset as pds
+
+            cols = ["prefix", "token", "df"] + (
+                ["max_boost"] if has_mb else []
+            )
+            pdf = dset.to_table(
+                filter=pds.field("prefix").isin(list(prefixes)),
+                columns=cols,
+            ).to_pandas()
+            # the same (df desc, token asc) rank-and-cap the Spark
+            # window computed; mergesort keeps the order total/stable
+            pdf = pdf.sort_values(
+                ["prefix", "df", "token"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            pdf["rn"] = pdf.groupby("prefix").cumcount() + 1
+            pdf = pdf[pdf["rn"] <= cap]
+            out: dict[str, list[tuple[str, int, float | None]]] = {}
+            for r in pdf.itertuples(index=False):
+                mb = None
+                if has_mb:
+                    # pandas nulls arrive as NaN (truthy!) — map to the
+                    # Spark path's `None or 0.0` semantics explicitly
+                    mb = 0.0 if pd.isna(r.max_boost) else float(r.max_boost)
+                out.setdefault(r.prefix, []).append((r.token, int(r.df), mb))
+            return out
         w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("token"))
         rows = (
             self.prefixes.filter(F.col("prefix").isin(list(prefixes)))
@@ -315,8 +394,7 @@ class SearchEngine:
             .filter(F.col("rn") <= cap)
             .collect()
         )
-        has_mb = "max_boost" in self.prefixes.columns
-        out: dict[str, list[tuple[str, int, float | None]]] = {}
+        out = {}
         for r in sorted(rows, key=lambda r: (r["prefix"], r["rn"])):
             out.setdefault(r["prefix"], []).append(
                 (
@@ -337,6 +415,30 @@ class SearchEngine:
             return set()
         a_list = sorted({a for a, _ in checks})
         b_list = sorted({b for _, b in checks})
+        got = self._pairs_lookup(a_list, b_list)
+        return got & checks
+
+    def _pairs_lookup(
+        self, a_list: list[str], b_list: list[str]
+    ) -> set[tuple[str, str]]:
+        """All (token_a, token_b) rows of the pair table matching the
+        two IN-lists — pyarrow pruned read when the snapshot is
+        materialized, Spark job otherwise (same rows either way)."""
+        dset = self._probe("pairs")
+        if dset is not None:
+            import pyarrow.dataset as pds
+
+            t = dset.to_table(
+                filter=pds.field("token_a").isin(a_list)
+                & pds.field("token_b").isin(b_list),
+                columns=["token_a", "token_b"],
+            )
+            return set(
+                zip(
+                    t.column("token_a").to_pylist(),
+                    t.column("token_b").to_pylist(),
+                )
+            )
         rows = (
             self.pairs.filter(
                 F.col("token_a").isin(a_list) & F.col("token_b").isin(b_list)
@@ -344,8 +446,7 @@ class SearchEngine:
             .select("token_a", "token_b")
             .collect()
         )
-        got = {(r["token_a"], r["token_b"]) for r in rows}
-        return got & checks
+        return {(r["token_a"], r["token_b"]) for r in rows}
 
     # ------------------------------------------------------------------
     def _plan_queries(self, queries: list[Query]) -> dict[str, _QState]:
@@ -1320,15 +1421,8 @@ class SearchEngine:
             r = {g: st.groups[g][0] for g in st.meaningful_order}
             reps[qid] = r
             all_reps.update(r.values())
-        pair_rows = (
-            self.pairs.filter(
-                F.col("token_a").isin(list(all_reps))
-                & F.col("token_b").isin(list(all_reps))
-            )
-            .select("token_a", "token_b")
-            .collect()
-        )
-        pairset = {(r["token_a"], r["token_b"]) for r in pair_rows}
+        reps_list = sorted(all_reps)
+        pairset = self._pairs_lookup(reps_list, reps_list)
 
         from .cliques import ordered_cliques
 

@@ -255,3 +255,46 @@ def test_topn_two_level_bounded_head_rank_identity(spark):
         .reset_index(drop=True)
     )
     assert list(two["doc_index"]) == list(want["doc_index"])
+
+
+def test_arrow_probes_match_spark_fallback(spark, tmp_index_root):
+    """r6: the driver-side pyarrow metadata probes (dictionary stats,
+    prefix candidates, pair existence) must return exactly what the
+    Spark-job fallback path returns — including absent keys, null
+    max_boost handling, and the prefix rank-and-cap order."""
+    cfg = EngineConfig(
+        build_partitions=4, doc_bucket_bits=4, posting_block_size=16,
+        build_prefixes=True, build_pairs=True, common_threshold=400,
+    )
+    paths = build_index(
+        spark, transcripts_df(spark, 15, seed=42), cfg,
+        str(Path(tmp_index_root) / "probe_idx"),
+    )
+    eng = SearchEngine(spark, paths, cfg)
+    assert eng._probe("dictionary") is not None, "materialized snapshot"
+
+    toks = {
+        r["token"]
+        for r in eng.dictionary.select("token").limit(10).collect()
+    } | {"zz_absent_token"}
+    prefixes = {
+        r["prefix"]
+        for r in eng.prefixes.select("prefix").limit(6).collect()
+    } | {"zzzz"}
+    some = sorted(toks)[:6]
+    checks = {
+        (a, b) for a in some for b in some if a < b
+    }
+
+    arrow = (
+        eng._token_stats(toks),
+        eng._prefix_candidates_batch(prefixes, cap=5),
+        eng._pairs_probe(checks),
+    )
+    eng._probe_cache = {"dictionary": None, "prefixes": None, "pairs": None}
+    fallback = (
+        eng._token_stats(toks),
+        eng._prefix_candidates_batch(prefixes, cap=5),
+        eng._pairs_probe(checks),
+    )
+    assert arrow == fallback
